@@ -1,0 +1,145 @@
+"""Fused batched letterbox preprocessing.
+
+The reference preprocesses one frame at a time on the host with cv2
+(letterbox resize, 114-pad, BGR->RGB, /255, HWC->CHW — reference
+detector.py:198-264). Here the whole batch is preprocessed on device in one
+jitted graph: frames arrive as uint8 NHWC BGR (one H2D transfer), and resize,
+pad, channel swap, normalization and dtype cast all fuse into the forward
+pass's first conv under jit.
+
+All letterbox geometry (scale, resized size, pad split) is *static* per
+(source HxW -> target HxW) pair, so each source-resolution bucket compiles
+exactly once. The math matches the reference bit-for-bit:
+
+    scale = min(tw/w, th/h); new = int(round-toward-zero(size * scale))
+    pad_top = (th - new_h) // 2 ; pad_left = (tw - new_w) // 2
+
+``letterbox_numpy`` is the host/cv2 oracle with identical semantics, used by
+tests and as a host-side fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PAD_VALUE = 114.0
+
+
+@dataclass(frozen=True)
+class LetterboxSpec:
+    """Static letterbox geometry for one (src -> dst) resolution pair."""
+
+    src_h: int
+    src_w: int
+    dst_h: int
+    dst_w: int
+    scale: float
+    new_h: int
+    new_w: int
+    pad_top: int
+    pad_left: int
+
+
+def letterbox_spec(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]) -> LetterboxSpec:
+    h, w = src_hw
+    th, tw = dst_hw
+    scale = min(tw / w, th / h)
+    new_w = int(w * scale)
+    new_h = int(h * scale)
+    return LetterboxSpec(
+        src_h=h,
+        src_w=w,
+        dst_h=th,
+        dst_w=tw,
+        scale=scale,
+        new_h=new_h,
+        new_w=new_w,
+        pad_top=(th - new_h) // 2,
+        pad_left=(tw - new_w) // 2,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "out_dtype", "round_uint8", "layout")
+)
+def preprocess_batch(
+    frames: jnp.ndarray,
+    *,
+    spec: LetterboxSpec,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+    round_uint8: bool = True,
+    layout: str = "NCHW",
+) -> jnp.ndarray:
+    """uint8 NHWC BGR batch -> normalized letterboxed batch.
+
+    Args:
+      frames: [N, src_h, src_w, 3] uint8 BGR.
+      round_uint8: round the resized image to integers before normalizing,
+        matching cv2's uint8 resize output (the reference resizes in uint8).
+      layout: "NCHW" (reference tensor layout) or "NHWC" (TPU-conv native).
+
+    Returns [N, 3, dst_h, dst_w] (or NHWC) in ``out_dtype``, RGB in [0, 1].
+    """
+    n = frames.shape[0]
+    x = frames.astype(jnp.float32)
+    if (spec.new_h, spec.new_w) != (spec.src_h, spec.src_w):
+        x = jax.image.resize(
+            x, (n, spec.new_h, spec.new_w, 3), method="linear", antialias=False
+        )
+        if round_uint8:
+            x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
+    pad_right = spec.dst_w - spec.new_w - spec.pad_left
+    x = jnp.pad(
+        x,
+        ((0, 0), (spec.pad_top, pad_bottom), (spec.pad_left, pad_right), (0, 0)),
+        constant_values=_PAD_VALUE,
+    )
+    x = x[..., ::-1]  # BGR -> RGB
+    x = x * (1.0 / 255.0)
+    if layout == "NCHW":
+        x = jnp.transpose(x, (0, 3, 1, 2))
+    return x.astype(out_dtype)
+
+
+def letterbox_numpy(
+    frame: np.ndarray,
+    dst_hw: Tuple[int, int],
+    dtype: np.dtype = np.float32,
+) -> Tuple[np.ndarray, dict]:
+    """Host/cv2 oracle with the reference's exact semantics.
+
+    Returns (tensor [1, 3, H, W] RGB normalized, meta {orig_shape, scale, pad}).
+    """
+    import cv2
+
+    spec = letterbox_spec(frame.shape[:2], dst_hw)
+    if (spec.new_h, spec.new_w) != (spec.src_h, spec.src_w):
+        resized = cv2.resize(
+            frame, (spec.new_w, spec.new_h), interpolation=cv2.INTER_LINEAR
+        )
+    else:
+        resized = frame
+    canvas = cv2.copyMakeBorder(
+        resized,
+        spec.pad_top,
+        spec.dst_h - spec.new_h - spec.pad_top,
+        spec.pad_left,
+        spec.dst_w - spec.new_w - spec.pad_left,
+        cv2.BORDER_CONSTANT,
+        value=(114, 114, 114),
+    )
+    image = cv2.cvtColor(canvas, cv2.COLOR_BGR2RGB).astype(dtype) * (1.0 / 255.0)
+    tensor = np.expand_dims(np.ascontiguousarray(image.transpose(2, 0, 1)), 0)
+    meta = {
+        "orig_shape": (spec.src_h, spec.src_w),
+        "scale": spec.scale,
+        "pad": (spec.pad_left, spec.pad_top),
+    }
+    return tensor, meta
