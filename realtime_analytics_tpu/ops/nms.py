@@ -100,15 +100,21 @@ def batched_nms(
     # 4. Compact kept rows to the front, preserving score order.
     #    argsort of (not kept) is stable, so kept rows keep their relative
     #    (descending-score) order.
+    d = min(max_det, k)
     order = jnp.argsort(~keep, axis=-1, stable=True)  # kept first
-    order_d = order[:, :max_det]
+    order_d = order[:, :d]
     out_boxes = jnp.take_along_axis(top_boxes, order_d[..., None], axis=1)
     out_scores = jnp.take_along_axis(top_scores, order_d, axis=1)
     out_classes = jnp.take_along_axis(top_classes, order_d, axis=1)
-    num_kept = jnp.minimum(jnp.sum(keep, axis=-1), max_det).astype(jnp.int32)
+    num_kept = jnp.minimum(jnp.sum(keep, axis=-1), d).astype(jnp.int32)
 
-    slot_valid = jnp.arange(max_det)[None, :] < num_kept[:, None]
+    slot_valid = jnp.arange(d)[None, :] < num_kept[:, None]
     out_boxes = jnp.where(slot_valid[..., None], out_boxes, 0.0)
     out_scores = jnp.where(slot_valid, out_scores, 0.0)
     out_classes = jnp.where(slot_valid, out_classes, 0).astype(jnp.int32)
+    if d < max_det:  # pad up to the static contract
+        pad = max_det - d
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)))
+        out_classes = jnp.pad(out_classes, ((0, 0), (0, pad)))
     return out_boxes, out_scores, out_classes, num_kept
