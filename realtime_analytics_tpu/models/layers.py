@@ -1,0 +1,116 @@
+"""Functional conv building blocks (NHWC / HWIO, BN folded).
+
+These are the primitives shared by the YOLO, ResNet and temporal models.
+Everything is a pure function over a params pytree:
+
+    params for a fused conv: {"w": [kh, kw, cin//groups, cout], "b": [cout]}
+
+BatchNorm never exists at inference time — checkpoint loaders fold it into
+the conv weight/bias (see ``weights.py``), which is both faster on TPU (one
+fused op) and simpler to shard.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    stride: int = 1,
+    groups: int = 1,
+    padding: Optional[int] = None,
+) -> jnp.ndarray:
+    """2D conv with torch-style symmetric padding (default k//2 "autopad")."""
+    kh, kw = w.shape[0], w.shape[1]
+    if padding is None:
+        padding = kh // 2
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)) if isinstance(padding, int)
+        else padding,
+        dimension_numbers=DN,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(x)
+
+
+def conv_act(params: dict, x: jnp.ndarray, *, stride: int = 1, groups: int = 1,
+             padding: Optional[int] = None, act: bool = True) -> jnp.ndarray:
+    """YOLO "Conv" block: conv + (folded BN) + SiLU."""
+    y = conv2d(x, params["w"], params.get("b"), stride=stride, groups=groups,
+               padding=padding)
+    return silu(y) if act else y
+
+
+def max_pool(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
+    pad = k // 2
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample (torch nn.Upsample(scale_factor=2))."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def avg_pool_global(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_conv(
+    key: jax.Array, cin: int, cout: int, k: int, *, groups: int = 1
+) -> dict:
+    """He-normal conv + zero bias (the post-BN-fold parameter shape)."""
+    fan_in = cin // groups * k * k
+    std = float(np.sqrt(2.0 / max(1, fan_in)))
+    w = jax.random.normal(key, (k, k, cin // groups, cout), dtype=jnp.float32) * std
+    return {"w": w, "b": jnp.zeros((cout,), dtype=jnp.float32)}
+
+
+def make_divisible(v: float, divisor: int = 8) -> int:
+    """Round channel counts up to a multiple of ``divisor`` (matches the
+    channel arithmetic of published YOLO configs)."""
+    return int(np.ceil(v / divisor) * divisor)
+
+
+def split_keys(key: jax.Array, n: int) -> Sequence[jax.Array]:
+    return jax.random.split(key, n)
+
+
+def cast_tree(params, dtype) -> dict:
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params,
+    )

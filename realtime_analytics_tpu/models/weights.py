@@ -1,0 +1,211 @@
+"""Checkpoint loading: torch state dicts -> JAX pytrees, BN folded.
+
+Replaces the reference's strategy of shipping one model file format per
+backend (.pt / .onnx / .engine / .xml / .rknn — reference models/README.md).
+Here a single loader maps Ultralytics-layout torch ``state_dict``s (the
+format inside ``yolov8*.pt`` / ``yolov5*.pt``) onto the ``YoloModel`` params
+pytree by layer index, folding every BatchNorm into its conv:
+
+    w' = w * gamma / sqrt(var + eps)        (per output channel)
+    b' = beta - gamma * mean / sqrt(var + eps)
+
+Accepted inputs for ``load_yolo_checkpoint``:
+  * a ``.pt``/``.pth`` file containing a raw ``state_dict`` (plain tensors),
+  * an Ultralytics checkpoint dict (``{"model": <nn.Module>}``) when the
+    unpickling environment allows it,
+  * a ``.npz`` with the same key names (portable, no torch needed),
+  * anything else -> ``None`` (caller falls back to random init with a loud
+    warning; the pipeline stays runnable without weights).
+
+TorchVision ResNet state dicts are supported by ``load_resnet_state_dict``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Mapping, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .resnet import ResNetModel
+from .yolo import YoloModel
+
+logger = logging.getLogger(__name__)
+
+BN_EPS = 1e-3  # Ultralytics BatchNorm2d eps
+BN_EPS_TORCHVISION = 1e-5
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()  # torch tensor
+
+
+def _fold_conv_bn(
+    sd: Mapping[str, np.ndarray], conv_prefix: str, bn_prefix: Optional[str],
+    eps: float = BN_EPS,
+) -> Dict[str, jnp.ndarray]:
+    """OIHW conv (+BN) -> fused {"w": HWIO, "b": [O]}."""
+    w = _np(sd[f"{conv_prefix}.weight"]).astype(np.float32)  # [O, I, kh, kw]
+    b = (
+        _np(sd[f"{conv_prefix}.bias"]).astype(np.float32)
+        if f"{conv_prefix}.bias" in sd
+        else np.zeros(w.shape[0], np.float32)
+    )
+    if bn_prefix is not None and f"{bn_prefix}.weight" in sd:
+        gamma = _np(sd[f"{bn_prefix}.weight"]).astype(np.float32)
+        beta = _np(sd[f"{bn_prefix}.bias"]).astype(np.float32)
+        mean = _np(sd[f"{bn_prefix}.running_mean"]).astype(np.float32)
+        var = _np(sd[f"{bn_prefix}.running_var"]).astype(np.float32)
+        scale = gamma / np.sqrt(var + eps)
+        w = w * scale[:, None, None, None]
+        b = beta + (b - mean) * scale
+    return {
+        "w": jnp.asarray(w.transpose(2, 3, 1, 0)),  # OIHW -> HWIO
+        "b": jnp.asarray(b),
+    }
+
+
+def _conv_block(sd, prefix: str) -> Dict:
+    """Ultralytics "Conv" module: <prefix>.conv + <prefix>.bn."""
+    return _fold_conv_bn(sd, f"{prefix}.conv", f"{prefix}.bn")
+
+
+def _bottleneck(sd, prefix: str) -> Dict:
+    return {"cv1": _conv_block(sd, f"{prefix}.cv1"),
+            "cv2": _conv_block(sd, f"{prefix}.cv2")}
+
+
+def yolo_params_from_state_dict(
+    model: YoloModel, sd: Mapping[str, np.ndarray], prefix: str = "model."
+) -> Dict:
+    """Map an Ultralytics-layout state dict onto the params pytree."""
+    layers: Dict[str, Dict] = {}
+    for i, node in enumerate(model.nodes):
+        base = f"{prefix}{i}"
+        if node.kind == "conv":
+            layers[str(i)] = _conv_block(sd, base)
+        elif node.kind in ("c2f", "c3"):
+            p = {
+                "cv1": _conv_block(sd, f"{base}.cv1"),
+                "cv2": _conv_block(sd, f"{base}.cv2"),
+                "m": [_bottleneck(sd, f"{base}.m.{j}") for j in range(node.n)],
+            }
+            if node.kind == "c3":
+                p["cv3"] = _conv_block(sd, f"{base}.cv3")
+            layers[str(i)] = p
+        elif node.kind == "sppf":
+            layers[str(i)] = {
+                "cv1": _conv_block(sd, f"{base}.cv1"),
+                "cv2": _conv_block(sd, f"{base}.cv2"),
+            }
+        elif node.kind == "detect_v8":
+            cv2, cv3 = [], []
+            for lvl in range(3):
+                cv2.append([
+                    _conv_block(sd, f"{base}.cv2.{lvl}.0"),
+                    _conv_block(sd, f"{base}.cv2.{lvl}.1"),
+                    _fold_conv_bn(sd, f"{base}.cv2.{lvl}.2", None),
+                ])
+                cv3.append([
+                    _conv_block(sd, f"{base}.cv3.{lvl}.0"),
+                    _conv_block(sd, f"{base}.cv3.{lvl}.1"),
+                    _fold_conv_bn(sd, f"{base}.cv3.{lvl}.2", None),
+                ])
+            layers[str(i)] = {"cv2": cv2, "cv3": cv3}
+        elif node.kind == "detect_v5":
+            layers[str(i)] = {
+                "m": [_fold_conv_bn(sd, f"{base}.m.{lvl}", None) for lvl in range(3)]
+            }
+    return {"layers": layers}
+
+
+def load_yolo_checkpoint(model: YoloModel, path: str) -> Optional[Dict]:
+    """Best-effort load of a YOLO checkpoint file. Returns None on failure."""
+    try:
+        sd = _read_state_dict(path)
+    except Exception as exc:  # noqa: BLE001
+        logger.warning("Could not read checkpoint %s: %s", path, exc)
+        return None
+    if sd is None:
+        return None
+    # Ultralytics full-model state dicts prefix everything with "model.".
+    prefix = "model." if any(k.startswith("model.0.") for k in sd) else ""
+    try:
+        return yolo_params_from_state_dict(model, sd, prefix=prefix)
+    except KeyError as exc:
+        logger.warning(
+            "Checkpoint %s does not match %s%s layout (missing %s)",
+            path, "yolov" + str(model.version), model.size, exc,
+        )
+        return None
+
+
+def _read_state_dict(path: str) -> Optional[Mapping[str, np.ndarray]]:
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch  # local import: torch is host-side only
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("state_dict", "model"):
+            if key in obj:
+                inner = obj[key]
+                if hasattr(inner, "state_dict"):
+                    inner = inner.float().state_dict()
+                if isinstance(inner, dict):
+                    return {k: _np(v) for k, v in inner.items()}
+        if all(hasattr(v, "detach") or isinstance(v, np.ndarray) for v in obj.values()):
+            return {k: _np(v) for k, v in obj.items()}
+    if hasattr(obj, "state_dict"):
+        return {k: _np(v) for k, v in obj.float().state_dict().items()}
+    return None
+
+
+# ---------------------------------------------------------------------------
+# ResNet (torchvision layout)
+# ---------------------------------------------------------------------------
+
+
+def resnet_params_from_state_dict(
+    model: ResNetModel, sd: Mapping[str, np.ndarray]
+) -> Dict:
+    eps = BN_EPS_TORCHVISION
+    params: Dict = {"stem": _fold_conv_bn(sd, "conv1", "bn1", eps=eps)}
+    layers: List[List[Dict]] = []
+    for stage_idx, n_blocks in enumerate(model.stages):
+        blocks = []
+        for b in range(n_blocks):
+            base = f"layer{stage_idx + 1}.{b}"
+            blk = {
+                "conv1": _fold_conv_bn(sd, f"{base}.conv1", f"{base}.bn1", eps=eps),
+                "conv2": _fold_conv_bn(sd, f"{base}.conv2", f"{base}.bn2", eps=eps),
+            }
+            if model.bottleneck:
+                blk["conv3"] = _fold_conv_bn(sd, f"{base}.conv3", f"{base}.bn3", eps=eps)
+            if f"{base}.downsample.0.weight" in sd:
+                blk["down"] = _fold_conv_bn(
+                    sd, f"{base}.downsample.0", f"{base}.downsample.1", eps=eps
+                )
+            blocks.append(blk)
+        layers.append(blocks)
+    params["layers"] = layers
+    params["fc"] = {
+        "w": jnp.asarray(_np(sd["fc.weight"]).astype(np.float32).T),
+        "b": jnp.asarray(_np(sd["fc.bias"]).astype(np.float32)),
+    }
+    return params
+
+
+def load_resnet_checkpoint(model: ResNetModel, path: str) -> Optional[Dict]:
+    try:
+        sd = _read_state_dict(path)
+        if sd is None:
+            return None
+        return resnet_params_from_state_dict(model, sd)
+    except Exception as exc:  # noqa: BLE001
+        logger.warning("Could not load ResNet checkpoint %s: %s", path, exc)
+        return None

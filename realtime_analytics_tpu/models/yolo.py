@@ -1,0 +1,465 @@
+"""YOLOv8 (anchor-free, DFL) and YOLOv5 (anchor-based) in functional JAX.
+
+Capability parity with the reference's YOLO paths across its five backends
+(reference detector.py:106-869), built TPU-first:
+
+  * NHWC activations / HWIO weights, bf16-friendly, BN folded at load;
+  * the network is described by a declarative node graph whose indices match
+    the published Ultralytics YAML layouts, so real checkpoints map onto the
+    params pytree mechanically by layer index (see ``weights.py``);
+  * ``apply`` returns *decoded* outputs — boxes in input-pixel xyxy plus
+    per-class scores — so preprocess + forward + NMS fuse into one jit graph.
+
+Decode semantics:
+  * v8: DFL expectation over 16 bins -> ltrb cell distances -> xyxy * stride;
+    scores = sigmoid(cls logits)  [the reference mis-decodes v8 by treating
+    class 0 as objectness, detector.py:294-307 — deliberately fixed here].
+  * v5: sigmoid everything; xy = (2p-0.5+grid)*stride, wh = (2p)^2*anchor;
+    scores = objectness * class probs (reference contract).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import (
+    conv_act,
+    conv2d,
+    init_conv,
+    make_divisible,
+    max_pool,
+    silu,
+    upsample2x,
+)
+
+# ---------------------------------------------------------------------------
+# Graph spec
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Node:
+    kind: str  # conv | c2f | c3 | sppf | upsample | concat | detect_v8 | detect_v5
+    src: Tuple[int, ...]  # input node indices; -1 = previous node
+    c2: int = 0  # output channels (filled during build)
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    n: int = 1  # block repeats
+    shortcut: bool = True
+
+
+V8_SCALES = {  # depth, width, max_channels
+    "n": (0.33, 0.25, 1024),
+    "s": (0.33, 0.50, 1024),
+    "m": (0.67, 0.75, 768),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.25, 512),
+}
+
+V5_SCALES = {  # depth, width
+    "n": (0.33, 0.25),
+    "s": (0.33, 0.50),
+    "m": (0.67, 0.75),
+    "l": (1.00, 1.00),
+    "x": (1.33, 1.25),
+}
+
+V5_ANCHORS = (  # per level (P3, P4, P5), (w, h) pairs at input scale
+    ((10, 13), (16, 30), (33, 23)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((116, 90), (156, 198), (373, 326)),
+)
+
+STRIDES = (8, 16, 32)
+REG_MAX = 16
+
+
+@dataclass
+class YoloModel:
+    """Static model description + pure apply function."""
+
+    version: int  # 5 or 8
+    size: str  # n/s/m/l/x
+    nc: int
+    nodes: List[Node]
+    channels: List[int]  # output channels per node
+    detect_ch: List[int] = field(default_factory=list)
+    head_idx: int = -1
+
+    # -- construction ------------------------------------------------------
+
+    def init_params(self, key: jax.Array) -> Dict:
+        keys = jax.random.split(key, len(self.nodes))
+        layers = {}
+        for i, node in enumerate(self.nodes):
+            p = self._init_node(keys[i], i, node)
+            if p:
+                layers[str(i)] = p
+        return {"layers": layers}
+
+    def _cin(self, i: int, node: Node) -> List[int]:
+        srcs = [s if s >= 0 else i - 1 for s in node.src]
+        return [self.channels[s] if s >= 0 else 3 for s in srcs]
+
+    def _init_node(self, key: jax.Array, i: int, node: Node) -> Dict:
+        cins = self._cin(i, node)
+        if node.kind == "conv":
+            return init_conv(key, cins[0], node.c2, node.k)
+        if node.kind == "c2f":
+            return _init_c2f(key, cins[0], node.c2, node.n)
+        if node.kind == "c3":
+            return _init_c3(key, cins[0], node.c2, node.n)
+        if node.kind == "sppf":
+            return _init_sppf(key, cins[0], node.c2)
+        if node.kind == "detect_v8":
+            return _init_detect_v8(key, cins, self.nc)
+        if node.kind == "detect_v5":
+            return _init_detect_v5(key, cins, self.nc)
+        return {}
+
+    # -- forward -----------------------------------------------------------
+
+    def apply(self, params: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """x: [N, H, W, 3] normalized RGB (NHWC). Returns decoded outputs:
+        {"boxes_xyxy": [N, A, 4] input-pixel xyxy, "scores": [N, A, nc]}.
+        """
+        layers = params["layers"]
+        outs: List[Optional[jnp.ndarray]] = [None] * len(self.nodes)
+        prev = x
+        for i, node in enumerate(self.nodes):
+            srcs = [s if s >= 0 else i - 1 for s in node.src]
+            ins = [prev if s == i - 1 and i > 0 else outs[s] for s in srcs]
+            if i == 0:
+                ins = [x]
+            p = layers.get(str(i), {})
+            if node.kind == "conv":
+                y = conv_act(p, ins[0], stride=node.s, padding=node.p)
+            elif node.kind == "c2f":
+                y = _c2f(p, ins[0], node.n, node.shortcut)
+            elif node.kind == "c3":
+                y = _c3(p, ins[0], node.n, node.shortcut)
+            elif node.kind == "sppf":
+                y = _sppf(p, ins[0], node.k)
+            elif node.kind == "upsample":
+                y = upsample2x(ins[0])
+            elif node.kind == "concat":
+                y = jnp.concatenate(ins, axis=-1)
+            elif node.kind == "detect_v8":
+                return _detect_v8(p, ins, self.nc)
+            elif node.kind == "detect_v5":
+                return _detect_v5(p, ins, self.nc)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown node kind {node.kind}")
+            outs[i] = y
+            prev = y
+        raise ValueError("graph has no detect head")  # pragma: no cover
+
+    def num_anchors(self, input_hw: Tuple[int, int]) -> int:
+        h, w = input_hw
+        total = sum((h // s) * (w // s) for s in STRIDES)
+        return total * (3 if self.version == 5 else 1)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def _init_bottleneck(key, c1, c2, k1, k2):
+    k_a, k_b = jax.random.split(key)
+    return {"cv1": init_conv(k_a, c1, c2, k1), "cv2": init_conv(k_b, c2, c2, k2)}
+
+
+def _bottleneck(p, x, shortcut):
+    y = conv_act(p["cv1"], x)
+    y = conv_act(p["cv2"], y)
+    return x + y if shortcut and x.shape[-1] == y.shape[-1] else y
+
+
+def _init_c2f(key, c1, c2, n):
+    c = int(c2 * 0.5)
+    keys = jax.random.split(key, n + 2)
+    return {
+        "cv1": init_conv(keys[0], c1, 2 * c, 1),
+        "cv2": init_conv(keys[1], (2 + n) * c, c2, 1),
+        "m": [_init_bottleneck(keys[2 + j], c, c, 3, 3) for j in range(n)],
+    }
+
+
+def _c2f(p, x, n, shortcut):
+    y = conv_act(p["cv1"], x)
+    a, b = jnp.split(y, 2, axis=-1)
+    ys = [a, b]
+    cur = b
+    for j in range(n):
+        cur = _bottleneck(p["m"][j], cur, shortcut)
+        ys.append(cur)
+    return conv_act(p["cv2"], jnp.concatenate(ys, axis=-1))
+
+
+def _init_c3(key, c1, c2, n):
+    c = int(c2 * 0.5)
+    keys = jax.random.split(key, n + 3)
+    return {
+        "cv1": init_conv(keys[0], c1, c, 1),
+        "cv2": init_conv(keys[1], c1, c, 1),
+        "cv3": init_conv(keys[2], 2 * c, c2, 1),
+        "m": [_init_bottleneck(keys[3 + j], c, c, 1, 3) for j in range(n)],
+    }
+
+
+def _c3(p, x, n, shortcut):
+    a = conv_act(p["cv1"], x)
+    for j in range(n):
+        a = _bottleneck(p["m"][j], a, shortcut)
+    b = conv_act(p["cv2"], x)
+    return conv_act(p["cv3"], jnp.concatenate([a, b], axis=-1))
+
+
+def _init_sppf(key, c1, c2):
+    c = c1 // 2
+    k_a, k_b = jax.random.split(key)
+    return {"cv1": init_conv(k_a, c1, c, 1), "cv2": init_conv(k_b, c * 4, c2, 1)}
+
+
+def _sppf(p, x, k):
+    y = conv_act(p["cv1"], x)
+    p1 = max_pool(y, k)
+    p2 = max_pool(p1, k)
+    p3 = max_pool(p2, k)
+    return conv_act(p["cv2"], jnp.concatenate([y, p1, p2, p3], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Detect heads
+# ---------------------------------------------------------------------------
+
+
+def _init_detect_v8(key, ch: Sequence[int], nc: int):
+    c2 = max(16, ch[0] // 4, REG_MAX * 4)
+    c3 = max(ch[0], min(nc, 100))
+    keys = jax.random.split(key, 6 * len(ch))
+    cv2, cv3 = [], []
+    for i, c in enumerate(ch):
+        k0, k1, k2, k3, k4, k5 = keys[6 * i : 6 * i + 6]
+        box_out = init_conv(k2, c2, 4 * REG_MAX, 1)
+        box_out["b"] = jnp.ones_like(box_out["b"])
+        cls_out = init_conv(k5, c3, nc, 1)
+        # start with ~0.01 class probability so random-init models are quiet
+        cls_out["b"] = jnp.full_like(cls_out["b"], float(math.log(0.01 / 0.99)))
+        cv2.append([init_conv(k0, c, c2, 3), init_conv(k1, c2, c2, 3), box_out])
+        cv3.append([init_conv(k3, c, c3, 3), init_conv(k4, c3, c3, 3), cls_out])
+    return {"cv2": cv2, "cv3": cv3}
+
+
+def _detect_v8(p, feats: Sequence[jnp.ndarray], nc: int) -> Dict[str, jnp.ndarray]:
+    proj = jnp.arange(REG_MAX, dtype=jnp.float32)
+    boxes_all, scores_all = [], []
+    for lvl, x in enumerate(feats):
+        stride = float(STRIDES[lvl])
+        n, h, w, _ = x.shape
+        box_f = x
+        for j, blk in enumerate(p["cv2"][lvl]):
+            box_f = conv_act(blk, box_f, act=j < 2)
+        cls_f = x
+        for j, blk in enumerate(p["cv3"][lvl]):
+            cls_f = conv_act(blk, cls_f, act=j < 2)
+        # DFL: [N, h, w, 4*16] -> expectation per side
+        dist = box_f.astype(jnp.float32).reshape(n, h, w, 4, REG_MAX)
+        dist = jax.nn.softmax(dist, axis=-1) @ proj  # [N, h, w, 4] (l, t, r, b)
+        ax = jnp.arange(w, dtype=jnp.float32) + 0.5
+        ay = jnp.arange(h, dtype=jnp.float32) + 0.5
+        gx, gy = jnp.meshgrid(ax, ay)  # [h, w]
+        x1 = (gx - dist[..., 0]) * stride
+        y1 = (gy - dist[..., 1]) * stride
+        x2 = (gx + dist[..., 2]) * stride
+        y2 = (gy + dist[..., 3]) * stride
+        boxes = jnp.stack([x1, y1, x2, y2], axis=-1).reshape(n, h * w, 4)
+        scores = jax.nn.sigmoid(cls_f.astype(jnp.float32)).reshape(n, h * w, nc)
+        boxes_all.append(boxes)
+        scores_all.append(scores)
+    return {
+        "boxes_xyxy": jnp.concatenate(boxes_all, axis=1),
+        "scores": jnp.concatenate(scores_all, axis=1),
+    }
+
+
+def _init_detect_v5(key, ch: Sequence[int], nc: int):
+    na = len(V5_ANCHORS[0])
+    keys = jax.random.split(key, len(ch))
+    convs = []
+    for i, c in enumerate(ch):
+        cv = init_conv(keys[i], c, na * (nc + 5), 1)
+        # objectness bias per published YOLOv5 init: log(8 / (640/s)^2)
+        b = np.zeros((na, nc + 5), dtype=np.float32)
+        b[:, 4] = math.log(8.0 / (640.0 / STRIDES[i]) ** 2)
+        b[:, 5:] = math.log(0.6 / (nc - 0.999999)) if nc > 1 else 0.0
+        cv["b"] = jnp.asarray(b.reshape(-1))
+        convs.append(cv)
+    return {"m": convs}
+
+
+def _detect_v5(p, feats: Sequence[jnp.ndarray], nc: int) -> Dict[str, jnp.ndarray]:
+    na = len(V5_ANCHORS[0])
+    boxes_all, scores_all = [], []
+    for lvl, x in enumerate(feats):
+        stride = float(STRIDES[lvl])
+        n, h, w, _ = x.shape
+        y = conv2d(x, p["m"][lvl]["w"], p["m"][lvl]["b"])
+        y = jax.nn.sigmoid(y.astype(jnp.float32).reshape(n, h, w, na, nc + 5))
+        gx, gy = jnp.meshgrid(
+            jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
+        )
+        anchors = jnp.asarray(V5_ANCHORS[lvl], dtype=jnp.float32)  # [na, 2]
+        cx = (y[..., 0] * 2.0 - 0.5 + gx[..., None]) * stride
+        cy = (y[..., 1] * 2.0 - 0.5 + gy[..., None]) * stride
+        bw = (y[..., 2] * 2.0) ** 2 * anchors[None, None, None, :, 0]
+        bh = (y[..., 3] * 2.0) ** 2 * anchors[None, None, None, :, 1]
+        boxes = jnp.stack(
+            [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
+        ).reshape(n, h * w * na, 4)
+        scores = (y[..., 5:] * y[..., 4:5]).reshape(n, h * w * na, nc)
+        boxes_all.append(boxes)
+        scores_all.append(scores)
+    return {
+        "boxes_xyxy": jnp.concatenate(boxes_all, axis=1),
+        "scores": jnp.concatenate(scores_all, axis=1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+
+def _v8_graph(size: str, nc: int) -> Tuple[List[Node], List[int], List[int]]:
+    d, wmul, maxc = V8_SCALES[size]
+
+    def ch(c):
+        return make_divisible(min(c, maxc) * wmul, 8)
+
+    def rep(n):
+        return max(round(n * d), 1)
+
+    N = Node
+    nodes = [
+        N("conv", (-1,), ch(64), k=3, s=2),                      # 0 P1
+        N("conv", (-1,), ch(128), k=3, s=2),                     # 1 P2
+        N("c2f", (-1,), ch(128), n=rep(3), shortcut=True),       # 2
+        N("conv", (-1,), ch(256), k=3, s=2),                     # 3 P3
+        N("c2f", (-1,), ch(256), n=rep(6), shortcut=True),       # 4
+        N("conv", (-1,), ch(512), k=3, s=2),                     # 5 P4
+        N("c2f", (-1,), ch(512), n=rep(6), shortcut=True),       # 6
+        N("conv", (-1,), ch(1024), k=3, s=2),                    # 7 P5
+        N("c2f", (-1,), ch(1024), n=rep(3), shortcut=True),      # 8
+        N("sppf", (-1,), ch(1024), k=5),                         # 9
+        N("upsample", (-1,)),                                    # 10
+        N("concat", (-1, 6)),                                    # 11
+        N("c2f", (-1,), ch(512), n=rep(3), shortcut=False),      # 12
+        N("upsample", (-1,)),                                    # 13
+        N("concat", (-1, 4)),                                    # 14
+        N("c2f", (-1,), ch(256), n=rep(3), shortcut=False),      # 15 P3 out
+        N("conv", (-1,), ch(256), k=3, s=2),                     # 16
+        N("concat", (-1, 12)),                                   # 17
+        N("c2f", (-1,), ch(512), n=rep(3), shortcut=False),      # 18 P4 out
+        N("conv", (-1,), ch(512), k=3, s=2),                     # 19
+        N("concat", (-1, 9)),                                    # 20
+        N("c2f", (-1,), ch(1024), n=rep(3), shortcut=False),     # 21 P5 out
+        N("detect_v8", (15, 18, 21), nc),                        # 22
+    ]
+    return nodes, _infer_channels(nodes), [15, 18, 21]
+
+
+def _v5_graph(size: str, nc: int) -> Tuple[List[Node], List[int], List[int]]:
+    d, wmul = V5_SCALES[size]
+
+    def ch(c):
+        return make_divisible(c * wmul, 8)
+
+    def rep(n):
+        return max(round(n * d), 1)
+
+    N = Node
+    nodes = [
+        N("conv", (-1,), ch(64), k=6, s=2, p=2),                 # 0 P1
+        N("conv", (-1,), ch(128), k=3, s=2),                     # 1 P2
+        N("c3", (-1,), ch(128), n=rep(3), shortcut=True),        # 2
+        N("conv", (-1,), ch(256), k=3, s=2),                     # 3 P3
+        N("c3", (-1,), ch(256), n=rep(6), shortcut=True),        # 4
+        N("conv", (-1,), ch(512), k=3, s=2),                     # 5 P4
+        N("c3", (-1,), ch(512), n=rep(9), shortcut=True),        # 6
+        N("conv", (-1,), ch(1024), k=3, s=2),                    # 7 P5
+        N("c3", (-1,), ch(1024), n=rep(3), shortcut=True),       # 8
+        N("sppf", (-1,), ch(1024), k=5),                         # 9
+        N("conv", (-1,), ch(512), k=1, s=1),                     # 10
+        N("upsample", (-1,)),                                    # 11
+        N("concat", (-1, 6)),                                    # 12
+        N("c3", (-1,), ch(512), n=rep(3), shortcut=False),       # 13
+        N("conv", (-1,), ch(256), k=1, s=1),                     # 14
+        N("upsample", (-1,)),                                    # 15
+        N("concat", (-1, 4)),                                    # 16
+        N("c3", (-1,), ch(256), n=rep(3), shortcut=False),       # 17 P3 out
+        N("conv", (-1,), ch(256), k=3, s=2),                     # 18
+        N("concat", (-1, 14)),                                   # 19
+        N("c3", (-1,), ch(512), n=rep(3), shortcut=False),       # 20 P4 out
+        N("conv", (-1,), ch(512), k=3, s=2),                     # 21
+        N("concat", (-1, 10)),                                   # 22
+        N("c3", (-1,), ch(1024), n=rep(3), shortcut=False),      # 23 P5 out
+        N("detect_v5", (17, 20, 23), nc),                        # 24
+    ]
+    return nodes, _infer_channels(nodes), [17, 20, 23]
+
+
+def _infer_channels(nodes: List[Node]) -> List[int]:
+    channels: List[int] = []
+    for i, node in enumerate(nodes):
+        srcs = [s if s >= 0 else i - 1 for s in node.src]
+        if node.kind == "concat":
+            channels.append(sum(channels[s] if s >= 0 else 3 for s in srcs))
+        elif node.kind == "upsample":
+            channels.append(channels[srcs[0]] if srcs[0] >= 0 else 3)
+        elif node.kind.startswith("detect"):
+            channels.append(0)
+        else:
+            channels.append(node.c2)
+    return channels
+
+
+def build_yolo(model_type: str = "yolov8", size: str = "n", nc: int = 80) -> YoloModel:
+    """Build a YOLO model description. ``model_type`` in {yolov5, yolov8}."""
+    if model_type == "yolov8":
+        nodes, channels, head_srcs = _v8_graph(size, nc)
+        version = 8
+    elif model_type == "yolov5":
+        nodes, channels, head_srcs = _v5_graph(size, nc)
+        version = 5
+    else:
+        raise ValueError(f"unsupported YOLO model_type: {model_type}")
+    return YoloModel(
+        version=version,
+        size=size,
+        nc=nc,
+        nodes=nodes,
+        channels=channels,
+        detect_ch=[channels[i] for i in head_srcs],
+        head_idx=len(nodes) - 1,
+    )
+
+
+def size_from_model_path(model_path: str, default: str = "n") -> str:
+    """Infer n/s/m/l/x from names like 'yolov8s.pt' (engine convenience)."""
+    stem = model_path.rsplit("/", 1)[-1].lower()
+    for tag in ("yolov8", "yolov5"):
+        j = stem.find(tag)
+        if j >= 0 and len(stem) > j + len(tag):
+            c = stem[j + len(tag)]
+            if c in "nsmlx":
+                return c
+    return default
