@@ -1,0 +1,180 @@
+"""Cross-stream dynamic batcher — the core TPU win over the reference.
+
+The reference claims "Detector-level batching across streams"
+(pipeline.py:7) but actually calls ``detector.predict`` synchronously with
+batch 1, per frame, per stream (pipeline.py:179; ``StreamConfig.batch_size``
+is validated and then dead — SURVEY.md §2.15). That design blocks the event
+loop and leaves the accelerator idle between frames.
+
+Here every stream worker submits frames to one ``InferenceBatcher`` and
+awaits a future. A single device loop:
+
+  1. waits for the first queued frame,
+  2. drains whatever else arrives within ``batch_window_ms`` (or until
+     ``max_batch`` frames are queued),
+  3. groups frames by source resolution, packs each group into the smallest
+     compile bucket, runs the engine's fused jit step in a worker thread
+     (device compute releases the GIL), and
+  4. resolves each stream's future with its slice of the padded results.
+
+Per-stream ``batch_size`` caps a stream's in-flight frames — a slow consumer
+cannot monopolize device batches.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..types import Detection, FramePacket
+
+logger = logging.getLogger(__name__)
+
+
+class BatcherStats:
+    __slots__ = (
+        "batches", "frames", "sum_batch_size", "max_batch_size", "sum_infer_ms",
+        "sum_wait_ms",
+    )
+
+    def __init__(self) -> None:
+        self.batches = 0
+        self.frames = 0
+        self.sum_batch_size = 0
+        self.max_batch_size = 0
+        self.sum_infer_ms = 0.0
+        self.sum_wait_ms = 0.0
+
+    @property
+    def avg_batch_size(self) -> float:
+        return self.sum_batch_size / self.batches if self.batches else 0.0
+
+    @property
+    def avg_infer_ms(self) -> float:
+        return self.sum_infer_ms / self.batches if self.batches else 0.0
+
+    def snapshot(self) -> dict:
+        return {
+            "batches": self.batches,
+            "frames": self.frames,
+            "avg_batch_size": round(self.avg_batch_size, 2),
+            "max_batch_size": self.max_batch_size,
+            "avg_infer_ms": round(self.avg_infer_ms, 2),
+        }
+
+
+class InferenceBatcher:
+    """Packs frames from many streams into device batches."""
+
+    def __init__(
+        self,
+        engine,
+        *,
+        max_batch: int = 32,
+        batch_window_ms: float = 4.0,
+        per_stream_inflight: Optional[Dict[str, int]] = None,
+    ):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_ms / 1e3
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._inflight: Dict[str, int] = defaultdict(int)
+        self._inflight_cap = per_stream_inflight or {}
+        self._task: Optional[asyncio.Task] = None
+        self._closed = False
+        self.stats = BatcherStats()
+
+    async def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.create_task(self._run(), name="inference-batcher")
+
+    async def stop(self) -> None:
+        self._closed = True
+        if self._task is not None:
+            self._queue.put_nowait(None)  # wake the loop
+            try:
+                await asyncio.wait_for(self._task, timeout=5.0)
+            except asyncio.TimeoutError:  # pragma: no cover
+                self._task.cancel()
+            self._task = None
+
+    async def submit(self, packet: FramePacket) -> List[Detection]:
+        """Submit one frame; resolves with its detections."""
+        if self._closed:
+            return []
+        name = packet.stream.name
+        cap = self._inflight_cap.get(name, packet.stream.batch_size or 1)
+        if self._inflight[name] >= max(1, cap):
+            # Too many in flight for this stream: drop-and-age semantics are
+            # handled by the caller (treated like an adaptive skip).
+            return []
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        self._inflight[name] += 1
+        await self._queue.put((packet, fut, time.perf_counter()))
+        try:
+            return await fut
+        finally:
+            self._inflight[name] -= 1
+
+    # ------------------------------------------------------------------
+
+    async def _run(self) -> None:
+        while not self._closed:
+            first = await self._queue.get()
+            if first is None:
+                break
+            items = [first]
+            deadline = time.perf_counter() + self.batch_window_s
+            while len(items) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    # grab anything already queued, but don't wait further
+                    try:
+                        nxt = self._queue.get_nowait()
+                    except asyncio.QueueEmpty:
+                        break
+                else:
+                    try:
+                        nxt = await asyncio.wait_for(self._queue.get(), remaining)
+                    except asyncio.TimeoutError:
+                        break
+                if nxt is None:
+                    self._closed = True
+                    break
+                items.append(nxt)
+            await self._process(items)
+        # drain on shutdown
+        while not self._queue.empty():
+            item = self._queue.get_nowait()
+            if item is not None:
+                item[1].set_result([])
+
+    async def _process(self, items: Sequence[Tuple]) -> None:
+        packets = [it[0] for it in items]
+        futures = [it[1] for it in items]
+        submit_times = [it[2] for it in items]
+        t0 = time.perf_counter()
+        try:
+            results = await asyncio.to_thread(self.engine.predict_packets, packets)
+        except Exception as exc:  # noqa: BLE001
+            logger.exception("batched inference failed: %s", exc)
+            for fut in futures:
+                if not fut.done():
+                    fut.set_exception(RuntimeError(f"inference failed: {exc}"))
+            return
+        infer_ms = (time.perf_counter() - t0) * 1e3
+        st = self.stats
+        st.batches += 1
+        st.frames += len(items)
+        st.sum_batch_size += len(items)
+        st.max_batch_size = max(st.max_batch_size, len(items))
+        st.sum_infer_ms += infer_ms
+        st.sum_wait_ms += sum((t0 - t) * 1e3 for t in submit_times)
+        for fut, dets in zip(futures, results):
+            if not fut.done():
+                fut.set_result(dets)

@@ -1,0 +1,331 @@
+"""Detection / classification engines: one fused jit graph per shape bucket.
+
+TPU-first redesign of the reference's detector stack (detector.py:106-1134):
+instead of per-frame host NumPy pre/post around a native runtime call, the
+entire chain
+
+    uint8 NHWC batch -> letterbox resize/pad -> BGR->RGB -> normalize
+        -> model forward (bf16 MXU) -> confidence/class masking
+        -> batched NMS -> un-letterbox to original pixels
+
+is ONE ``jax.jit`` graph with static shapes, compiled once per
+(batch bucket x source resolution) and reused forever. The host only moves
+raw uint8 frames in and small padded result arrays out.
+
+Shape policy: batch sizes are bucketed to ``config.resolved_buckets`` (pad up,
+slice down), detections are padded to ``max_detections`` with validity counts
+— no data-dependent shapes anywhere, so no recompiles in steady state.
+"""
+
+from __future__ import annotations
+
+import abc
+import logging
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DetectorConfig
+from ..models.resnet import build_resnet, normalize_imagenet
+from ..models.weights import load_resnet_checkpoint, load_yolo_checkpoint
+from ..models.yolo import build_yolo, size_from_model_path
+from ..ops.boxes import unletterbox_boxes
+from ..ops.nms import batched_nms
+from ..ops.preprocess import LetterboxSpec, letterbox_spec, preprocess_batch
+from ..types import BatchResult, Detection, FramePacket
+
+logger = logging.getLogger(__name__)
+
+
+class BaseDetector(abc.ABC):
+    """Single-packet predict interface (reference detector.py:43-51)."""
+
+    config: DetectorConfig
+
+    @abc.abstractmethod
+    def predict(self, packet: FramePacket) -> List[Detection]:
+        raise NotImplementedError
+
+    def close(self) -> None:  # pragma: no cover - optional override
+        pass
+
+
+def _pick_device(config: DetectorConfig):
+    want_cpu = config.device.lower() == "cpu"
+    if want_cpu:
+        cpus = jax.devices("cpu") if any(
+            d.platform == "cpu" for d in jax.local_devices()
+        ) else None
+        if cpus:
+            return cpus[0]
+    return jax.local_devices()[0]
+
+
+def _bucket_for(buckets: Sequence[int], n: int) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class JaxYoloEngine(BaseDetector):
+    """YOLOv5/v8 engine with batched fused inference."""
+
+    def __init__(self, config: DetectorConfig, params: Optional[Dict] = None):
+        config.validate()
+        self.config = config
+        self.device = _pick_device(config)
+        size = size_from_model_path(config.model_path)
+        nc = config.num_classes
+        model_type = config.model_type if config.model_type in ("yolov5", "yolov8") \
+            else "yolov8"
+        self.model = build_yolo(model_type, size, nc)
+        self.input_hw: Tuple[int, int] = config.resolved_input_size
+        self.compute_dtype = (
+            jnp.float32 if config.precision == "fp32" else jnp.bfloat16
+        )
+        if params is None:
+            params = load_yolo_checkpoint(self.model, config.model_path)
+        if params is None:
+            logger.warning(
+                "No loadable weights at '%s' — using random init. Detections "
+                "will be meaningless until a checkpoint is provided.",
+                config.model_path,
+            )
+            params = self.model.init_params(jax.random.PRNGKey(0))
+        if self.compute_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                params,
+            )
+        self.params = jax.device_put(params, self.device)
+        self._class_mask = None
+        if config.classes:
+            mask = np.zeros((nc,), dtype=bool)
+            mask[np.asarray(config.classes, dtype=np.int64)] = True
+            self._class_mask = jnp.asarray(mask)
+        self._steps: Dict[Tuple[int, int, int], object] = {}  # (B, H, W) -> jitted
+        self.class_agnostic_nms = True  # reference NMS is class-agnostic
+        self.last_infer_ms: float = 0.0
+
+    # -- compiled step ------------------------------------------------------
+
+    def _get_step(self, batch: int, src_hw: Tuple[int, int]):
+        key = (batch, *src_hw)
+        step = self._steps.get(key)
+        if step is None:
+            step = self._build_step(src_hw)
+            self._steps[key] = step
+        return step
+
+    def _build_step(self, src_hw: Tuple[int, int]):
+        spec = letterbox_spec(src_hw, self.input_hw)
+        cfg = self.config
+
+        def step(params, frames_u8):
+            x = preprocess_batch(
+                frames_u8,
+                spec=spec,
+                out_dtype=self.compute_dtype,
+                layout="NHWC",
+            )
+            out = self.model.apply(params, x)
+            boxes = out["boxes_xyxy"].astype(jnp.float32)
+            scores = out["scores"].astype(jnp.float32)
+            conf = jnp.max(scores, axis=-1)
+            cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            if self._class_mask is not None:
+                conf = jnp.where(self._class_mask[cls], conf, 0.0)
+            conf = jnp.where(conf >= cfg.confidence_threshold, conf, 0.0)
+            b, s, c, n = batched_nms(
+                boxes,
+                conf,
+                cls,
+                iou_threshold=cfg.iou_threshold,
+                max_det=cfg.max_detections,
+                pre_topk=min(cfg.pre_nms_topk, boxes.shape[1]),
+                class_agnostic=self.class_agnostic_nms,
+            )
+            b = unletterbox_boxes(
+                b, spec.scale, spec.pad_left, spec.pad_top, spec.src_h, spec.src_w
+            )
+            return b, s, c, n
+
+        # Note: the uint8 input never aliases an output (different shape and
+        # dtype), so donation buys nothing here; double-buffering happens at
+        # the batcher level instead.
+        return jax.jit(step, device=self.device)
+
+    def warmup(self, src_hw: Tuple[int, int], buckets: Optional[Sequence[int]] = None):
+        """Pre-compile buckets (the analog of TensorRT engine build +
+        dummy-tensor warmup, reference detector.py:131-140)."""
+        buckets = buckets or self.config.resolved_buckets
+        for b in buckets:
+            frames = np.zeros((b, *src_hw, 3), dtype=np.uint8)
+            step = self._get_step(b, src_hw)
+            r = step(self.params, jnp.asarray(frames))
+            jax.block_until_ready(r)
+            logger.info("warmup: compiled bucket B=%d src=%s", b, src_hw)
+
+    # -- prediction ---------------------------------------------------------
+
+    def predict_arrays(self, frames: np.ndarray) -> BatchResult:
+        """frames: [N, H, W, 3] uint8 BGR (all same resolution)."""
+        n = frames.shape[0]
+        src_hw = tuple(frames.shape[1:3])
+        bucket = _bucket_for(self.config.resolved_buckets, n)
+        if n < bucket:
+            pad = np.zeros((bucket - n, *frames.shape[1:]), dtype=frames.dtype)
+            frames = np.concatenate([frames, pad], axis=0)
+        elif n > bucket:
+            raise ValueError(f"batch {n} exceeds max bucket {bucket}")
+        step = self._get_step(bucket, src_hw)
+        t0 = time.perf_counter()
+        b, s, c, nv = step(self.params, jnp.asarray(frames))
+        b, s, c, nv = jax.device_get((b, s, c, nv))
+        self.last_infer_ms = (time.perf_counter() - t0) * 1e3
+        return BatchResult(
+            boxes_xyxy=np.asarray(b[:n]),
+            scores=np.asarray(s[:n]),
+            class_ids=np.asarray(c[:n]),
+            num_valid=np.asarray(nv[:n]),
+        )
+
+    def predict_packets(self, packets: Sequence[FramePacket]) -> List[List[Detection]]:
+        """Batch-predict frame packets; groups by source resolution."""
+        by_shape: Dict[Tuple[int, int], List[int]] = {}
+        for i, p in enumerate(packets):
+            by_shape.setdefault(tuple(p.frame.shape[:2]), []).append(i)
+        results: List[List[Detection]] = [[] for _ in packets]
+        for shape, idxs in by_shape.items():
+            frames = np.stack([packets[i].frame for i in idxs])
+            br = self.predict_arrays(frames)
+            dets = br.to_detections(
+                [packets[i].stream.name for i in idxs],
+                [packets[i].frame_id for i in idxs],
+            )
+            for j, i in enumerate(idxs):
+                results[i] = dets[j]
+        return results
+
+    def predict(self, packet: FramePacket) -> List[Detection]:
+        return self.predict_packets([packet])[0]
+
+
+class JaxResNetEngine(BaseDetector):
+    """ResNet classification engine (reference detector.py:872-1134).
+
+    Resizes without letterbox, ImageNet-normalizes, and emits the top-K
+    classes as full-frame Detections — the reference's contract.
+    """
+
+    def __init__(self, config: DetectorConfig, params: Optional[Dict] = None):
+        config.validate()
+        self.config = config
+        self.device = _pick_device(config)
+        variant = "resnet50" if "50" in config.model_path else (
+            "resnet34" if "34" in config.model_path else (
+                "resnet18" if "18" in config.model_path else "resnet50"))
+        self.model = build_resnet(variant, config.resnet_num_classes)
+        self.input_hw = config.resolved_input_size
+        self.compute_dtype = (
+            jnp.float32 if config.precision == "fp32" else jnp.bfloat16
+        )
+        if params is None:
+            params = load_resnet_checkpoint(self.model, config.model_path)
+        if params is None:
+            logger.warning(
+                "No loadable ResNet weights at '%s' — using random init.",
+                config.model_path,
+            )
+            params = self.model.init_params(jax.random.PRNGKey(0))
+        if self.compute_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                params,
+            )
+        self.params = jax.device_put(params, self.device)
+        self._steps: Dict[Tuple[int, int, int], object] = {}
+        self.last_infer_ms = 0.0
+
+    def _get_step(self, batch: int, src_hw: Tuple[int, int]):
+        key = (batch, *src_hw)
+        step = self._steps.get(key)
+        if step is None:
+            th, tw = self.input_hw
+
+            def run(params, frames_u8):
+                x = frames_u8.astype(jnp.float32)
+                n = x.shape[0]
+                x = jax.image.resize(x, (n, th, tw, 3), "linear", antialias=False)
+                x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB, [0,1]
+                x = normalize_imagenet(x).astype(self.compute_dtype)
+                logits = self.model.apply(params, x).astype(jnp.float32)
+                k = min(self.config.resnet_top_k, logits.shape[-1])
+                top_scores, top_idx = jax.lax.top_k(jax.nn.softmax(logits), k)
+                return top_scores, top_idx
+
+            step = jax.jit(run, device=self.device)
+            self._steps[key] = step
+        return step
+
+    def predict_packets(self, packets: Sequence[FramePacket]) -> List[List[Detection]]:
+        by_shape: Dict[Tuple[int, int], List[int]] = {}
+        for i, p in enumerate(packets):
+            by_shape.setdefault(tuple(p.frame.shape[:2]), []).append(i)
+        results: List[List[Detection]] = [[] for _ in packets]
+        for shape, idxs in by_shape.items():
+            frames = np.stack([packets[i].frame for i in idxs])
+            n = frames.shape[0]
+            buckets = self.config.resolved_buckets
+            bucket = _bucket_for(buckets, n)
+            if n < bucket:
+                frames = np.concatenate(
+                    [frames, np.zeros((bucket - n, *frames.shape[1:]), frames.dtype)]
+                )
+            step = self._get_step(bucket, shape)
+            t0 = time.perf_counter()
+            scores, classes = jax.device_get(step(self.params, jnp.asarray(frames)))
+            self.last_infer_ms = (time.perf_counter() - t0) * 1e3
+            for j, i in enumerate(idxs):
+                p = packets[i]
+                h, w = p.frame.shape[:2]
+                dets = [
+                    Detection(
+                        stream_name=p.stream.name,
+                        frame_id=p.frame_id,
+                        class_id=int(classes[j, r]),
+                        confidence=float(scores[j, r]),
+                        bbox_xyxy=(0.0, 0.0, float(w), float(h)),
+                    )
+                    for r in range(scores.shape[1])
+                    if scores[j, r] >= self.config.confidence_threshold
+                ]
+                results[i] = dets
+        return results
+
+    def predict(self, packet: FramePacket) -> List[Detection]:
+        return self.predict_packets([packet])[0]
+
+
+def create_detector(config: DetectorConfig) -> BaseDetector:
+    """Factory with the reference's routing semantics (detector.py:54-96):
+    temporal model types -> temporal engines, resnet -> classifier, anything
+    else -> YOLO detection. All backend labels resolve to the JAX engine."""
+    from .temporal import create_temporal_detector  # local: avoid cycle
+
+    if config.model_type in ("cnn_lstm", "3d_cnn", "conv_gru", "slow_fast"):
+        return create_temporal_detector(config)
+    if config.model_type == "resnet":
+        return JaxResNetEngine(config)
+    if config.backend not in ("jax", "tpu"):
+        logger.info(
+            "backend '%s' requested — serving it with the JAX engine", config.backend
+        )
+    return JaxYoloEngine(config)

@@ -1,0 +1,202 @@
+"""Temporal detection engines: sliding-window clip inference.
+
+Preserves the reference's buffering contract exactly
+(temporal_detector.py:50-147):
+
+  * per-stream ring buffer of ``sequence_length * sequence_stride`` frames;
+  * a clip is the strided sample ``buffer[i * stride] for i in range(T)``;
+  * after inference, ``required - step`` frames are retained for overlap,
+    where ``step = max(1, int(T * (1 - temporal_overlap)))``;
+  * results are ``TemporalDetection``s: top-5 action classes over the clip,
+    full-frame boxes, clip start/end frame ids.
+
+Preprocessing matches the reference per model family: CNN-LSTM/ConvGRU use
+ImageNet mean/std at 224x224 (temporal_detector.py:330-373); 3D-CNN/SlowFast
+use mean/std 0.45/0.225 at 112x112 (temporal_detector.py:554-593). It all
+runs inside the jitted clip step (device resize + normalize), one compile per
+(bucket x source resolution).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import deque
+from typing import Deque, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DetectorConfig
+from ..models.temporal import build_temporal
+from ..types import Detection, FramePacket, TemporalDetection
+from .detector import BaseDetector, _pick_device
+
+logger = logging.getLogger(__name__)
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+TOP_K = 5  # reference emits top-5 actions per clip
+
+
+class JaxTemporalEngine(BaseDetector):
+    """CNN-LSTM / 3D-CNN / ConvGRU / SlowFast engine."""
+
+    def __init__(self, config: DetectorConfig, params: Optional[Dict] = None):
+        config.validate()
+        self.config = config
+        self.device = _pick_device(config)
+        self.model = build_temporal(
+            config.model_type, config.num_action_classes, config.temporal_pooling
+        )
+        self.input_hw: Tuple[int, int] = config.resolved_input_size
+        self.compute_dtype = (
+            jnp.float32 if config.precision == "fp32" else jnp.bfloat16
+        )
+        if config.model_type in ("3d_cnn", "slow_fast"):
+            self._mean = (0.45, 0.45, 0.45)
+            self._std = (0.225, 0.225, 0.225)
+        else:
+            self._mean = IMAGENET_MEAN
+            self._std = IMAGENET_STD
+
+        params = params or self._try_load(config.model_path)
+        if params is None:
+            logger.warning(
+                "No loadable temporal weights at '%s' — using random init.",
+                config.model_path,
+            )
+            params = self.model.init_params(jax.random.PRNGKey(0))
+        self.params = jax.device_put(params, self.device)
+
+        self.sequence_step = max(
+            1, int(config.sequence_length * (1.0 - config.temporal_overlap))
+        )
+        self._buffers: Dict[str, Deque[FramePacket]] = {}
+        self._steps: Dict[Tuple[int, int, int], object] = {}
+        self.last_infer_ms = 0.0
+
+    def _try_load(self, path: str) -> Optional[Dict]:
+        try:
+            if path.endswith(".npz"):
+                flat = dict(np.load(path, allow_pickle=True))
+                if "__pytree__" in flat:
+                    return flat["__pytree__"].item()
+            return None
+        except Exception as exc:  # noqa: BLE001
+            logger.warning("Could not load %s: %s", path, exc)
+            return None
+
+    # -- clip step -----------------------------------------------------------
+
+    def _get_step(self, batch: int, src_hw: Tuple[int, int]):
+        key = (batch, *src_hw)
+        step = self._steps.get(key)
+        if step is None:
+            th, tw = self.input_hw
+            mean = jnp.asarray(self._mean, jnp.float32)
+            std = jnp.asarray(self._std, jnp.float32)
+            t_len = self.config.sequence_length
+
+            def run(params, clips_u8):  # [B, T, H, W, 3] uint8 BGR
+                b = clips_u8.shape[0]
+                x = clips_u8.astype(jnp.float32)
+                x = x.reshape(b * t_len, *x.shape[2:])
+                x = jax.image.resize(
+                    x, (b * t_len, th, tw, 3), "linear", antialias=False
+                )
+                x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB
+                x = ((x - mean) / std).astype(self.compute_dtype)
+                x = x.reshape(b, t_len, th, tw, 3)
+                logits = self.model.apply(params, x).astype(jnp.float32)
+                probs = jax.nn.softmax(logits, axis=-1)
+                k = min(TOP_K, probs.shape[-1])
+                return jax.lax.top_k(probs, k)
+
+            step = jax.jit(run, device=self.device)
+            self._steps[key] = step
+        return step
+
+    # -- sliding-window predict ----------------------------------------------
+
+    def predict(self, packet: FramePacket) -> List[Detection]:
+        cfg = self.config
+        name = packet.stream.name
+        required = cfg.sequence_length * cfg.sequence_stride
+        buf = self._buffers.get(name)
+        if buf is None:
+            buf = deque(maxlen=required)
+            self._buffers[name] = buf
+        buf.append(packet)
+        if len(buf) < required:
+            return []
+        sequence = [buf[i * cfg.sequence_stride] for i in range(cfg.sequence_length)]
+        detections = self._predict_clips([sequence])[0]
+        frames_to_keep = max(0, required - self.sequence_step)
+        if frames_to_keep > 0:
+            self._buffers[name] = deque(list(buf)[-frames_to_keep:], maxlen=required)
+        else:
+            buf.clear()
+        return detections
+
+    def predict_packets(self, packets: Sequence[FramePacket]) -> List[List[Detection]]:
+        return [self.predict(p) for p in packets]
+
+    def reset_stream(self, stream_name: str) -> None:
+        """Clear the clip buffer (e.g. after reconnect — recurrent state must
+        not straddle a stream gap)."""
+        self._buffers.pop(stream_name, None)
+
+    def _predict_clips(
+        self, sequences: Sequence[List[FramePacket]]
+    ) -> List[List[Detection]]:
+        by_shape: Dict[Tuple[int, int], List[int]] = {}
+        for i, seq in enumerate(sequences):
+            by_shape.setdefault(tuple(seq[0].frame.shape[:2]), []).append(i)
+        results: List[List[Detection]] = [[] for _ in sequences]
+        for shape, idxs in by_shape.items():
+            clips = np.stack(
+                [np.stack([p.frame for p in sequences[i]]) for i in idxs]
+            )  # [B, T, H, W, 3]
+            step = self._get_step(clips.shape[0], shape)
+            t0 = time.perf_counter()
+            scores, classes = jax.device_get(step(self.params, jnp.asarray(clips)))
+            self.last_infer_ms = (time.perf_counter() - t0) * 1e3
+            for j, i in enumerate(idxs):
+                results[i] = self._to_detections(sequences[i], scores[j], classes[j])
+        return results
+
+    def _to_detections(
+        self, sequence: List[FramePacket], scores: np.ndarray, classes: np.ndarray
+    ) -> List[Detection]:
+        cfg = self.config
+        last = sequence[-1]
+        h, w = last.frame.shape[:2]
+        names = cfg.action_classes or []
+        dets: List[Detection] = []
+        for r in range(len(scores)):
+            conf = float(scores[r])
+            if conf < cfg.confidence_threshold:
+                continue
+            cid = int(classes[r])
+            label = names[cid] if cid < len(names) else f"action_{cid}"
+            dets.append(
+                TemporalDetection(
+                    stream_name=last.stream.name,
+                    frame_id=last.frame_id,
+                    class_id=cid,
+                    confidence=conf,
+                    bbox_xyxy=(0.0, 0.0, float(w), float(h)),
+                    action_label=label,
+                    temporal_score=conf,
+                    sequence_start_frame=sequence[0].frame_id,
+                    sequence_end_frame=last.frame_id,
+                )
+            )
+        return dets
+
+
+def create_temporal_detector(config: DetectorConfig) -> JaxTemporalEngine:
+    return JaxTemporalEngine(config)

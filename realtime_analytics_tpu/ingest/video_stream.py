@@ -1,0 +1,143 @@
+"""Async video stream with reconnection and FPS pacing.
+
+Behavioral contract (reference ``video_stream.py:36-243``):
+
+  * async context manager + ``frames()`` async generator of FramePackets
+    with monotonically increasing frame ids;
+  * blocking decode happens in a worker thread (``asyncio.to_thread``);
+  * on read failure: retry with exponential backoff capped at 30 s, a full
+    close-and-reopen after 3 consecutive failures, and a hard give-up after
+    ``max_retries`` (None = retry forever);
+  * ``warmup_seconds`` sleep after open (camera exposure settling);
+  * FPS pacing: sleep ``1 / target_fps`` after each yielded frame.
+
+Sources: ``synthetic://`` URLs map to the built-in generator; everything else
+(file paths, rtsp/rtmp/http URLs) goes through ``cv2.VideoCapture`` with the
+FFmpeg backend (H.265/HEVC capable).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from typing import AsyncIterator, Optional
+
+from ..config import StreamConfig
+from ..types import FramePacket
+from .synthetic import SyntheticSource
+
+logger = logging.getLogger(__name__)
+
+_BACKOFF_CAP_S = 30.0
+_RECONNECT_AFTER_FAILURES = 3
+
+
+class StreamSourceError(RuntimeError):
+    """Raised when a stream source cannot be opened or permanently fails."""
+
+
+def _open_capture(url: str):
+    if url.startswith("synthetic://"):
+        return SyntheticSource.from_url(url)
+    try:
+        import cv2
+    except ImportError as exc:  # pragma: no cover
+        raise StreamSourceError(
+            f"cv2 is required for non-synthetic source '{url}'"
+        ) from exc
+    cap = cv2.VideoCapture(url, cv2.CAP_FFMPEG)
+    if not cap.isOpened():
+        # some builds need the default backend for plain files
+        cap = cv2.VideoCapture(url)
+    if cap.isOpened():
+        # low-latency: minimal internal buffering (reference video_stream.py:112)
+        try:
+            cap.set(cv2.CAP_PROP_BUFFERSIZE, 1)
+        except Exception:  # pragma: no cover  # noqa: BLE001
+            pass
+    return cap
+
+
+class VideoStream:
+    def __init__(self, config: StreamConfig):
+        self.config = config
+        self._capture = None
+        self._frame_id = 0
+
+    async def __aenter__(self) -> "VideoStream":
+        await self.open()
+        return self
+
+    async def __aexit__(self, *exc) -> None:
+        await self.close()
+
+    async def open(self) -> None:
+        cap = await asyncio.to_thread(_open_capture, self.config.url)
+        if cap is None or not cap.isOpened():
+            raise StreamSourceError(
+                f"Stream '{self.config.name}': cannot open url '{self.config.url}'"
+            )
+        self._capture = cap
+        if self.config.warmup_seconds > 0:
+            await asyncio.sleep(self.config.warmup_seconds)
+        logger.info("Stream '%s' opened (%s)", self.config.name, self.config.url)
+
+    async def close(self) -> None:
+        if self._capture is not None:
+            cap, self._capture = self._capture, None
+            await asyncio.to_thread(cap.release)
+
+    async def _reopen(self) -> None:
+        await self.close()
+        await self.open()
+
+    async def frames(self) -> AsyncIterator[FramePacket]:
+        """Yield FramePackets until the source permanently fails/ends."""
+        cfg = self.config
+        retries = 0
+        consecutive_failures = 0
+        pace = (1.0 / cfg.target_fps) if cfg.target_fps else 0.0
+        while True:
+            if self._capture is None:
+                raise StreamSourceError(f"Stream '{cfg.name}' is not open")
+            ok, frame = await asyncio.to_thread(self._capture.read)
+            if not ok or frame is None:
+                retries += 1
+                consecutive_failures += 1
+                if cfg.max_retries is not None and retries > cfg.max_retries:
+                    logger.error(
+                        "Stream '%s': giving up after %d retries", cfg.name, retries
+                    )
+                    return
+                backoff = min(
+                    cfg.reconnect_backoff * (2 ** (consecutive_failures - 1)),
+                    _BACKOFF_CAP_S,
+                )
+                logger.warning(
+                    "Stream '%s': read failed (attempt %d), backing off %.1fs",
+                    cfg.name, retries, backoff,
+                )
+                await asyncio.sleep(backoff)
+                if consecutive_failures >= _RECONNECT_AFTER_FAILURES:
+                    logger.info("Stream '%s': forcing reconnect", cfg.name)
+                    try:
+                        await self._reopen()
+                        consecutive_failures = 0
+                    except StreamSourceError as exc:
+                        logger.warning(
+                            "Stream '%s': reconnect failed: %s", cfg.name, exc
+                        )
+                continue
+            consecutive_failures = 0
+            retries = 0
+            packet = FramePacket(
+                stream=cfg,
+                frame=frame,
+                frame_id=self._frame_id,
+                timestamp=time.time(),
+            )
+            self._frame_id += 1
+            yield packet
+            if pace > 0:
+                await asyncio.sleep(pace)

@@ -1,0 +1,74 @@
+"""Mesh construction and sharding rules.
+
+Sharding policy for the YOLO/ResNet/temporal param pytrees:
+
+  * conv kernels  [kh, kw, cin, cout] -> P(None, None, None, 'tp') when cout
+    divides the tp axis, else replicated;
+  * dense kernels [cin, cout]         -> P(None, 'tp') when divisible;
+  * biases        [cout]              -> P('tp') when divisible;
+  * activations                        -> batch axis over 'dp'.
+
+XLA/GSPMD propagates these through the graph and inserts the collectives
+(all-gathers at channel-concat points, psums in the backward pass) over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    shape: Optional[Tuple[int, int]] = None,
+    axis_names: Tuple[str, str] = ("dp", "tp"),
+) -> Mesh:
+    """Build a 2D (dp, tp) mesh over the available devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if shape is None:
+        tp = 2 if n % 2 == 0 and n >= 2 else 1
+        shape = (n // tp, tp)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != device count {n}")
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
+    spec = [None] * ndim
+    spec[axis] = "dp"
+    return NamedSharding(mesh, P(*spec))
+
+
+def _leaf_spec(leaf: jax.Array, tp_size: int) -> P:
+    shape = leaf.shape
+    if len(shape) == 0:
+        return P()
+    cout = shape[-1]
+    if tp_size > 1 and cout % tp_size == 0 and cout >= tp_size:
+        return P(*([None] * (len(shape) - 1)), "tp")
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a params pytree (channel-sharded over tp)."""
+    tp_size = mesh.shape.get("tp", 1)
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, tp_size)), params
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a params pytree onto the mesh with channel sharding."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

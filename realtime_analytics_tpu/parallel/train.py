@@ -1,0 +1,162 @@
+"""Sharded detection training step.
+
+A full train step — forward, detection loss, backward, optax update — jit'd
+over a (dp, tp) mesh: the batch shards over dp, conv output channels over tp,
+and XLA inserts the gradient all-reduces/all-gathers over ICI.
+
+The loss is a real (if compact) anchor-free detection objective:
+
+  * assignment: each ground-truth box is assigned to the anchor whose cell
+    center is nearest its center (one-to-one, static shapes);
+  * classification: binary cross-entropy over all anchors against the
+    scattered one-hot targets (background = all-zeros);
+  * box regression: (1 - IoU) at assigned anchors.
+
+This is the training analog the reference lacks entirely (inference-only
+framework); it exists so the detection models are trainable/fine-tunable
+in-framework and to validate multi-chip sharding end to end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.yolo import STRIDES, YoloModel
+from ..ops.boxes import iou_matrix
+from .mesh import batch_sharding, param_shardings, replicated
+
+_EPS = 1e-7
+
+
+def anchor_centers(input_hw: Tuple[int, int]) -> np.ndarray:
+    """Static anchor cell centers [A, 2] (x, y) in input pixels (v8 layout)."""
+    h, w = input_hw
+    out = []
+    for s in STRIDES:
+        gh, gw = h // s, w // s
+        ys, xs = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+        cx = (xs.reshape(-1) + 0.5) * s
+        cy = (ys.reshape(-1) + 0.5) * s
+        out.append(np.stack([cx, cy], axis=-1))
+    return np.concatenate(out, axis=0).astype(np.float32)
+
+
+def detection_loss(
+    model: YoloModel,
+    params,
+    images: jnp.ndarray,  # [N, H, W, 3] normalized RGB
+    targets: Dict[str, jnp.ndarray],  # boxes [N,M,4] xyxy px, classes [N,M], mask [N,M]
+    anchors: jnp.ndarray,  # [A, 2]
+) -> jnp.ndarray:
+    out = model.apply(params, images)
+    pred_boxes = out["boxes_xyxy"]  # [N, A, 4]
+    pred_scores = jnp.clip(out["scores"], _EPS, 1.0 - _EPS)  # [N, A, nc]
+    n, a, nc = pred_scores.shape
+    t_boxes = targets["boxes"]  # [N, M, 4]
+    t_cls = targets["classes"]  # [N, M]
+    t_mask = targets["mask"].astype(jnp.float32)  # [N, M]
+    m = t_boxes.shape[1]
+
+    # nearest-anchor assignment per target
+    centers = (t_boxes[..., :2] + t_boxes[..., 2:4]) * 0.5  # [N, M, 2]
+    d2 = jnp.sum(
+        (centers[:, :, None, :] - anchors[None, None, :, :]) ** 2, axis=-1
+    )  # [N, M, A]
+    assigned = jnp.argmin(d2, axis=-1)  # [N, M]
+
+    # scatter one-hot class targets at assigned anchors
+    batch_idx = jnp.arange(n)[:, None].repeat(m, axis=1)
+    cls_targets = jnp.zeros((n, a, nc), jnp.float32)
+    cls_targets = cls_targets.at[batch_idx, assigned, t_cls].max(t_mask)
+
+    bce = -(
+        cls_targets * jnp.log(pred_scores)
+        + (1.0 - cls_targets) * jnp.log(1.0 - pred_scores)
+    )
+    cls_loss = jnp.sum(bce) / jnp.maximum(jnp.sum(t_mask), 1.0)
+
+    # IoU loss at assigned anchors
+    pb = jnp.take_along_axis(pred_boxes, assigned[..., None], axis=1)  # [N, M, 4]
+    ious = jax.vmap(lambda x, y: jnp.diagonal(iou_matrix(x, y)))(pb, t_boxes)
+    box_loss = jnp.sum((1.0 - ious) * t_mask) / jnp.maximum(jnp.sum(t_mask), 1.0)
+
+    return cls_loss + 5.0 * box_loss
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_train_step(
+    model: YoloModel,
+    mesh,
+    input_hw: Tuple[int, int],
+    learning_rate: float = 1e-3,
+):
+    """Build (init_fn, step_fn) pjit'd over the mesh.
+
+    step_fn(state, images, targets) -> (state, loss); images sharded over dp,
+    params/optimizer state sharded over tp channels.
+    """
+    tx = optax.adamw(learning_rate)
+    anchors = jnp.asarray(anchor_centers(input_hw))
+
+    def init_fn(key):
+        params = model.init_params(key)
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    def step_fn(state: TrainState, images, targets):
+        loss, grads = jax.value_and_grad(
+            lambda p: detection_loss(model, p, images, targets, anchors)
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    # shardings: params over tp, batch over dp, loss replicated
+    params_shape = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    state_shardings = TrainState(
+        params=param_shardings(params_shape.params, mesh),
+        # adam mu/nu mirror the param shapes, so the same channel rule
+        # applies; scalar leaves (e.g. count) fall through to replicated
+        opt_state=param_shardings(params_shape.opt_state, mesh),
+        step=replicated(mesh),
+    )
+    image_sharding = batch_sharding(mesh, 4)
+    target_shardings = {
+        "boxes": batch_sharding(mesh, 3),
+        "classes": batch_sharding(mesh, 2),
+        "mask": batch_sharding(mesh, 2),
+    }
+    jit_step = jax.jit(
+        step_fn,
+        in_shardings=(state_shardings, image_sharding, target_shardings),
+        out_shardings=(state_shardings, replicated(mesh)),
+        donate_argnums=(0,),
+    )
+    jit_init = jax.jit(init_fn, out_shardings=state_shardings)
+    return jit_init, jit_step
+
+
+def synthetic_targets(
+    rng: np.random.Generator, n: int, m: int, input_hw: Tuple[int, int], nc: int
+) -> Dict[str, np.ndarray]:
+    h, w = input_hw
+    xy = rng.uniform(0, 0.7, (n, m, 2)) * (w, h)
+    wh = rng.uniform(0.05, 0.3, (n, m, 2)) * (w, h)
+    boxes = np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+    return {
+        "boxes": boxes,
+        "classes": rng.integers(0, nc, (n, m)).astype(np.int32),
+        "mask": (rng.uniform(size=(n, m)) > 0.3),
+    }

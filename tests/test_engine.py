@@ -1,0 +1,200 @@
+"""Engine tests: fused detect step, bucketing, classification, temporal
+sliding windows, and the cross-stream batcher."""
+
+import asyncio
+import time
+
+import numpy as np
+import pytest
+
+from realtime_analytics_tpu.config import DetectorConfig, StreamConfig
+from realtime_analytics_tpu.engine.batcher import InferenceBatcher
+from realtime_analytics_tpu.engine.detector import (
+    JaxResNetEngine,
+    JaxYoloEngine,
+    create_detector,
+)
+from realtime_analytics_tpu.engine.temporal import JaxTemporalEngine
+from realtime_analytics_tpu.types import FramePacket
+
+
+def make_packet(stream_name="s", frame_id=0, hw=(120, 160), seed=0, **stream_kw):
+    rng = np.random.default_rng(seed + frame_id)
+    stream = StreamConfig(name=stream_name, url="mem://", **stream_kw)
+    return FramePacket(
+        stream, rng.integers(0, 256, (*hw, 3), dtype=np.uint8), frame_id, time.time()
+    )
+
+
+@pytest.fixture(scope="module")
+def yolo_engine():
+    cfg = DetectorConfig(
+        model_path="__random__.pt",
+        confidence_threshold=0.005,
+        warmup=False,
+        input_size=[128, 128],
+        max_batch_size=4,
+        pre_nms_topk=256,
+        precision="fp32",
+    )
+    return JaxYoloEngine(cfg)
+
+
+def test_yolo_predict_shapes_and_validity(yolo_engine):
+    pkts = [make_packet(frame_id=i) for i in range(3)]
+    res = yolo_engine.predict_packets(pkts)
+    assert len(res) == 3
+    for dets in res:
+        for d in dets:
+            x1, y1, x2, y2 = d.bbox_xyxy
+            assert 0 <= x1 <= x2 <= 160 - 1 + 1e-3
+            assert 0 <= y1 <= y2 <= 120 - 1 + 1e-3
+            assert 0 <= d.class_id < 80
+            assert d.confidence >= 0.005
+
+
+def test_yolo_batch_matches_single(yolo_engine):
+    """Batched inference must give identical results to one-at-a-time."""
+    pkts = [make_packet(frame_id=i, seed=42) for i in range(3)]
+    batched = yolo_engine.predict_packets(pkts)
+    single = [yolo_engine.predict(p) for p in pkts]
+    for b_dets, s_dets in zip(batched, single):
+        assert len(b_dets) == len(s_dets)
+        for b, s in zip(b_dets, s_dets):
+            assert b.class_id == s.class_id
+            np.testing.assert_allclose(b.confidence, s.confidence, rtol=1e-5)
+            np.testing.assert_allclose(b.bbox_xyxy, s.bbox_xyxy, rtol=1e-4, atol=1e-2)
+
+
+def test_yolo_mixed_resolutions(yolo_engine):
+    pkts = [
+        make_packet("a", 0, hw=(120, 160)),
+        make_packet("b", 0, hw=(96, 128)),
+        make_packet("c", 0, hw=(120, 160)),
+    ]
+    res = yolo_engine.predict_packets(pkts)
+    assert len(res) == 3  # grouped by resolution internally, order preserved
+
+
+def test_yolo_class_filter():
+    cfg = DetectorConfig(
+        model_path="__random__.pt",
+        confidence_threshold=0.001,
+        warmup=False,
+        input_size=[128, 128],
+        classes=[0, 2],
+        max_batch_size=2,
+        precision="fp32",
+    )
+    eng = JaxYoloEngine(cfg)
+    res = eng.predict_packets([make_packet(frame_id=7)])
+    for d in res[0]:
+        assert d.class_id in (0, 2)
+
+
+def test_create_detector_routing():
+    det = create_detector(DetectorConfig(model_path="x.pt", warmup=False,
+                                         input_size=[64, 64]))
+    assert isinstance(det, JaxYoloEngine)
+    cls = create_detector(
+        DetectorConfig(model_path="resnet18.pt", model_type="resnet",
+                       backend="onnx", resnet_num_classes=10)
+    )
+    assert isinstance(cls, JaxResNetEngine)
+    tmp = create_detector(
+        DetectorConfig(model_path="t.onnx", model_type="cnn_lstm", backend="onnx",
+                       sequence_length=4, num_action_classes=7,
+                       input_size=[64, 64])
+    )
+    assert isinstance(tmp, JaxTemporalEngine)
+
+
+def test_resnet_topk_full_frame_boxes():
+    cfg = DetectorConfig(
+        model_path="resnet18.pt", model_type="resnet", backend="openvino",
+        resnet_num_classes=50, resnet_top_k=4, confidence_threshold=0.0001,
+        input_size=[64, 64], precision="fp32",
+    )
+    eng = JaxResNetEngine(cfg)
+    pkt = make_packet(hw=(100, 140))
+    dets = eng.predict(pkt)
+    assert 1 <= len(dets) <= 4
+    assert dets[0].bbox_xyxy == (0.0, 0.0, 140.0, 100.0)
+    confs = [d.confidence for d in dets]
+    assert confs == sorted(confs, reverse=True)
+
+
+@pytest.mark.parametrize("model_type", ["cnn_lstm", "3d_cnn", "conv_gru", "slow_fast"])
+def test_temporal_sliding_window(model_type):
+    cfg = DetectorConfig(
+        model_path="t.npz", model_type=model_type, backend="onnx",
+        sequence_length=4, sequence_stride=1, temporal_overlap=0.5,
+        num_action_classes=11, confidence_threshold=1e-6,
+        input_size=[48, 48], precision="fp32",
+        action_classes=["walk", "run"],
+    )
+    eng = JaxTemporalEngine(cfg)
+    # step = max(1, int(4 * 0.5)) = 2: first clip at frame 4, then every 2
+    fire_frames = []
+    for i in range(1, 11):
+        dets = eng.predict(make_packet(frame_id=i, hw=(64, 64)))
+        if dets:
+            fire_frames.append(i)
+            d = dets[0]
+            assert d.sequence_end_frame == i
+            assert d.sequence_start_frame == i - 3
+            assert d.action_label in ("walk", "run") or d.action_label.startswith(
+                "action_"
+            )
+            assert d.temporal_score == d.confidence
+    assert fire_frames == [4, 6, 8, 10]
+
+
+def test_temporal_stride_and_reset():
+    cfg = DetectorConfig(
+        model_path="t.npz", model_type="cnn_lstm", backend="onnx",
+        sequence_length=3, sequence_stride=2, temporal_overlap=0.0,
+        num_action_classes=5, confidence_threshold=1e-6,
+        input_size=[48, 48], precision="fp32",
+    )
+    eng = JaxTemporalEngine(cfg)
+    fired = []
+    for i in range(1, 14):
+        if eng.predict(make_packet(frame_id=i, hw=(64, 64))):
+            fired.append(i)
+    # required = 6 frames, step=3 -> keep 3: fires at 6, then every 3
+    assert fired == [6, 9, 12]
+    eng.reset_stream("s")
+    assert eng.predict(make_packet(frame_id=99, hw=(64, 64))) == []
+
+
+def test_batcher_packs_and_resolves(yolo_engine):
+    async def run():
+        batcher = InferenceBatcher(yolo_engine, max_batch=4, batch_window_ms=20)
+        await batcher.start()
+        pkts = [make_packet(f"s{i}", i, seed=9) for i in range(4)]
+        results = await asyncio.gather(*(batcher.submit(p) for p in pkts))
+        await batcher.stop()
+        return results, batcher.stats
+
+    results, stats = asyncio.run(run())
+    assert len(results) == 4
+    assert stats.frames == 4
+    assert stats.max_batch_size >= 2  # actually packed across "streams"
+
+
+def test_batcher_per_stream_inflight_cap(yolo_engine):
+    async def run():
+        batcher = InferenceBatcher(yolo_engine, max_batch=4, batch_window_ms=5)
+        # don't start the loop: submits stay queued, so the cap is hit
+        task1 = asyncio.create_task(batcher.submit(make_packet("s", 0)))
+        await asyncio.sleep(0.01)
+        second = await batcher.submit(make_packet("s", 1))  # cap 1 -> dropped
+        await batcher.start()
+        first = await task1
+        await batcher.stop()
+        return first, second
+
+    first, second = asyncio.run(run())
+    assert second == []  # dropped by in-flight cap
+    assert isinstance(first, list)
