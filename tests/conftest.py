@@ -7,6 +7,8 @@ pytest guarantees by importing conftest first.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# this image's jax build (axon plugin) keys off JAX_PLATFORM_NAME instead
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
