@@ -1,0 +1,230 @@
+/* Realtime analytics dashboard.
+ * Protocol: ws /ws sends {"type":"snapshot"|"event","payload":...};
+ * event payloads mirror the Kafka JSON ({stream, frame_id, tracks[], ...}).
+ */
+"use strict";
+
+const state = {
+  events: new Map(),          // stream -> latest event
+  lastSeen: new Map(),        // stream -> ms timestamp of last event
+  detWindow: [],              // [ms, nDetections] for dps
+  evtWindow: [],              // [ms] for eps
+  classCounts: new Map(),
+  dpsHistory: [],             // last 60 samples for the chart
+  selectedStream: null,
+  startedAt: Date.now(),
+  eventsTotal: 0,
+  ws: null,
+};
+
+const $ = (id) => document.getElementById(id);
+
+/* ---------------- websocket ---------------- */
+
+function connect() {
+  const proto = location.protocol === "https:" ? "wss" : "ws";
+  const ws = new WebSocket(`${proto}://${location.host}/ws`);
+  state.ws = ws;
+  ws.onopen = () => setConn(true);
+  ws.onclose = () => { setConn(false); setTimeout(connect, 2000); };
+  ws.onerror = () => ws.close();
+  ws.onmessage = (msg) => {
+    let data;
+    try { data = JSON.parse(msg.data); } catch { return; }
+    if (data.type === "snapshot") {
+      (data.payload.events || []).forEach(ingest);
+    } else if (data.type === "event") {
+      ingest(data.payload);
+    }
+    render();
+  };
+}
+
+function setConn(up) {
+  $("conn-dot").className = "dot " + (up ? "up" : "down");
+  $("chip-ws").textContent = up ? "WS: live" : "WS: reconnecting…";
+}
+
+function ingest(evt) {
+  if (!evt || !evt.stream) return;
+  const now = Date.now();
+  state.events.set(evt.stream, evt);
+  state.lastSeen.set(evt.stream, now);
+  state.eventsTotal += 1;
+  state.evtWindow.push(now);
+  const tracks = evt.tracks || [];
+  state.detWindow.push([now, tracks.length]);
+  tracks.forEach((t) => {
+    const key = t.action_label || `class ${t.class_id}`;
+    state.classCounts.set(key, (state.classCounts.get(key) || 0) + 1);
+  });
+  if (evt.received_at) {
+    const lat = now - Date.parse(evt.received_at);
+    if (isFinite(lat)) $("chip-latency").textContent = `latency: ${Math.max(0, lat)} ms`;
+  }
+  addTimeline(evt);
+}
+
+/* ---------------- derived stats ---------------- */
+
+function prune(now) {
+  const cutoff = now - 10000;
+  state.detWindow = state.detWindow.filter(([t]) => t >= cutoff);
+  state.evtWindow = state.evtWindow.filter((t) => t >= cutoff);
+}
+
+function detectionsPerSec(now) {
+  prune(now);
+  const total = state.detWindow.reduce((a, [, n]) => a + n, 0);
+  return total / 10;
+}
+
+/* ---------------- rendering ---------------- */
+
+function render() {
+  const now = Date.now();
+  const dps = detectionsPerSec(now);
+  const eps = state.evtWindow.length / 10;
+  const activeCutoff = now - 5000;
+  let active = 0, liveTracks = 0;
+  state.events.forEach((evt, name) => {
+    if ((state.lastSeen.get(name) || 0) >= activeCutoff) {
+      active += 1;
+      liveTracks += (evt.tracks || []).length;
+    }
+  });
+  $("stat-streams").textContent = String(active);
+  $("stat-tracks").textContent = String(liveTracks);
+  $("stat-dps").textContent = dps.toFixed(1);
+  $("stat-eps").textContent = eps.toFixed(1);
+  $("chip-events").textContent = `events: ${state.eventsTotal}`;
+  renderTable(now);
+  renderClassBars();
+}
+
+function renderTable(now) {
+  const tbody = $("stream-table").querySelector("tbody");
+  const search = $("stream-search").value.toLowerCase();
+  const onlyActive = $("only-active").checked;
+  const rows = [];
+  const names = [...state.events.keys()].sort();
+  for (const name of names) {
+    if (search && !name.toLowerCase().includes(search)) continue;
+    const evt = state.events.get(name);
+    const age = now - (state.lastSeen.get(name) || 0);
+    const isActive = age < 5000;
+    if (onlyActive && !isActive) continue;
+    const tracks = evt.tracks || [];
+    const classes = {};
+    tracks.forEach((t) => {
+      const k = t.action_label || `c${t.class_id}`;
+      classes[k] = (classes[k] || 0) + 1;
+    });
+    const topClasses = Object.entries(classes)
+      .sort((a, b) => b[1] - a[1]).slice(0, 3)
+      .map(([k, n]) => `${k}×${n}`).join(" ");
+    rows.push(`<tr data-stream="${name}" class="${name === state.selectedStream ? "sel" : ""}">
+      <td>${name}${evt.is_temporal ? ' <span class="tag">temporal</span>' : ""}</td>
+      <td>${evt.frame_id}</td>
+      <td>${tracks.length}</td>
+      <td>${topClasses || "–"}</td>
+      <td>${(age / 1000).toFixed(1)}s ago</td>
+      <td><span class="state ${isActive ? "ok" : "idle"}">${isActive ? "active" : "idle"}</span></td>
+    </tr>`);
+  }
+  tbody.innerHTML = rows.join("");
+  tbody.querySelectorAll("tr").forEach((tr) => {
+    tr.onclick = () => { state.selectedStream = tr.dataset.stream; renderPreview(); render(); };
+  });
+  if (state.selectedStream) renderPreview();
+}
+
+function renderPreview() {
+  const evt = state.events.get(state.selectedStream);
+  $("preview-name").textContent = state.selectedStream || "";
+  if (evt && evt.frame_jpeg) {
+    $("preview-img").src = evt.frame_jpeg;
+    $("preview-img").style.display = "block";
+    $("preview-hint").style.display = "none";
+  } else {
+    $("preview-img").style.display = "none";
+    $("preview-hint").style.display = "block";
+    $("preview-hint").textContent = evt ? "no frame preview on this stream (enable kafka.include_frames)" : "click a stream row";
+  }
+}
+
+function renderClassBars() {
+  const entries = [...state.classCounts.entries()].sort((a, b) => b[1] - a[1]).slice(0, 8);
+  const max = entries.length ? entries[0][1] : 1;
+  $("class-bars").innerHTML = entries.map(([k, n]) =>
+    `<div class="bar-row"><span class="bar-label">${k}</span>
+      <div class="bar"><div class="bar-fill" style="width:${(100 * n / max).toFixed(1)}%"></div></div>
+      <span class="bar-count">${n}</span></div>`).join("") || '<div class="hint">no detections yet</div>';
+}
+
+function addTimeline(evt) {
+  const ul = $("timeline");
+  const li = document.createElement("li");
+  const n = (evt.tracks || []).length;
+  const labels = (evt.tracks || []).slice(0, 4)
+    .map((t) => t.action_label ? `${t.action_label} ${(t.temporal_score ?? 0).toFixed(2)}` : `c${t.class_id} ${(t.confidence ?? 0).toFixed(2)}`)
+    .join(", ");
+  li.innerHTML = `<span class="t">${new Date().toLocaleTimeString()}</span>
+    <b>${evt.stream}</b> frame ${evt.frame_id} — ${n} track${n === 1 ? "" : "s"}${labels ? ": " + labels : ""}`;
+  ul.prepend(li);
+  while (ul.children.length > 60) ul.removeChild(ul.lastChild);
+}
+
+/* ---------------- chart ---------------- */
+
+function drawChart() {
+  const now = Date.now();
+  state.dpsHistory.push(detectionsPerSec(now));
+  if (state.dpsHistory.length > 60) state.dpsHistory.shift();
+  const canvas = $("dps-chart");
+  const ctx = canvas.getContext("2d");
+  const { width: w, height: h } = canvas;
+  ctx.clearRect(0, 0, w, h);
+  const data = state.dpsHistory;
+  const max = Math.max(1, ...data);
+  ctx.strokeStyle = "rgba(140,160,200,.25)";
+  ctx.beginPath();
+  for (let g = 1; g <= 3; g++) { const y = h - (h - 14) * g / 4; ctx.moveTo(0, y); ctx.lineTo(w, y); }
+  ctx.stroke();
+  ctx.beginPath();
+  ctx.strokeStyle = "#5dd4a3";
+  ctx.lineWidth = 2;
+  data.forEach((v, i) => {
+    const x = w * i / Math.max(1, data.length - 1);
+    const y = h - 6 - (h - 20) * (v / max);
+    i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+  });
+  ctx.stroke();
+  ctx.fillStyle = "rgba(160,180,210,.8)";
+  ctx.font = "11px system-ui";
+  ctx.fillText(`max ${max.toFixed(1)}/s`, 6, 12);
+}
+
+/* ---------------- boot ---------------- */
+
+function tick() {
+  render();
+  drawChart();
+  const up = Math.floor((Date.now() - state.startedAt) / 1000);
+  $("stat-uptime").textContent = up >= 3600 ? `${(up / 3600).toFixed(1)}h`
+    : up >= 60 ? `${Math.floor(up / 60)}m${up % 60}s` : `${up}s`;
+}
+
+async function boot() {
+  try {
+    const snap = await (await fetch("/api/snapshot")).json();
+    (snap.events || []).forEach(ingest);
+  } catch { /* server may still be starting */ }
+  $("stream-search").addEventListener("input", render);
+  $("only-active").addEventListener("change", render);
+  connect();
+  setInterval(tick, 1000);
+  render();
+}
+
+boot();

@@ -1,0 +1,181 @@
+"""Dashboard integration: pipeline sink -> eventbus broker -> dashboard
+consumer -> HTTP snapshot/export + WebSocket push (3-process topology of the
+reference, docker-compose-full.yaml, collapsed into one test loop)."""
+
+import asyncio
+import json
+import urllib.request
+
+import pytest
+import websockets
+
+from realtime_analytics_tpu.api.server import DashboardServer
+from realtime_analytics_tpu.config import KafkaSinkConfig
+from realtime_analytics_tpu.sinks.eventbus import EventBusBroker
+from realtime_analytics_tpu.sinks.kafka_sink import KafkaSink
+from realtime_analytics_tpu.types import Track
+
+
+def _track(i=1, temporal=False):
+    kw = {}
+    if temporal:
+        kw = dict(action_label="running", temporal_score=0.9,
+                  sequence_start_frame=1, sequence_end_frame=8)
+    return Track(track_id=i, stream_name="cam", class_id=2, confidence=0.88,
+                 bbox_xyxy=(10.0, 20.0, 110.0, 220.0), age=0, hits=3, **kw)
+
+
+async def _http_get(url):
+    return await asyncio.to_thread(
+        lambda: urllib.request.urlopen(url, timeout=5).read().decode()
+    )
+
+
+@pytest.fixture()
+def bus_config():
+    return KafkaSinkConfig(
+        enabled=True, transport="eventbus", bootstrap_servers="127.0.0.1:0",
+        topic="analytics.events",
+    )
+
+
+def test_eventbus_end_to_end(bus_config):
+    async def scenario():
+        broker = EventBusBroker("127.0.0.1", 0)
+        await broker.start()
+        bus_config.bootstrap_servers = f"127.0.0.1:{broker.port}"
+
+        server = DashboardServer(bus_config, host="127.0.0.1", port=0)
+        await server.start()
+        await asyncio.sleep(0.2)  # consumer subscribes
+
+        sink = KafkaSink(bus_config)
+        await sink.connect()
+
+        # WS client connects before events flow: gets snapshot then events
+        ws_url = f"ws://127.0.0.1:{server.port}/ws"
+        received = []
+        async with websockets.connect(ws_url) as ws:
+            first = json.loads(await ws.recv())
+            assert first["type"] == "snapshot"
+
+            await sink.send_tracks("cam", 7, [_track(1), _track(2, temporal=True)])
+            msg = json.loads(await asyncio.wait_for(ws.recv(), timeout=5))
+            received.append(msg)
+
+        assert received[0]["type"] == "event"
+        payload = received[0]["payload"]
+        assert payload["stream"] == "cam"
+        assert payload["frame_id"] == 7
+        assert payload["is_temporal"] is True
+        temporal_track = payload["tracks"][1]
+        assert temporal_track["action_label"] == "running"  # fields round-trip
+
+        # HTTP snapshot
+        snap = json.loads(
+            await _http_get(f"http://127.0.0.1:{server.port}/api/snapshot")
+        )
+        assert snap["events"][0]["stream"] == "cam"
+        assert len(snap["events"][0]["tracks"]) == 2
+
+        # exports
+        exported = json.loads(
+            await _http_get(
+                f"http://127.0.0.1:{server.port}/api/export/json?streams=cam"
+            )
+        )
+        assert len(exported) == 1
+        csv_text = await _http_get(
+            f"http://127.0.0.1:{server.port}/api/export/csv"
+        )
+        lines = csv_text.strip().splitlines()
+        assert lines[0].startswith("stream,frame_id")
+        assert len(lines) == 3  # header + 2 tracks
+        assert "running" in csv_text
+
+        # filtered-out stream yields empty export
+        empty = json.loads(
+            await _http_get(
+                f"http://127.0.0.1:{server.port}/api/export/json?streams=nope"
+            )
+        )
+        assert empty == []
+
+        # static frontend served
+        html = await _http_get(f"http://127.0.0.1:{server.port}/")
+        assert "Realtime Analytics" in html
+        js = await _http_get(f"http://127.0.0.1:{server.port}/static/main.js")
+        assert "snapshot" in js
+
+        # health endpoint
+        health = json.loads(
+            await _http_get(f"http://127.0.0.1:{server.port}/api/health")
+        )
+        assert health["status"] == "ok"
+        assert health["messages_consumed"] >= 1
+
+        await sink.close()
+        await server.stop()
+        await broker.stop()
+
+    asyncio.run(scenario())
+
+
+def test_jsonl_sink_and_consumer(tmp_path):
+    async def scenario():
+        path = tmp_path / "events.jsonl"
+        cfg = KafkaSinkConfig(
+            enabled=True, transport="jsonl", jsonl_path=str(path), topic="t"
+        )
+        sink = KafkaSink(cfg)
+        await sink.connect()
+        await sink.send_tracks("cam-a", 1, [_track()])
+        await sink.send_tracks("cam-b", 2, [])
+        await sink.close()
+
+        lines = path.read_text().strip().splitlines()
+        assert len(lines) == 2
+        assert json.loads(lines[0])["stream"] == "cam-a"
+
+        server = DashboardServer(cfg, host="127.0.0.1", port=0)
+        await server.start()
+        await asyncio.sleep(0.8)  # jsonl tail poll
+        snap = await server.state.snapshot()
+        assert {e.stream for e in snap.events} == {"cam-a", "cam-b"}
+        await server.stop()
+
+    asyncio.run(scenario())
+
+
+def test_sink_frame_rate_limit():
+    async def scenario():
+        cfg = KafkaSinkConfig(
+            enabled=True, transport="memory", include_frames=True,
+            frame_interval_seconds=10.0,
+        )
+        sink = KafkaSink(cfg)
+        await sink.connect()
+        import numpy as np
+
+        frame = np.zeros((60, 80, 3), dtype=np.uint8)
+        await sink.send_tracks("cam", 1, [_track()], frame)
+        await sink.send_tracks("cam", 2, [_track()], frame)  # rate-limited
+        assert "frame_jpeg" in sink.memory_buffer[0]
+        assert "frame_jpeg" not in sink.memory_buffer[1]
+        assert sink.memory_buffer[0]["frame_jpeg"].startswith("data:image/")
+        await sink.close()
+
+    asyncio.run(scenario())
+
+
+def test_adaptive_quality_bounds():
+    cfg = KafkaSinkConfig(enabled=True, frame_quality=75)
+    sink = KafkaSink(cfg)
+    assert sink._calculate_adaptive_quality(0) == 65
+    assert sink._calculate_adaptive_quality(2) == 75
+    assert sink._calculate_adaptive_quality(7) == 80
+    assert sink._calculate_adaptive_quality(30) == 85
+    hi = KafkaSink(KafkaSinkConfig(enabled=True, frame_quality=95))
+    assert hi._calculate_adaptive_quality(30) == 95  # clamped
+    lo = KafkaSink(KafkaSinkConfig(enabled=True, frame_quality=50))
+    assert lo._calculate_adaptive_quality(0) == 50  # clamped
