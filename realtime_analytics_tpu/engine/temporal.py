@@ -69,6 +69,12 @@ class JaxTemporalEngine(BaseDetector):
                 config.model_path,
             )
             params = self.model.init_params(jax.random.PRNGKey(0))
+        if self.compute_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                params,
+            )
         self.params = jax.device_put(params, self.device)
 
         self.sequence_step = max(
