@@ -65,6 +65,33 @@ def letterbox_spec(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]) -> Letterbo
     )
 
 
+def _resize_axis(x: jnp.ndarray, axis: int, src: int, dst: int) -> jnp.ndarray:
+    """Bilinear (half-pixel centers, no antialias) resize along one axis.
+
+    Fast paths when the ratio is an exact integer r (the common letterbox
+    geometry — 1080p -> 640 is exactly 3x):
+      * r odd:  source coords (i+0.5)*r-0.5 = r*i+(r-1)/2 are INTEGRAL, so
+        bilinear degenerates to a strided slice (zero math, minimal HBM);
+      * r even: coords land exactly halfway, so it is a 2-tap mean at
+        stride r.
+    Anything else falls back to the general jax.image.resize.
+    """
+    if dst == src:
+        return x
+    if src % dst == 0:
+        r = src // dst
+        if r % 2 == 1:
+            off = (r - 1) // 2
+            return jax.lax.slice_in_dim(x, off, off + r * (dst - 1) + 1, r, axis=axis)
+        off = r // 2 - 1
+        t1 = jax.lax.slice_in_dim(x, off, off + r * (dst - 1) + 1, r, axis=axis)
+        t2 = jax.lax.slice_in_dim(x, off + 1, off + r * (dst - 1) + 2, r, axis=axis)
+        return (t1 + t2) * 0.5
+    shape = list(x.shape)
+    shape[axis] = dst
+    return jax.image.resize(x, shape, method="linear", antialias=False)
+
+
 @functools.partial(
     jax.jit, static_argnames=("spec", "out_dtype", "round_uint8", "layout")
 )
@@ -86,12 +113,10 @@ def preprocess_batch(
 
     Returns [N, 3, dst_h, dst_w] (or NHWC) in ``out_dtype``, RGB in [0, 1].
     """
-    n = frames.shape[0]
     x = frames.astype(jnp.float32)
     if (spec.new_h, spec.new_w) != (spec.src_h, spec.src_w):
-        x = jax.image.resize(
-            x, (n, spec.new_h, spec.new_w, 3), method="linear", antialias=False
-        )
+        x = _resize_axis(x, 1, spec.src_h, spec.new_h)
+        x = _resize_axis(x, 2, spec.src_w, spec.new_w)
         if round_uint8:
             x = jnp.clip(jnp.round(x), 0.0, 255.0)
     pad_bottom = spec.dst_h - spec.new_h - spec.pad_top

@@ -6,14 +6,20 @@ pytest guarantees by importing conftest first.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# this image's jax build (axon plugin) keys off JAX_PLATFORM_NAME instead
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Force CPU: the TPU image presets JAX_PLATFORMS=axon (the tunneled real
+# chip) and its sitecustomize registers the plugin at interpreter startup,
+# so plain env vars set here are too late — use jax.config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
