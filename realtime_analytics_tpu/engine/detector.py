@@ -54,6 +54,17 @@ class BaseDetector(abc.ABC):
         pass
 
 
+def _maybe_enable_compile_cache(config: DetectorConfig) -> None:
+    """Persistent jit cache — the analog of the reference's TensorRT
+    ``.engine`` files (compile once, reuse across restarts)."""
+    if config.compile_cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", config.compile_cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # noqa: BLE001 — older jax flags
+            logger.warning("could not enable the persistent compile cache")
+
+
 def _pick_device(config: DetectorConfig):
     want_cpu = config.device.lower() == "cpu"
     if want_cpu:
@@ -78,6 +89,7 @@ class JaxYoloEngine(BaseDetector):
     def __init__(self, config: DetectorConfig, params: Optional[Dict] = None):
         config.validate()
         self.config = config
+        _maybe_enable_compile_cache(config)
         self.device = _pick_device(config)
         size = size_from_model_path(config.model_path)
         nc = config.num_classes
