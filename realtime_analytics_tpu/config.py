@@ -208,6 +208,7 @@ class DetectorConfig:
     donate_inputs: bool = True
     mesh_shape: Optional[List[int]] = None  # e.g. [4, 2] for (dp, tp); None = 1 chip
     compile_cache_dir: Optional[str] = None  # persistent jit cache (≙ .engine files)
+    pallas_preprocess: str = "auto"  # auto | on | off: fused MXU letterbox kernel
 
     def validate(self) -> None:
         if not self.model_path:
@@ -249,6 +250,8 @@ class DetectorConfig:
                 raise ConfigError("batch_buckets entries must be >= 1")
         if self.mesh_shape is not None and any(m < 1 for m in self.mesh_shape):
             raise ConfigError("mesh_shape entries must be >= 1")
+        if self.pallas_preprocess not in {"auto", "on", "off"}:
+            raise ConfigError("pallas_preprocess must be auto|on|off")
 
     @property
     def resolved_input_size(self) -> Tuple[int, int]:

@@ -138,14 +138,32 @@ class JaxYoloEngine(BaseDetector):
     def _build_step(self, src_hw: Tuple[int, int]):
         spec = letterbox_spec(src_hw, self.input_hw)
         cfg = self.config
+        # integer ratios already degenerate to strided slices in XLA; the
+        # Pallas MXU kernel wins on general (fractional) ratios on TPU
+        has_fast_path = (spec.new_h, spec.new_w) == (spec.src_h, spec.src_w) or (
+            spec.src_h % spec.new_h == 0 and spec.src_w % spec.new_w == 0
+        )
+        use_pallas = cfg.pallas_preprocess == "on" or (
+            cfg.pallas_preprocess == "auto"
+            and self.device.platform == "tpu"
+            and not has_fast_path
+        )
 
         def step(params, frames_u8):
-            x = preprocess_batch(
-                frames_u8,
-                spec=spec,
-                out_dtype=self.compute_dtype,
-                layout="NHWC",
-            )
+            if use_pallas:
+                from ..ops.pallas_preprocess import pallas_letterbox
+
+                x = pallas_letterbox(
+                    frames_u8, spec=spec, out_dtype=self.compute_dtype,
+                    interpret=self.device.platform != "tpu",
+                )
+            else:
+                x = preprocess_batch(
+                    frames_u8,
+                    spec=spec,
+                    out_dtype=self.compute_dtype,
+                    layout="NHWC",
+                )
             out = self.model.apply(params, x)
             boxes = out["boxes_xyxy"].astype(jnp.float32)
             scores = out["scores"].astype(jnp.float32)

@@ -1,0 +1,135 @@
+"""Pallas fused letterbox kernel (general resize ratios, MXU-based).
+
+For integer ratios ``preprocess_batch`` already degenerates to a strided
+slice (see ``preprocess.py``). For arbitrary ratios, bilinear resize is a
+pair of sparse matrix products — and on TPU the fastest way to run a 2-tap
+sparse matrix is as a *dense bf16 matmul on the MXU*:
+
+    out[i, j] = sum_{y, x} A_h[i, y] * img[y, x] * A_w[x, j]
+
+This kernel fuses, per (image, channel) grid step, entirely in VMEM:
+
+    uint8 load -> bf16 -> A_h @ img @ A_w (two MXU dots, f32 accumulate)
+    -> round (cv2 uint8-resize semantics) -> /255 -> BGR->RGB channel swap
+    (via the output index map) -> write into the 114-padded canvas
+
+HBM traffic: read H*W bytes + write Ht*Wt*2 bytes per channel — one pass,
+no f32 intermediates (vs jax.image.resize materializing several).
+
+Pixel values 0..255 are exact in bf16 (8 mantissa bits), so the only error
+vs the f32 oracle is the bf16 rounding of interpolation weights (<=0.4%),
+well inside the cv2 fixed-point tolerance used by the tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .preprocess import LetterboxSpec
+
+_PAD = 114.0 / 255.0
+
+
+def bilinear_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] half-pixel-center bilinear interpolation matrix
+    (edge-clamped 2-tap rows; matches cv2.INTER_LINEAR geometry)."""
+    A = np.zeros((dst, src), dtype=np.float32)
+    ratio = src / dst
+    for i in range(dst):
+        x = (i + 0.5) * ratio - 0.5
+        x0 = int(np.floor(x))
+        w1 = x - x0
+        A[i, min(max(x0, 0), src - 1)] += 1.0 - w1
+        A[i, min(max(x0 + 1, 0), src - 1)] += w1
+    return A
+
+
+def _kernel(img_ref, ah_ref, awt_ref, out_ref, *, spec: LetterboxSpec,
+            round_uint8: bool):
+    # uint8 -> int32 -> bf16 (Mosaic has no direct u8->bf16 cast);
+    # ints 0..255 are exact in bf16 (8 mantissa bits)
+    img = img_ref[0].astype(jnp.int32).astype(jnp.bfloat16)  # [Hs, Ws]
+    t = jnp.dot(ah_ref[:], img, preferred_element_type=jnp.float32)
+    r = jnp.dot(t.astype(jnp.bfloat16), awt_ref[:],
+                preferred_element_type=jnp.float32)  # [new_h, new_w]
+    if round_uint8:
+        r = jnp.clip(jnp.round(r), 0.0, 255.0)
+    r = r * (1.0 / 255.0)
+    out_ref[0] = jnp.full((spec.dst_h, spec.dst_w), _PAD, dtype=out_ref.dtype)
+    out_ref[
+        0,
+        spec.pad_top : spec.pad_top + spec.new_h,
+        spec.pad_left : spec.pad_left + spec.new_w,
+    ] = r.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "out_dtype", "round_uint8", "interpret")
+)
+def pallas_letterbox(
+    frames: jnp.ndarray,
+    *,
+    spec: LetterboxSpec,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+    round_uint8: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """uint8 NHWC BGR [N, Hs, Ws, 3] -> letterboxed NHWC RGB [N, Ht, Wt, 3]."""
+    n = frames.shape[0]
+    ah = jnp.asarray(bilinear_matrix(spec.src_h, spec.new_h), jnp.bfloat16)
+    awt = jnp.asarray(bilinear_matrix(spec.src_w, spec.new_w).T, jnp.bfloat16)
+
+    # channel-major planes: Pallas TPU blocks want the last two dims to be
+    # tile-aligned or full, so a [N*3, Hs, Ws] view with one plane per grid
+    # step is the natural layout (the cheap uint8 transpose fuses in XLA)
+    planes = frames.transpose(0, 3, 1, 2).reshape(n * 3, spec.src_h, spec.src_w)
+
+    kernel = functools.partial(_kernel, spec=spec, round_uint8=round_uint8)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n * 3,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, spec.src_h, spec.src_w),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (spec.new_h, spec.src_h), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (spec.src_w, spec.new_w), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        # BGR -> RGB: plane i lands at (i - i%3) + (2 - i%3)
+        out_specs=pl.BlockSpec(
+            (1, spec.dst_h, spec.dst_w),
+            lambda i: (i - (i % 3) + 2 - (i % 3), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n * 3, spec.dst_h, spec.dst_w), out_dtype
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * 3 * (
+                spec.new_h * spec.src_h * spec.src_w
+                + spec.new_h * spec.src_w * spec.new_w
+            ),
+            bytes_accessed=n * 3 * (
+                spec.src_h * spec.src_w + 2 * spec.dst_h * spec.dst_w
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(planes, ah, awt)
+    return out.reshape(n, 3, spec.dst_h, spec.dst_w).transpose(0, 2, 3, 1)
