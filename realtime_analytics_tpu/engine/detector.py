@@ -131,6 +131,12 @@ class JaxYoloEngine(BaseDetector):
         key = (batch, *src_hw)
         step = self._steps.get(key)
         if step is None:
+            logger.info(
+                "compiling fused detect step for batch=%d src=%s (first batch "
+                "stalls until XLA finishes; set detector.compile_cache_dir to "
+                "persist compilations across restarts)",
+                batch, src_hw,
+            )
             step = self._build_step(src_hw)
             self._steps[key] = step
         return step

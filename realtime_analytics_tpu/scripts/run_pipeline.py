@@ -71,10 +71,29 @@ def main(argv=None) -> int:
         no_color=args.no_color,
     )
     try:
-        return asyncio.run(_amain(args))
+        rc = asyncio.run(_amain(args))
     except KeyboardInterrupt:
         logger.info("interrupted — shut down cleanly")
-        return 0
+        rc = 0
+    # An XLA compile in a worker thread cannot be cancelled; if one is still
+    # in flight after the pipeline stopped, don't let its non-daemon thread
+    # hang the interpreter shutdown forever.
+    import threading
+
+    lingering = [
+        t for t in threading.enumerate()
+        if t is not threading.main_thread() and not t.daemon and t.is_alive()
+    ]
+    if lingering:
+        logger.warning(
+            "forcing exit with %d worker thread(s) still busy (in-flight "
+            "device compile); state was already flushed", len(lingering),
+        )
+        import os
+
+        logging.shutdown()
+        os._exit(rc)
+    return rc
 
 
 if __name__ == "__main__":
