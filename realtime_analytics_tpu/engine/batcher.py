@@ -19,6 +19,13 @@ awaits a future. A single device loop:
 
 Per-stream ``batch_size`` caps a stream's in-flight frames — a slow consumer
 cannot monopolize device batches.
+
+Pipelining: up to ``pipeline_depth`` batches are in flight at once, so the
+host->device transfer of batch i+1 overlaps the device compute of batch i
+(on a TPU VM both are ~20 ms for a 32x1080p batch — overlap nearly doubles
+throughput). Ordering safety: frames of a stream that already has a batch in
+flight are deferred to the next batch, so a stream's frames can never be
+processed out of order (the tracker requires per-stream frame order).
 """
 
 from __future__ import annotations
@@ -78,11 +85,16 @@ class InferenceBatcher:
         max_batch: int = 32,
         batch_window_ms: float = 4.0,
         per_stream_inflight: Optional[Dict[str, int]] = None,
+        pipeline_depth: int = 2,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1e3
+        self.pipeline_depth = max(1, pipeline_depth)
         self._queue: asyncio.Queue = asyncio.Queue()
+        self._deferred: list = []  # frames held back for stream-order safety
+        self._busy_streams: set = set()
+        self._running: set = set()  # in-flight batch tasks
         self._inflight: Dict[str, int] = defaultdict(int)
         self._inflight_cap = per_stream_inflight or {}
         self._task: Optional[asyncio.Task] = None
@@ -125,34 +137,85 @@ class InferenceBatcher:
 
     async def _run(self) -> None:
         while not self._closed:
-            first = await self._queue.get()
-            if first is None:
-                break
-            items = [first]
-            deadline = time.perf_counter() + self.batch_window_s
-            while len(items) < self.max_batch:
-                remaining = deadline - time.perf_counter()
-                if remaining <= 0:
-                    # grab anything already queued, but don't wait further
-                    try:
-                        nxt = self._queue.get_nowait()
-                    except asyncio.QueueEmpty:
-                        break
-                else:
-                    try:
-                        nxt = await asyncio.wait_for(self._queue.get(), remaining)
-                    except asyncio.TimeoutError:
-                        break
-                if nxt is None:
-                    self._closed = True
-                    break
-                items.append(nxt)
-            await self._process(items)
+            items = await self._collect_batch()
+            if not items:
+                # only deferred frames remain and their streams are busy:
+                # wait for an in-flight batch instead of spinning
+                if self._running:
+                    await asyncio.wait(
+                        self._running, return_when=asyncio.FIRST_COMPLETED
+                    )
+                continue
+            # cap in-flight batches; wait for a slot
+            while len(self._running) >= self.pipeline_depth:
+                await asyncio.wait(self._running, return_when=asyncio.FIRST_COMPLETED)
+            streams = {it[0].stream.name for it in items}
+            self._busy_streams |= streams
+            task = asyncio.create_task(self._process(items))
+            self._running.add(task)
+
+            def _done(t, streams=streams):
+                self._running.discard(t)
+                self._busy_streams -= streams
+
+            task.add_done_callback(_done)
+        if self._running:
+            await asyncio.wait(self._running)
         # drain on shutdown
+        for item in self._deferred:
+            item[1].set_result([])
+        self._deferred.clear()
         while not self._queue.empty():
             item = self._queue.get_nowait()
             if item is not None:
                 item[1].set_result([])
+
+    async def _collect_batch(self) -> list:
+        """Gather up to max_batch frames, deferring streams that already have
+        a batch in flight (per-stream ordering guarantee)."""
+        items: list = []
+        # deferred frames (streams that were busy last round) go first
+        still_deferred = []
+        for it in self._deferred:
+            if (
+                len(items) < self.max_batch
+                and it[0].stream.name not in self._busy_streams
+            ):
+                items.append(it)
+            else:
+                still_deferred.append(it)
+        self._deferred = still_deferred
+
+        if not items and not self._deferred:
+            first = await self._queue.get()
+            if first is None:
+                self._closed = True
+                return items
+            self._sort_item(items, first)
+        deadline = time.perf_counter() + self.batch_window_s
+        while len(items) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                try:
+                    nxt = self._queue.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+            else:
+                try:
+                    nxt = await asyncio.wait_for(self._queue.get(), remaining)
+                except asyncio.TimeoutError:
+                    break
+            if nxt is None:
+                self._closed = True
+                break
+            self._sort_item(items, nxt)
+        return items
+
+    def _sort_item(self, items: list, item) -> None:
+        if item[0].stream.name in self._busy_streams:
+            self._deferred.append(item)
+        else:
+            items.append(item)
 
     async def _process(self, items: Sequence[Tuple]) -> None:
         packets = [it[0] for it in items]
