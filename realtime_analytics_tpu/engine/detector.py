@@ -109,7 +109,12 @@ class JaxYoloEngine(BaseDetector):
                 config.model_path,
             )
             params = self.model.init_params(jax.random.PRNGKey(0))
-        if self.compute_dtype != jnp.float32:
+        if config.precision == "int8":
+            from ..models.weights import quantize_params_int8
+
+            params = quantize_params_int8(params)
+            logger.info("weights quantized to per-channel int8 (weight-only)")
+        elif self.compute_dtype != jnp.float32:
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,

@@ -21,6 +21,22 @@ import numpy as np
 DN = ("NHWC", "HWIO", "NHWC")
 
 
+def get_weight(params: dict, dtype=None) -> jnp.ndarray:
+    """Materialize a conv/dense weight from params.
+
+    Supports the weight-only int8 format produced by
+    ``weights.quantize_params_int8``: {"w_q": int8 [..., O],
+    "w_scale": [O]} — dequantization fuses into the consuming conv/dot, so
+    HBM reads stay int8 (half of bf16, quarter of f32)."""
+    if "w_q" in params:
+        w = params["w_q"].astype(jnp.bfloat16) * params["w_scale"].astype(
+            jnp.bfloat16
+        )
+        return w.astype(dtype) if dtype is not None else w
+    w = params["w"]
+    return w.astype(dtype) if dtype is not None else w
+
+
 def conv2d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -56,8 +72,8 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
 def conv_act(params: dict, x: jnp.ndarray, *, stride: int = 1, groups: int = 1,
              padding: Optional[int] = None, act: bool = True) -> jnp.ndarray:
     """YOLO "Conv" block: conv + (folded BN) + SiLU."""
-    y = conv2d(x, params["w"], params.get("b"), stride=stride, groups=groups,
-               padding=padding)
+    y = conv2d(x, get_weight(params, x.dtype), params.get("b"), stride=stride,
+               groups=groups, padding=padding)
     return silu(y) if act else y
 
 

@@ -166,6 +166,47 @@ def _read_state_dict(path: str) -> Optional[Mapping[str, np.ndarray]]:
 
 
 # ---------------------------------------------------------------------------
+# Weight-only int8 quantization (the analog of the reference's RKNN uint8
+# path, detector.py:705-869 — weights stored int8, dequant fused into convs)
+# ---------------------------------------------------------------------------
+
+
+def quantize_params_int8(params) -> Dict:
+    """Per-output-channel symmetric int8 for every conv weight leaf.
+
+    Each {"w": [..., O], "b": ...} becomes {"w_q": int8, "w_scale": [O] f32,
+    "b": ...}. Non-conv leaves (biases, dense 'w' in recurrent heads) are
+    left untouched; ``layers.get_weight`` dequantizes lazily so the fused
+    graph reads int8 from HBM.
+    """
+
+    def q(node):
+        if not isinstance(node, dict) or "w" not in node:
+            return node
+        w = np.asarray(node["w"], dtype=np.float32)
+        if w.ndim < 4:  # only conv kernels (HWIO); keep dense weights fp
+            return node
+        scale = np.max(np.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
+        scale = np.maximum(scale, 1e-12)
+        wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        out = {k: v for k, v in node.items() if k != "w"}
+        out["w_q"] = jnp.asarray(wq)
+        out["w_scale"] = jnp.asarray(scale.astype(np.float32))
+        return out
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node:
+                return q(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
+# ---------------------------------------------------------------------------
 # ResNet (torchvision layout)
 # ---------------------------------------------------------------------------
 

@@ -31,6 +31,7 @@ import numpy as np
 from .layers import (
     conv_act,
     conv2d,
+    get_weight,
     init_conv,
     make_divisible,
     max_pool,
@@ -312,7 +313,7 @@ def _detect_v5(p, feats: Sequence[jnp.ndarray], nc: int) -> Dict[str, jnp.ndarra
     for lvl, x in enumerate(feats):
         stride = float(STRIDES[lvl])
         n, h, w, _ = x.shape
-        y = conv2d(x, p["m"][lvl]["w"], p["m"][lvl]["b"])
+        y = conv2d(x, get_weight(p["m"][lvl], x.dtype), p["m"][lvl]["b"])
         y = jax.nn.sigmoid(y.astype(jnp.float32).reshape(n, h, w, na, nc + 5))
         gx, gy = jnp.meshgrid(
             jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
