@@ -372,6 +372,7 @@ class PipelineConfig:
     max_concurrent_streams: int = 32
     stats_interval_seconds: float = 15.0  # live here: drives scheduler status logs
     batch_window_ms: float = 4.0  # TPU extension: batcher packing window
+    batch_pipeline_depth: int = 2  # TPU extension: in-flight batches (H2D/compute overlap)
 
     def validate(self) -> None:
         if not self.streams:
@@ -387,6 +388,8 @@ class PipelineConfig:
             raise ConfigError("stats_interval_seconds must be > 0")
         if self.batch_window_ms < 0:
             raise ConfigError("batch_window_ms must be >= 0")
+        if self.batch_pipeline_depth < 1:
+            raise ConfigError("batch_pipeline_depth must be >= 1")
         names = [s.name for s in self.streams]
         if len(set(names)) != len(names):
             raise ConfigError("Stream names must be unique")
@@ -473,11 +476,12 @@ def config_from_dict(raw: dict) -> PipelineConfig:
         max_concurrent_streams=raw.get("max_concurrent_streams", 32),
         stats_interval_seconds=raw.get("stats_interval_seconds", 15.0),
         batch_window_ms=raw.get("batch_window_ms", 4.0),
+        batch_pipeline_depth=raw.get("batch_pipeline_depth", 2),
     )
     known_top = {
         "streams", "detector", "detectors", "tracker", "kafka", "prometheus",
         "snapshots", "max_concurrent_streams", "stats_interval_seconds",
-        "batch_window_ms",
+        "batch_window_ms", "batch_pipeline_depth",
     }
     unknown_top = set(raw) - known_top
     if unknown_top:

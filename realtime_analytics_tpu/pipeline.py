@@ -184,6 +184,7 @@ class StreamWorker:
         self.scheduler = scheduler
         self.pconfig = pipeline_config
         self._stop = asyncio.Event()
+        self._pending: Deque = deque()  # (packet, t_start, inference task)
         self._roi_mask: Optional[np.ndarray] = None
         self._motion = (
             MotionFilter(
@@ -214,8 +215,10 @@ class StreamWorker:
                 async with VideoStream(cfg) as vs:
                     async for packet in vs.frames():
                         if self._stop.is_set():
+                            await self._drain_pending()
                             return
                         await self._process_packet(packet)
+                    await self._drain_pending()
                 # generator ended: source exhausted (file) or gave up
                 logger.info("Stream '%s': source ended", cfg.name)
                 if cfg.max_retries is not None:
@@ -238,6 +241,10 @@ class StreamWorker:
             await asyncio.sleep(cfg.reconnect_backoff)
 
     async def _process_packet(self, packet: FramePacket) -> None:
+        """Host-side filters, then *pipelined* submit: up to
+        ``stream.batch_size`` frames may be awaiting inference while the next
+        frame is being decoded/filtered; completions are handled strictly in
+        frame order (the tracker requires it)."""
         cfg = self.stream
         t_start = time.perf_counter()
         frame = packet.frame
@@ -255,6 +262,7 @@ class StreamWorker:
             frame = downsample(frame, ratio)
 
         if self._motion is not None and not self._motion.should_process(frame):
+            await self._complete_ready()
             await self._skip_frame(packet)
             return
 
@@ -263,6 +271,7 @@ class StreamWorker:
         if self._process_every > 1 and (
             self._frame_counter % self._process_every != 0
         ):
+            await self._complete_ready()
             await self._skip_frame(packet)
             return
 
@@ -272,12 +281,35 @@ class StreamWorker:
             else FramePacket(cfg, np.ascontiguousarray(frame), packet.frame_id,
                              packet.timestamp)
         )
+        task = asyncio.ensure_future(self.batcher.submit(infer_packet))
+        self._pending.append((packet, t_start, task))
+        max_inflight = max(1, cfg.batch_size)
+        while len(self._pending) >= max_inflight:
+            await self._complete_oldest()
+        await self._complete_ready()
+
+    async def _complete_ready(self) -> None:
+        while self._pending and self._pending[0][2].done():
+            await self._complete_oldest()
+
+    async def _drain_pending(self) -> None:
+        while self._pending:
+            await self._complete_oldest()
+
+    async def _complete_oldest(self) -> None:
+        packet, t_start, task = self._pending.popleft()
         try:
-            detections = await self.batcher.submit(infer_packet)
+            detections = await task
         except RuntimeError:
             self.health.update_error()
             return
+        await self._finish_packet(packet, t_start, detections)
 
+    async def _finish_packet(
+        self, packet: FramePacket, t_start: float, detections: List[Detection]
+    ) -> None:
+        cfg = self.stream
+        ratio = cfg.downsample_ratio
         if ratio < 0.999 and detections:
             inv = 1.0 / ratio
             detections = [
@@ -413,6 +445,7 @@ class AnalyticsPipeline:
                 det,
                 max_batch=getattr(det.config, "max_batch_size", 32),
                 batch_window_ms=cfg.batch_window_ms,
+                pipeline_depth=cfg.batch_pipeline_depth,
             )
             await batcher.start()
             self.batchers[det_id] = batcher
