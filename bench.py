@@ -57,7 +57,7 @@ def main() -> None:
         max_batch_size=max(BATCH_CANDIDATES),
         batch_buckets=list(BATCH_CANDIDATES),
         max_detections=300,
-        pre_nms_topk=1024,
+        pre_nms_topk=512,
         precision="bf16",
         warmup=False,
     )

@@ -203,7 +203,10 @@ class DetectorConfig:
     max_batch_size: int = 32  # largest device batch bucket
     batch_buckets: Optional[List[int]] = None  # default: powers of two up to max
     max_detections: int = 300  # padded NMS output size per image
-    pre_nms_topk: int = 1024  # candidates kept before NMS
+    # candidates entering NMS: the IoU matrix is [B, K, K], so K is the
+    # quadratic knob; >512 confidence-passing candidates per frame is
+    # vanishingly rare at production thresholds (raise for low-conf sweeps)
+    pre_nms_topk: int = 512
     precision: str = "bf16"  # bf16 | fp32 | int8
     donate_inputs: bool = True
     mesh_shape: Optional[List[int]] = None  # e.g. [4, 2] for (dp, tp); None = 1 chip

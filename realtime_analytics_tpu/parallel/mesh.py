@@ -24,20 +24,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(
     n_devices: Optional[int] = None,
-    shape: Optional[Tuple[int, int]] = None,
-    axis_names: Tuple[str, str] = ("dp", "tp"),
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("dp", "tp"),
 ) -> Mesh:
-    """Build a 2D (dp, tp) mesh over the available devices."""
+    """Build a (dp, tp) — or (dp, sp, tp) — mesh over the available devices.
+
+    With three axis names, the extra middle axis is spatial/sequence
+    parallelism: activations shard over image height (or clip time) and
+    GSPMD inserts the conv halo exchanges.
+    """
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = devices[:n]
     if shape is None:
-        tp = 2 if n % 2 == 0 and n >= 2 else 1
-        shape = (n // tp, tp)
-    if shape[0] * shape[1] != n:
-        raise ValueError(f"mesh shape {shape} != device count {n}")
+        sizes = []
+        rem = n
+        for _ in range(len(axis_names) - 1, 0, -1):
+            f = 2 if rem % 2 == 0 and rem >= 2 else 1
+            sizes.append(f)
+            rem //= f
+        shape = (rem, *reversed(sizes))
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {tuple(shape)} != device count {n}")
     arr = np.asarray(devices).reshape(shape)
-    return Mesh(arr, axis_names)
+    return Mesh(arr, tuple(axis_names))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -132,7 +132,14 @@ def make_train_step(
         opt_state=param_shardings(params_shape.opt_state, mesh),
         step=replicated(mesh),
     )
-    image_sharding = batch_sharding(mesh, 4)
+    # images shard over batch (dp) and, when the mesh has an sp axis, over
+    # image height — GSPMD inserts conv halo exchanges over ICI
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if "sp" in mesh.axis_names:
+        image_sharding = NamedSharding(mesh, P("dp", "sp", None, None))
+    else:
+        image_sharding = batch_sharding(mesh, 4)
     target_shardings = {
         "boxes": batch_sharding(mesh, 3),
         "classes": batch_sharding(mesh, 2),
