@@ -215,6 +215,33 @@ function tick() {
     : up >= 60 ? `${Math.floor(up / 60)}m${up % 60}s` : `${up}s`;
 }
 
+/* keyboard shortcuts: C = clear timeline, R = reconnect WS,
+ * A = toggle active-only filter, arrows = preview carousel */
+function stepPreview(delta) {
+  const names = [...state.events.keys()].sort();
+  if (!names.length) return;
+  const i = Math.max(0, names.indexOf(state.selectedStream));
+  state.selectedStream = names[(i + delta + names.length) % names.length];
+  renderPreview();
+  render();
+}
+
+function onKey(e) {
+  if (e.target.tagName === "INPUT") return;
+  if (e.key === "c" || e.key === "C") $("timeline").innerHTML = "";
+  else if (e.key === "r" || e.key === "R") { try { state.ws.close(); } catch {} }
+  else if (e.key === "a" || e.key === "A") {
+    $("only-active").checked = !$("only-active").checked; render();
+  } else if (e.key === "ArrowRight") stepPreview(1);
+  else if (e.key === "ArrowLeft") stepPreview(-1);
+}
+
+let carousel = null;
+function toggleCarousel() {
+  if (carousel) { clearInterval(carousel); carousel = null; }
+  else carousel = setInterval(() => stepPreview(1), 3000);
+}
+
 async function boot() {
   try {
     const snap = await (await fetch("/api/snapshot")).json();
@@ -222,6 +249,8 @@ async function boot() {
   } catch { /* server may still be starting */ }
   $("stream-search").addEventListener("input", render);
   $("only-active").addEventListener("change", render);
+  document.addEventListener("keydown", onKey);
+  $("preview-img").addEventListener("dblclick", toggleCarousel);
   connect();
   setInterval(tick, 1000);
   render();

@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--duration", type=float, default=None,
         help="run for N seconds then exit (default: run until SIGINT/SIGTERM)",
     )
+    parser.add_argument(
+        "--jax-profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR",
+    )
     add_logging_args(parser)
     return parser
 
@@ -49,12 +53,15 @@ async def _amain(args) -> int:
         broker = EventBusBroker(host or "127.0.0.1", int(port or 9192))
         await broker.start()
 
+    from ..utils.profiling import jax_trace
+
     pipeline = AnalyticsPipeline(config)
     try:
-        if args.duration:
-            await pipeline.run_for(args.duration)
-        else:
-            await pipeline.run_forever()
+        with jax_trace(args.jax_profile):
+            if args.duration:
+                await pipeline.run_for(args.duration)
+            else:
+                await pipeline.run_forever()
     finally:
         if broker is not None:
             await broker.stop()
