@@ -112,7 +112,11 @@ class InferenceBatcher:
             try:
                 await asyncio.wait_for(self._task, timeout=5.0)
             except asyncio.TimeoutError:  # pragma: no cover
+                # an in-flight device call (e.g. a first-batch compile) can't
+                # be interrupted; abandon it rather than blocking shutdown
                 self._task.cancel()
+                for t in list(self._running):
+                    t.cancel()
             self._task = None
 
     async def submit(self, packet: FramePacket) -> List[Detection]:

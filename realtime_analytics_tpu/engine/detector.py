@@ -66,13 +66,11 @@ def _maybe_enable_compile_cache(config: DetectorConfig) -> None:
 
 
 def _pick_device(config: DetectorConfig):
-    want_cpu = config.device.lower() == "cpu"
-    if want_cpu:
-        cpus = jax.devices("cpu") if any(
-            d.platform == "cpu" for d in jax.local_devices()
-        ) else None
-        if cpus:
-            return cpus[0]
+    if config.device.lower() == "cpu":
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:  # no cpu backend registered (unusual)
+            logger.warning("device: cpu requested but unavailable; using default")
     return jax.local_devices()[0]
 
 

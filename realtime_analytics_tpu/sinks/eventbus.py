@@ -83,7 +83,8 @@ class EventBusBroker:
     async def _fanout(self, topic: str, payload) -> None:
         data = (json.dumps({"topic": topic, "payload": payload}) + "\n").encode()
         dead = []
-        for w in self._subscribers.get(topic, ()):  # snapshot below
+        # snapshot: subscribers may connect/drop while we await drain()
+        for w in list(self._subscribers.get(topic, ())):
             try:
                 w.write(data)
                 await w.drain()
