@@ -44,9 +44,7 @@ def main() -> None:
 
     from realtime_analytics_tpu.config import DetectorConfig
     from realtime_analytics_tpu.engine.detector import JaxYoloEngine
-    from realtime_analytics_tpu.ops.boxes import unletterbox_boxes
-    from realtime_analytics_tpu.ops.nms import batched_nms
-    from realtime_analytics_tpu.ops.preprocess import letterbox_spec, preprocess_batch
+    
 
     cfg = DetectorConfig(
         model_path="yolov8n.pt",  # random init if absent: same FLOPs/graph
@@ -63,24 +61,12 @@ def main() -> None:
     )
     engine = JaxYoloEngine(cfg)
     platform = jax.local_devices()[0].platform
-    spec = letterbox_spec(SRC_HW, engine.input_hw)
+    # the engine's own production step (includes its pallas-vs-xla
+    # preprocess choice), so the bench measures exactly what serving runs
+    engine_step = engine._build_step(SRC_HW)
 
     def fused_step(params, f):
-        x = preprocess_batch(f, spec=spec, out_dtype=engine.compute_dtype,
-                             layout="NHWC")
-        out = engine.model.apply(params, x)
-        boxes = out["boxes_xyxy"].astype(jnp.float32)
-        scores = out["scores"].astype(jnp.float32)
-        conf = jnp.max(scores, -1)
-        cls = jnp.argmax(scores, -1).astype(jnp.int32)
-        conf = jnp.where(conf >= cfg.confidence_threshold, conf, 0.0)
-        b, s, c, n = batched_nms(
-            boxes, conf, cls, iou_threshold=cfg.iou_threshold,
-            max_det=cfg.max_detections, pre_topk=cfg.pre_nms_topk,
-        )
-        b = unletterbox_boxes(
-            b, spec.scale, spec.pad_left, spec.pad_top, spec.src_h, spec.src_w
-        )
+        b, s, c, n = engine_step(params, f)
         # consume every output so nothing is dead-code-eliminated
         return (
             n.sum()

