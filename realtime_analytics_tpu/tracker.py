@@ -57,18 +57,24 @@ class _StreamState:
             self.classes = np.zeros((0,), dtype=np.int32)
 
 
-def _iou_one_to_many(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    if boxes.shape[0] == 0:
-        return np.zeros((0,), dtype=np.float32)
-    tl = np.maximum(box[:2], boxes[:, :2])
-    br = np.minimum(box[2:], boxes[:, 2:])
-    inter = np.prod(np.clip(br - tl, 0.0, None), axis=1)
-    area_a = max(0.0, box[2] - box[0]) * max(0.0, box[3] - box[1])
-    area_b = np.clip(boxes[:, 2] - boxes[:, 0], 0.0, None) * np.clip(
-        boxes[:, 3] - boxes[:, 1], 0.0, None
+def _iou_matrix_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU, [M, 4] x [N, 4] -> [M, N] (reference _iou semantics:
+    zero-area unions give 0)."""
+    if a.shape[0] == 0 or b.shape[0] == 0:
+        return np.zeros((a.shape[0], b.shape[0]), dtype=np.float32)
+    tl = np.maximum(a[:, None, :2], b[None, :, :2])
+    br = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = np.prod(np.clip(br - tl, 0.0, None), axis=-1)
+    area_a = np.clip(a[:, 2] - a[:, 0], 0.0, None) * np.clip(
+        a[:, 3] - a[:, 1], 0.0, None
     )
-    union = area_a + area_b - inter
-    return np.where(union > 0.0, inter / np.maximum(union, 1e-12), 0.0)
+    area_b = np.clip(b[:, 2] - b[:, 0], 0.0, None) * np.clip(
+        b[:, 3] - b[:, 1], 0.0, None
+    )
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0.0, inter / np.maximum(union, 1e-12), 0.0).astype(
+        np.float32
+    )
 
 
 class IouTracker:
@@ -92,23 +98,55 @@ class IouTracker:
         state = self._streams.setdefault(stream_name, _StreamState())
         track_ids: List[int] = list(state.tracks.keys())
         matched: set = set()
+        n_det = len(detections)
+        thresh = self.config.max_iou_distance
 
-        for det in detections:
-            box = np.asarray(det.bbox_xyxy, dtype=np.float32)
-            ious = _iou_one_to_many(box, state.boxes)
-            same_class = state.classes == det.class_id
-            candidate = same_class & (ious >= self.config.max_iou_distance)
-            match_idx = -1
-            if candidate.any():
-                # strict ">" on best keeps the first-seen track on ties,
-                # matching the reference's insertion-order scan
-                masked = np.where(candidate, ious, -1.0)
-                match_idx = int(np.argmax(masked))
+        n_tracks = state.boxes.shape[0]
+        if n_det:
+            det_boxes = np.asarray(
+                [d.bbox_xyxy for d in detections], dtype=np.float32
+            )
+            det_classes = np.asarray(
+                [d.class_id for d in detections], dtype=np.int32
+            )
+            # ONE vectorized pass: detections x [existing tracks ; detections]
+            # (a later detection may match a track created — or re-boxed — by
+            # an earlier one in this same update: reference semantics, its
+            # loop searches the growing dict). Class-gate + threshold-mask to
+            # -1 in the same shot.
+            all_boxes = np.concatenate([state.boxes, det_boxes], axis=0)
+            all_classes = np.concatenate([state.classes, det_classes])
+            iou = _iou_matrix_np(det_boxes, all_boxes)  # [D, T+D]
+            iou = np.where(
+                (det_classes[:, None] == all_classes[None, :]) & (iou >= thresh),
+                iou,
+                -1.0,
+            )
+            iou_t = iou[:, :n_tracks]
+            iou_d = iou[:, n_tracks:]
+            # vectorized best-existing-track per detection, repaired lazily
+            # when a matched track's box changes
+            if n_tracks:
+                best_idx = np.argmax(iou_t, axis=1)
+                best_val = iou_t[np.arange(n_det), best_idx]
+            else:
+                best_idx = np.full(n_det, -1)
+                best_val = np.full(n_det, -1.0)
+
+        new_src: List[int] = []  # detection index that spawned each new track
+        for j, det in enumerate(detections):
+            best_iou, match_idx, match_new = -1.0, -1, -1
+            if n_tracks and best_val[j] > -1.0:
+                best_iou, match_idx = float(best_val[j]), int(best_idx[j])
+            for nn, src in enumerate(new_src):
+                v = iou_d[j, src]
+                if v > best_iou:
+                    best_iou, match_idx, match_new = float(v), -1, nn
 
             temporal = {
                 f: getattr(det, f) for f in _TEMPORAL_FIELDS if hasattr(det, f)
             }
-            if match_idx < 0:
+            if best_iou < 0.0:
                 track = Track(
                     track_id=next(self._next_track_id),
                     stream_name=stream_name,
@@ -121,13 +159,31 @@ class IouTracker:
                 )
                 state.tracks[track.track_id] = track
                 track_ids.append(track.track_id)
-                state.boxes = np.concatenate([state.boxes, box[None]], axis=0)
-                state.classes = np.concatenate(
-                    [state.classes, np.array([det.class_id], np.int32)]
-                )
+                new_src.append(j)
                 matched.add(track.track_id)
             else:
-                tid = track_ids[match_idx]
+                if match_new >= 0:
+                    tid = track_ids[len(track_ids) - len(new_src) + match_new]
+                    # the new track now sits at detection j's box
+                    new_src[match_new] = j
+                else:
+                    tid = track_ids[match_idx]
+                    # the matched track's box becomes detection j's box;
+                    # column j of the det x det block already carries the
+                    # right class+threshold mask (same class as the track).
+                    # Repair the per-row best lazily:
+                    col = iou_d[:, j]
+                    improved = col > best_val
+                    best_val[improved] = col[improved]
+                    best_idx[improved] = match_idx
+                    worsened = (best_idx == match_idx) & (col < best_val)
+                    if worsened.any():
+                        iou_t[:, match_idx] = col
+                        rows = np.nonzero(worsened)[0]
+                        best_idx[rows] = np.argmax(iou_t[rows], axis=1)
+                        best_val[rows] = iou_t[rows, best_idx[rows]]
+                    else:
+                        iou_t[:, match_idx] = col
                 track = state.tracks[tid]
                 track.bbox_xyxy = tuple(det.bbox_xyxy)
                 track.confidence = det.confidence
@@ -135,7 +191,6 @@ class IouTracker:
                 track.age = 0
                 for key, value in temporal.items():
                     setattr(track, key, value)
-                state.boxes[match_idx] = box
                 matched.add(tid)
 
         # prune: unmatched tracks age, then lifecycle cull
