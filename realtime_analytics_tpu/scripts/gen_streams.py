@@ -30,7 +30,7 @@ def build_config(n: int, url_template: str, base_port: int, target_fps: float,
                 "batch_size": 2,
                 "warmup_seconds": 0.0 if synthetic else 2.0,
                 "adaptive_fps": True,
-                "min_target_fps": 5,
+                "min_target_fps": min(5.0, target_fps),
                 "idle_frame_tolerance": 60,
             }
         )
