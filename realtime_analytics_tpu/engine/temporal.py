@@ -127,7 +127,11 @@ class JaxTemporalEngine(BaseDetector):
 
     # -- sliding-window predict ----------------------------------------------
 
-    def predict(self, packet: FramePacket) -> List[Detection]:
+    def _buffer_and_extract(
+        self, packet: FramePacket
+    ) -> Optional[List[FramePacket]]:
+        """Append to the stream's ring buffer; return a clip when one is due
+        (reference buffering contract, temporal_detector.py:78-120)."""
         cfg = self.config
         name = packet.stream.name
         required = cfg.sequence_length * cfg.sequence_stride
@@ -137,18 +141,36 @@ class JaxTemporalEngine(BaseDetector):
             self._buffers[name] = buf
         buf.append(packet)
         if len(buf) < required:
-            return []
+            return None
         sequence = [buf[i * cfg.sequence_stride] for i in range(cfg.sequence_length)]
-        detections = self._predict_clips([sequence])[0]
         frames_to_keep = max(0, required - self.sequence_step)
         if frames_to_keep > 0:
             self._buffers[name] = deque(list(buf)[-frames_to_keep:], maxlen=required)
         else:
             buf.clear()
-        return detections
+        return sequence
+
+    def predict(self, packet: FramePacket) -> List[Detection]:
+        sequence = self._buffer_and_extract(packet)
+        if sequence is None:
+            return []
+        return self._predict_clips([sequence])[0]
 
     def predict_packets(self, packets: Sequence[FramePacket]) -> List[List[Detection]]:
-        return [self.predict(p) for p in packets]
+        """Cross-stream batched clip inference: clips that become ready in the
+        same device batch run as ONE clip batch (the reference runs clips
+        strictly one at a time)."""
+        results: List[List[Detection]] = [[] for _ in packets]
+        ready: List[Tuple[int, List[FramePacket]]] = []
+        for i, p in enumerate(packets):
+            seq = self._buffer_and_extract(p)
+            if seq is not None:
+                ready.append((i, seq))
+        if ready:
+            dets = self._predict_clips([s for _, s in ready])
+            for (i, _), d in zip(ready, dets):
+                results[i] = d
+        return results
 
     def reset_stream(self, stream_name: str) -> None:
         """Clear the clip buffer (e.g. after reconnect — recurrent state must
@@ -162,11 +184,17 @@ class JaxTemporalEngine(BaseDetector):
         for i, seq in enumerate(sequences):
             by_shape.setdefault(tuple(seq[0].frame.shape[:2]), []).append(i)
         results: List[List[Detection]] = [[] for _ in sequences]
+        buckets = self.config.resolved_buckets
         for shape, idxs in by_shape.items():
             clips = np.stack(
                 [np.stack([p.frame for p in sequences[i]]) for i in idxs]
             )  # [B, T, H, W, 3]
-            step = self._get_step(clips.shape[0], shape)
+            n = clips.shape[0]
+            bucket = next((b for b in buckets if n <= b), buckets[-1])
+            if n < bucket:  # pad to a compile bucket, slice results below
+                pad = np.repeat(clips[-1:], bucket - n, axis=0)
+                clips = np.concatenate([clips, pad], axis=0)
+            step = self._get_step(bucket, shape)
             t0 = time.perf_counter()
             scores, classes = jax.device_get(step(self.params, jnp.asarray(clips)))
             self.last_infer_ms = (time.perf_counter() - t0) * 1e3
