@@ -44,7 +44,6 @@ def main() -> None:
 
     from realtime_analytics_tpu.config import DetectorConfig
     from realtime_analytics_tpu.engine.detector import JaxYoloEngine
-    
 
     cfg = DetectorConfig(
         model_path="yolov8n.pt",  # random init if absent: same FLOPs/graph
