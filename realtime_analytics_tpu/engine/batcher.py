@@ -36,8 +36,6 @@ import time
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
-
 from ..types import Detection, FramePacket
 
 logger = logging.getLogger(__name__)

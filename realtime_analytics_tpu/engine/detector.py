@@ -35,7 +35,7 @@ from ..models.weights import load_resnet_checkpoint, load_yolo_checkpoint
 from ..models.yolo import build_yolo, size_from_model_path
 from ..ops.boxes import unletterbox_boxes
 from ..ops.nms import batched_nms
-from ..ops.preprocess import LetterboxSpec, letterbox_spec, preprocess_batch
+from ..ops.preprocess import letterbox_spec, preprocess_batch
 from ..types import BatchResult, Detection, FramePacket
 
 logger = logging.getLogger(__name__)

@@ -35,7 +35,6 @@ from .layers import (
     init_conv,
     make_divisible,
     max_pool,
-    silu,
     upsample2x,
 )
 

@@ -24,8 +24,6 @@ well inside the cv2 fixed-point tolerance used by the tests.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import numpy as np
 
 import jax

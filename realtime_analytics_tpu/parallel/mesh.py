@@ -14,7 +14,7 @@ XLA/GSPMD propagates these through the graph and inserts the collectives
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -19,7 +19,6 @@ in-framework and to validate multi-chip sharding end to end.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Tuple
 
 import numpy as np

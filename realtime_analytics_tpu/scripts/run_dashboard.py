@@ -12,8 +12,6 @@ import argparse
 import asyncio
 import logging
 import sys
-from typing import Optional
-
 from .logging_setup import add_logging_args, setup_logging
 
 logger = logging.getLogger("realtime_analytics_tpu.dashboard")

@@ -16,7 +16,7 @@ cv2 is used when present; NumPy fallbacks keep tests hermetic.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

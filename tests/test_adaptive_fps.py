@@ -1,0 +1,82 @@
+"""Adaptive frame-skipping state machine (worker-level)."""
+
+from realtime_analytics_tpu.config import (
+    DetectorConfig,
+    KafkaSinkConfig,
+    PipelineConfig,
+    PrometheusConfig,
+    SnapshotConfig,
+    StreamConfig,
+)
+from realtime_analytics_tpu.pipeline import (
+    StreamHealth,
+    StreamScheduler,
+    StreamWorker,
+)
+from realtime_analytics_tpu.sinks.kafka_sink import KafkaSink
+from realtime_analytics_tpu.telemetry.metrics import MetricsPublisher
+from realtime_analytics_tpu.tracker import IouTracker
+from realtime_analytics_tpu.config import TrackerConfig
+
+
+def make_worker(stream_kwargs):
+    stream = StreamConfig(name="s", url="synthetic://", **stream_kwargs)
+    pconf = PipelineConfig(
+        streams=[stream],
+        detector=DetectorConfig(warmup=False),
+        kafka=KafkaSinkConfig(enabled=False),
+        prometheus=PrometheusConfig(enabled=False),
+        snapshots=SnapshotConfig(enabled=False),
+    )
+    sched = StreamScheduler()
+    health = StreamHealth("s")
+    sched.register(health)
+    return StreamWorker(
+        stream=stream,
+        batcher=None,  # not exercised by these tests
+        detector=None,
+        tracker=IouTracker(TrackerConfig()),
+        kafka=KafkaSink(KafkaSinkConfig(enabled=False)),
+        metrics=MetricsPublisher(PrometheusConfig(enabled=False)),
+        health=health,
+        scheduler=sched,
+        pipeline_config=pconf,
+    )
+
+
+def test_idle_tolerance_triggers_skipping():
+    w = make_worker(dict(adaptive_fps=True, target_fps=30, min_target_fps=6,
+                         idle_frame_tolerance=3))
+    assert w._max_process_every == 5  # round(30/6)
+    for _ in range(2):
+        w._adjust_adaptive_state(0)
+    assert w._process_every == 1  # below tolerance
+    w._adjust_adaptive_state(0)  # third idle frame
+    assert w._process_every == 5
+
+
+def test_activity_resets_skipping():
+    w = make_worker(dict(adaptive_fps=True, target_fps=30, min_target_fps=6,
+                         idle_frame_tolerance=1))
+    w._adjust_adaptive_state(0)
+    assert w._process_every > 1
+    w._adjust_adaptive_state(3)  # detections appear
+    assert w._process_every == 1
+    assert w._idle_frames == 0
+
+
+def test_disabled_adaptive_never_skips():
+    w = make_worker(dict(adaptive_fps=False, target_fps=30))
+    for _ in range(100):
+        w._adjust_adaptive_state(0)
+    assert w._process_every == 1
+
+
+def test_scheduler_decrease_hint_escalates_skipping():
+    w = make_worker(dict(adaptive_fps=True, target_fps=30, min_target_fps=5,
+                         idle_frame_tolerance=1000))
+    # heavy load -> scheduler recommends decrease even before idle tolerance
+    for _ in range(60):
+        w.scheduler.record_processing_time(0.08)
+    w._adjust_adaptive_state(0)
+    assert w._process_every >= 2  # live wiring of the reference's dead API
