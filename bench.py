@@ -35,7 +35,7 @@ LATENCY_SLO_MS = 40.0  # p50 frame latency budget (BASELINE.md)
 # candidate device batches: 32 = one frame per stream per step; 64 = two
 # frames per stream per step (b=32 is dispatch-overhead-bound on v5e — b=64
 # nearly doubles forward throughput for +15% latency)
-BATCH_CANDIDATES = (32, 64)
+BATCH_CANDIDATES = (32, 64, 128)
 
 
 def main() -> None:

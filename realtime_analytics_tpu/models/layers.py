@@ -50,6 +50,11 @@ def conv2d(
     kh, kw = w.shape[0], w.shape[1]
     if padding is None:
         padding = kh // 2
+    # bf16 inputs -> bf16 outputs: the MXU still accumulates partial sums in
+    # f32 internally, but emitting bf16 halves every activation tensor in
+    # HBM (the v8n forward is bandwidth-bound: 13.3 GB accessed per batch-32
+    # step with f32 intermediates). f32 inputs keep f32 for exactness.
+    out_dtype = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     out = jax.lax.conv_general_dilated(
         x,
         w,
@@ -58,10 +63,10 @@ def conv2d(
         else padding,
         dimension_numbers=DN,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
     if b is not None:
-        out = out + b
+        out = out + b.astype(out_dtype)
     return out.astype(x.dtype)
 
 
