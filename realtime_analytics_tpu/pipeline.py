@@ -262,8 +262,10 @@ class StreamWorker:
             frame = downsample(frame, ratio)
 
         if self._motion is not None and not self._motion.should_process(frame):
+            # skips join the ordered pending queue: a skipped frame must not
+            # age tracks before an earlier in-flight frame's detections land
+            self._pending.append((packet, t_start, None))
             await self._complete_ready()
-            await self._skip_frame(packet)
             return
 
         # adaptive frame skipping
@@ -271,8 +273,8 @@ class StreamWorker:
         if self._process_every > 1 and (
             self._frame_counter % self._process_every != 0
         ):
+            self._pending.append((packet, t_start, None))
             await self._complete_ready()
-            await self._skip_frame(packet)
             return
 
         infer_packet = (
@@ -289,7 +291,9 @@ class StreamWorker:
         await self._complete_ready()
 
     async def _complete_ready(self) -> None:
-        while self._pending and self._pending[0][2].done():
+        while self._pending and (
+            self._pending[0][2] is None or self._pending[0][2].done()
+        ):
             await self._complete_oldest()
 
     async def _drain_pending(self) -> None:
@@ -298,6 +302,9 @@ class StreamWorker:
 
     async def _complete_oldest(self) -> None:
         packet, t_start, task = self._pending.popleft()
+        if task is None:  # ordered skip marker (motion/adaptive)
+            await self._skip_frame(packet)
+            return
         try:
             detections = await task
         except RuntimeError:
@@ -324,7 +331,10 @@ class StreamWorker:
                 detections, self.detector.config.confidence_threshold
             )
 
-        tracks = self.tracker.update(cfg.name, detections)
+        # executor thread: per-stream tracker states are independent (the
+        # tracker locks per stream), so streams associate concurrently and
+        # the event loop stays free for other workers
+        tracks = await asyncio.to_thread(self.tracker.update, cfg.name, detections)
         self.metrics.update_counters(
             cfg.name,
             frames=1,
@@ -351,7 +361,7 @@ class StreamWorker:
     async def _skip_frame(self, packet: FramePacket) -> None:
         """Skipped frames still age tracks and tick metrics
         (reference pipeline.py:214-222)."""
-        tracks = self.tracker.update(self.stream.name, [])
+        tracks = await asyncio.to_thread(self.tracker.update, self.stream.name, [])
         self.metrics.update_counters(
             self.stream.name, frames=1, detections=0, active_tracks=len(tracks)
         )

@@ -82,16 +82,27 @@ class IouTracker:
 
     def __init__(self, config: TrackerConfig):
         self.config = config
+        # itertools.count.__next__ is atomic under CPython — the global id
+        # stream stays monotonic across concurrent per-stream updates
         self._next_track_id = itertools.count(1)
         self._streams: Dict[str, _StreamState] = {}
-        # asyncio workers never await inside update(), but the batcher may
-        # call from an executor thread; a lock keeps that safe.
-        self._lock = threading.Lock()
+        # per-stream locks: states are independent, so updates for different
+        # streams run concurrently on executor threads (the pipeline offloads
+        # update() with asyncio.to_thread); a registry lock guards creation.
+        self._registry_lock = threading.Lock()
+        self._stream_locks: Dict[str, threading.Lock] = {}
+
+    def _lock_for(self, stream_name: str) -> threading.Lock:
+        with self._registry_lock:
+            lock = self._stream_locks.get(stream_name)
+            if lock is None:
+                lock = self._stream_locks[stream_name] = threading.Lock()
+            return lock
 
     def update(
         self, stream_name: str, detections: Iterable[Detection]
     ) -> List[Track]:
-        with self._lock:
+        with self._lock_for(stream_name):
             return self._update(stream_name, list(detections))
 
     def _update(self, stream_name: str, detections: List[Detection]) -> List[Track]:
@@ -210,5 +221,5 @@ class IouTracker:
 
     def reset_stream(self, stream_name: str) -> None:
         """Drop all tracks of one stream (e.g. after a reconnect)."""
-        with self._lock:
+        with self._lock_for(stream_name):
             self._streams.pop(stream_name, None)
