@@ -111,7 +111,12 @@ class JaxYoloEngine(BaseDetector):
             from ..models.weights import quantize_params_int8
 
             params = quantize_params_int8(params)
-            logger.info("weights quantized to per-channel int8 (weight-only)")
+            # full int8: int8 weights AND dynamically-quantized int8
+            # activations through every conv (the RKNN-path analog)
+            self.model.act_int8 = True
+            logger.info(
+                "int8 mode: per-channel int8 weights + dynamic int8 activations"
+            )
         elif self.compute_dtype != jnp.float32:
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype)

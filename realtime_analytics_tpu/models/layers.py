@@ -74,11 +74,49 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(x)
 
 
+def conv2d_int8(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    stride: int = 1,
+    padding: Optional[int] = None,
+) -> jnp.ndarray:
+    """Full int8 conv: dynamic per-tensor activation quantization, int8 x
+    int8 -> int32 on the MXU, dequantized with (act_scale * per-channel
+    weight_scale). The TPU-native analog of the reference's RKNN uint8 NPU
+    path (detector.py:705-869)."""
+    kh = w_q.shape[0]
+    if padding is None:
+        padding = kh // 2
+    x_f = x.astype(jnp.float32)
+    act_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x_f / act_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq,
+        w_q,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=DN,
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (act_scale * w_scale.astype(jnp.float32))
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def conv_act(params: dict, x: jnp.ndarray, *, stride: int = 1, groups: int = 1,
-             padding: Optional[int] = None, act: bool = True) -> jnp.ndarray:
+             padding: Optional[int] = None, act: bool = True,
+             act_int8: bool = False) -> jnp.ndarray:
     """YOLO "Conv" block: conv + (folded BN) + SiLU."""
-    y = conv2d(x, get_weight(params, x.dtype), params.get("b"), stride=stride,
-               groups=groups, padding=padding)
+    if act_int8 and "w_q" in params:
+        y = conv2d_int8(x, params["w_q"], params["w_scale"], params.get("b"),
+                        stride=stride, padding=padding)
+    else:
+        y = conv2d(x, get_weight(params, x.dtype), params.get("b"),
+                   stride=stride, groups=groups, padding=padding)
     return silu(y) if act else y
 
 

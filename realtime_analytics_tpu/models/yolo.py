@@ -92,6 +92,7 @@ class YoloModel:
     channels: List[int]  # output channels per node
     detect_ch: List[int] = field(default_factory=list)
     head_idx: int = -1
+    act_int8: bool = False  # full int8 conv path (requires quantized params)
 
     # -- construction ------------------------------------------------------
 
@@ -139,20 +140,21 @@ class YoloModel:
             if i == 0:
                 ins = [x]
             p = layers.get(str(i), {})
+            q = self.act_int8
             if node.kind == "conv":
-                y = conv_act(p, ins[0], stride=node.s, padding=node.p)
+                y = conv_act(p, ins[0], stride=node.s, padding=node.p, act_int8=q)
             elif node.kind == "c2f":
-                y = _c2f(p, ins[0], node.n, node.shortcut)
+                y = _c2f(p, ins[0], node.n, node.shortcut, q)
             elif node.kind == "c3":
-                y = _c3(p, ins[0], node.n, node.shortcut)
+                y = _c3(p, ins[0], node.n, node.shortcut, q)
             elif node.kind == "sppf":
-                y = _sppf(p, ins[0], node.k)
+                y = _sppf(p, ins[0], node.k, q)
             elif node.kind == "upsample":
                 y = upsample2x(ins[0])
             elif node.kind == "concat":
                 y = jnp.concatenate(ins, axis=-1)
             elif node.kind == "detect_v8":
-                return _detect_v8(p, ins, self.nc)
+                return _detect_v8(p, ins, self.nc, q)
             elif node.kind == "detect_v5":
                 return _detect_v5(p, ins, self.nc)
             else:  # pragma: no cover
@@ -177,9 +179,9 @@ def _init_bottleneck(key, c1, c2, k1, k2):
     return {"cv1": init_conv(k_a, c1, c2, k1), "cv2": init_conv(k_b, c2, c2, k2)}
 
 
-def _bottleneck(p, x, shortcut):
-    y = conv_act(p["cv1"], x)
-    y = conv_act(p["cv2"], y)
+def _bottleneck(p, x, shortcut, q=False):
+    y = conv_act(p["cv1"], x, act_int8=q)
+    y = conv_act(p["cv2"], y, act_int8=q)
     return x + y if shortcut and x.shape[-1] == y.shape[-1] else y
 
 
@@ -193,15 +195,15 @@ def _init_c2f(key, c1, c2, n):
     }
 
 
-def _c2f(p, x, n, shortcut):
-    y = conv_act(p["cv1"], x)
+def _c2f(p, x, n, shortcut, q=False):
+    y = conv_act(p["cv1"], x, act_int8=q)
     a, b = jnp.split(y, 2, axis=-1)
     ys = [a, b]
     cur = b
     for j in range(n):
-        cur = _bottleneck(p["m"][j], cur, shortcut)
+        cur = _bottleneck(p["m"][j], cur, shortcut, q)
         ys.append(cur)
-    return conv_act(p["cv2"], jnp.concatenate(ys, axis=-1))
+    return conv_act(p["cv2"], jnp.concatenate(ys, axis=-1), act_int8=q)
 
 
 def _init_c3(key, c1, c2, n):
@@ -215,12 +217,12 @@ def _init_c3(key, c1, c2, n):
     }
 
 
-def _c3(p, x, n, shortcut):
-    a = conv_act(p["cv1"], x)
+def _c3(p, x, n, shortcut, q=False):
+    a = conv_act(p["cv1"], x, act_int8=q)
     for j in range(n):
-        a = _bottleneck(p["m"][j], a, shortcut)
-    b = conv_act(p["cv2"], x)
-    return conv_act(p["cv3"], jnp.concatenate([a, b], axis=-1))
+        a = _bottleneck(p["m"][j], a, shortcut, q)
+    b = conv_act(p["cv2"], x, act_int8=q)
+    return conv_act(p["cv3"], jnp.concatenate([a, b], axis=-1), act_int8=q)
 
 
 def _init_sppf(key, c1, c2):
@@ -229,12 +231,12 @@ def _init_sppf(key, c1, c2):
     return {"cv1": init_conv(k_a, c1, c, 1), "cv2": init_conv(k_b, c * 4, c2, 1)}
 
 
-def _sppf(p, x, k):
-    y = conv_act(p["cv1"], x)
+def _sppf(p, x, k, q=False):
+    y = conv_act(p["cv1"], x, act_int8=q)
     p1 = max_pool(y, k)
     p2 = max_pool(p1, k)
     p3 = max_pool(p2, k)
-    return conv_act(p["cv2"], jnp.concatenate([y, p1, p2, p3], axis=-1))
+    return conv_act(p["cv2"], jnp.concatenate([y, p1, p2, p3], axis=-1), act_int8=q)
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +261,7 @@ def _init_detect_v8(key, ch: Sequence[int], nc: int):
     return {"cv2": cv2, "cv3": cv3}
 
 
-def _detect_v8(p, feats: Sequence[jnp.ndarray], nc: int) -> Dict[str, jnp.ndarray]:
+def _detect_v8(p, feats: Sequence[jnp.ndarray], nc: int, q: bool = False) -> Dict[str, jnp.ndarray]:
     proj = jnp.arange(REG_MAX, dtype=jnp.float32)
     boxes_all, scores_all = [], []
     for lvl, x in enumerate(feats):
@@ -267,10 +269,10 @@ def _detect_v8(p, feats: Sequence[jnp.ndarray], nc: int) -> Dict[str, jnp.ndarra
         n, h, w, _ = x.shape
         box_f = x
         for j, blk in enumerate(p["cv2"][lvl]):
-            box_f = conv_act(blk, box_f, act=j < 2)
+            box_f = conv_act(blk, box_f, act=j < 2, act_int8=q)
         cls_f = x
         for j, blk in enumerate(p["cv3"][lvl]):
-            cls_f = conv_act(blk, cls_f, act=j < 2)
+            cls_f = conv_act(blk, cls_f, act=j < 2, act_int8=q)
         # DFL: [N, h, w, 4*16] -> expectation per side
         dist = box_f.astype(jnp.float32).reshape(n, h, w, 4, REG_MAX)
         dist = jax.nn.softmax(dist, axis=-1) @ proj  # [N, h, w, 4] (l, t, r, b)

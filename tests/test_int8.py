@@ -46,6 +46,24 @@ def test_quantized_forward_close_to_fp32():
     assert r > 0.99
 
 
+def test_full_int8_activations_close_to_fp32():
+    m = build_yolo("yolov8", "n", nc=8)
+    params = m.init_params(jax.random.PRNGKey(4))
+    mq = build_yolo("yolov8", "n", nc=8)
+    mq.act_int8 = True
+    q = quantize_params_int8(params)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3), jnp.float32)
+    ref = m.apply(params, x)
+    got = mq.apply(q, x)
+    r = np.corrcoef(
+        np.asarray(got["scores"]).ravel(), np.asarray(ref["scores"]).ravel()
+    )[0, 1]
+    assert r > 0.99
+    np.testing.assert_allclose(
+        np.asarray(got["boxes_xyxy"]), np.asarray(ref["boxes_xyxy"]), atol=4.0
+    )
+
+
 def test_engine_int8_end_to_end():
     cfg = DetectorConfig(
         model_path="__random__.pt", confidence_threshold=0.005, warmup=False,
