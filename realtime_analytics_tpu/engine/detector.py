@@ -108,15 +108,34 @@ class JaxYoloEngine(BaseDetector):
             )
             params = self.model.init_params(jax.random.PRNGKey(0))
         if config.precision == "int8":
-            from ..models.weights import quantize_params_int8
+            from ..models.weights import (
+                calibrate_int8_activations,
+                quantize_params_int8,
+            )
 
             params = quantize_params_int8(params)
-            # full int8: int8 weights AND dynamically-quantized int8
-            # activations through every conv (the RKNN-path analog)
+            # full int8: int8 weights AND int8 activations (RKNN-path analog).
+            # Static activation scales are calibrated eagerly on CPU with
+            # synthetic [0,1]-range images so the compiled graph quantizes
+            # with constants (no per-conv dynamic max pass).
             self.model.act_int8 = True
-            logger.info(
-                "int8 mode: per-channel int8 weights + dynamic int8 activations"
-            )
+            try:
+                cal_rng = np.random.default_rng(0)
+                samples = [
+                    jnp.asarray(
+                        cal_rng.uniform(0, 1, (1, *self.input_hw, 3)).astype(
+                            np.float32
+                        )
+                    )
+                    for _ in range(2)
+                ]
+                with jax.default_device(jax.devices("cpu")[0]):
+                    calibrate_int8_activations(self.model, params, samples)
+                logger.info("int8 mode: static calibrated activation scales")
+            except Exception:  # noqa: BLE001 — fall back to dynamic scales
+                logger.exception(
+                    "int8 calibration failed; using dynamic activation scales"
+                )
         elif self.compute_dtype != jnp.float32:
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype)

@@ -74,6 +74,11 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(x)
 
 
+# Eager-mode calibration sink: maps id(conv params node) -> max |input|.
+# Enabled only by weights.calibrate_int8_activations (never inside jit).
+_calibration_sink: Optional[dict] = None
+
+
 def conv2d_int8(
     x: jnp.ndarray,
     w_q: jnp.ndarray,
@@ -82,16 +87,20 @@ def conv2d_int8(
     *,
     stride: int = 1,
     padding: Optional[int] = None,
+    act_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Full int8 conv: dynamic per-tensor activation quantization, int8 x
-    int8 -> int32 on the MXU, dequantized with (act_scale * per-channel
-    weight_scale). The TPU-native analog of the reference's RKNN uint8 NPU
-    path (detector.py:705-869)."""
+    """Full int8 conv: int8 x int8 -> int32 on the MXU, dequantized with
+    (activation scale x per-channel weight scale). The TPU-native analog of
+    the reference's RKNN uint8 NPU path (detector.py:705-869).
+
+    ``act_scale``: static calibrated per-tensor scale (preferred — no extra
+    pass over the activations); falls back to dynamic per-batch max."""
     kh = w_q.shape[0]
     if padding is None:
         padding = kh // 2
     x_f = x.astype(jnp.float32)
-    act_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
+    if act_scale is None:
+        act_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x_f / act_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
         xq,
@@ -111,9 +120,14 @@ def conv_act(params: dict, x: jnp.ndarray, *, stride: int = 1, groups: int = 1,
              padding: Optional[int] = None, act: bool = True,
              act_int8: bool = False) -> jnp.ndarray:
     """YOLO "Conv" block: conv + (folded BN) + SiLU."""
+    if _calibration_sink is not None:  # eager calibration pass only
+        key = id(params)
+        cur = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        _calibration_sink[key] = max(_calibration_sink.get(key, 0.0), cur)
     if act_int8 and "w_q" in params:
         y = conv2d_int8(x, params["w_q"], params["w_scale"], params.get("b"),
-                        stride=stride, padding=padding)
+                        stride=stride, padding=padding,
+                        act_scale=params.get("a_scale"))
     else:
         y = conv2d(x, get_weight(params, x.dtype), params.get("b"),
                    stride=stride, groups=groups, padding=padding)

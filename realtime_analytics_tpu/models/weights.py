@@ -206,6 +206,47 @@ def quantize_params_int8(params) -> Dict:
     return walk(params)
 
 
+def calibrate_int8_activations(model, params, sample_inputs) -> Dict:
+    """Bake static per-tensor activation scales into a quantized params tree.
+
+    Runs the model *eagerly* (no jit) over ``sample_inputs`` with a
+    calibration sink enabled, recording each conv's max |input|, then writes
+    ``a_scale = max / 127`` into the matching param nodes. The compiled int8
+    graph then quantizes activations with a constant — no per-conv dynamic
+    max pass (which otherwise costs more than int8 saves).
+
+    ``sample_inputs``: iterable of model-ready arrays [N, H, W, 3].
+    Returns the same tree (mutated in place) for convenience.
+    """
+    from . import layers as _layers
+
+    sink: Dict[int, float] = {}
+    _layers._calibration_sink = sink
+    try:
+        for x in sample_inputs:
+            model.apply(params, x)
+    finally:
+        _layers._calibration_sink = None
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w_q" in node and id(node) in sink:
+                node["a_scale"] = jnp.asarray(
+                    max(sink[id(node)], 1e-8) / 127.0, dtype=jnp.float32
+                )
+            else:
+                for v in node.values():
+                    walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(params)
+    baked = sum(1 for k in sink)
+    logger.info("int8 calibration: baked %d activation scales", baked)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # ResNet (torchvision layout)
 # ---------------------------------------------------------------------------
