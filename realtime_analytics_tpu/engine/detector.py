@@ -95,8 +95,12 @@ class JaxYoloEngine(BaseDetector):
             else "yolov8"
         self.model = build_yolo(model_type, size, nc)
         self.input_hw: Tuple[int, int] = config.resolved_input_size
+        # reference `half: true` means fp16 on GPU; on TPU the half
+        # precision is bf16 — so half overrides an fp32 precision setting
         self.compute_dtype = (
-            jnp.float32 if config.precision == "fp32" else jnp.bfloat16
+            jnp.float32
+            if config.precision == "fp32" and not config.half
+            else jnp.bfloat16
         )
         if params is None:
             params = load_yolo_checkpoint(self.model, config.model_path)
@@ -295,8 +299,12 @@ class JaxResNetEngine(BaseDetector):
                 "resnet18" if "18" in config.model_path else "resnet50"))
         self.model = build_resnet(variant, config.resnet_num_classes)
         self.input_hw = config.resolved_input_size
+        # reference `half: true` means fp16 on GPU; on TPU the half
+        # precision is bf16 — so half overrides an fp32 precision setting
         self.compute_dtype = (
-            jnp.float32 if config.precision == "fp32" else jnp.bfloat16
+            jnp.float32
+            if config.precision == "fp32" and not config.half
+            else jnp.bfloat16
         )
         if params is None:
             params = load_resnet_checkpoint(self.model, config.model_path)

@@ -52,8 +52,12 @@ class JaxTemporalEngine(BaseDetector):
             config.model_type, config.num_action_classes, config.temporal_pooling
         )
         self.input_hw: Tuple[int, int] = config.resolved_input_size
+        # reference `half: true` means fp16 on GPU; on TPU the half
+        # precision is bf16 — so half overrides an fp32 precision setting
         self.compute_dtype = (
-            jnp.float32 if config.precision == "fp32" else jnp.bfloat16
+            jnp.float32
+            if config.precision == "fp32" and not config.half
+            else jnp.bfloat16
         )
         if config.model_type in ("3d_cnn", "slow_fast"):
             self._mean = (0.45, 0.45, 0.45)
