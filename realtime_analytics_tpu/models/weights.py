@@ -147,6 +147,16 @@ def load_yolo_checkpoint(model: YoloModel, path: str) -> Optional[Dict]:
 def _read_state_dict(path: str) -> Optional[Mapping[str, np.ndarray]]:
     if path.endswith(".npz"):
         return dict(np.load(path))
+    if path.endswith(".onnx"):
+        # torch-exported ONNX preserves state-dict parameter names in the
+        # initializers (BN usually pre-fused); no onnx package needed
+        from .onnx_lite import read_onnx_initializers
+
+        sd = read_onnx_initializers(path)
+        return {
+            k: v.astype(np.float32) if v.dtype == np.float16 else v
+            for k, v in sd.items()
+        }
     import torch  # local import: torch is host-side only
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
