@@ -330,11 +330,25 @@ class JaxResNetEngine(BaseDetector):
         if step is None:
             th, tw = self.input_hw
 
+            use_pallas = (
+                self.config.pallas_preprocess != "off"
+                and self.device.platform == "tpu"
+            )
+
             def run(params, frames_u8):
-                x = frames_u8.astype(jnp.float32)
-                n = x.shape[0]
-                x = jax.image.resize(x, (n, th, tw, 3), "linear", antialias=False)
-                x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB, [0,1]
+                if use_pallas:
+                    from ..ops.pallas_preprocess import pallas_stretch_resize
+
+                    x = pallas_stretch_resize(
+                        frames_u8, (th, tw), out_dtype=jnp.float32
+                    )
+                else:
+                    x = frames_u8.astype(jnp.float32)
+                    n = x.shape[0]
+                    x = jax.image.resize(
+                        x, (n, th, tw, 3), "linear", antialias=False
+                    )
+                    x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB, [0,1]
                 x = normalize_imagenet(x).astype(self.compute_dtype)
                 logits = self.model.apply(params, x).astype(jnp.float32)
                 k = min(self.config.resnet_top_k, logits.shape[-1])

@@ -110,14 +110,24 @@ class JaxTemporalEngine(BaseDetector):
             std = jnp.asarray(self._std, jnp.float32)
             t_len = self.config.sequence_length
 
+            use_pallas = (
+                self.config.pallas_preprocess != "off"
+                and self.device.platform == "tpu"
+            )
+
             def run(params, clips_u8):  # [B, T, H, W, 3] uint8 BGR
                 b = clips_u8.shape[0]
-                x = clips_u8.astype(jnp.float32)
-                x = x.reshape(b * t_len, *x.shape[2:])
-                x = jax.image.resize(
-                    x, (b * t_len, th, tw, 3), "linear", antialias=False
-                )
-                x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB
+                flat = clips_u8.reshape(b * t_len, *clips_u8.shape[2:])
+                if use_pallas:
+                    from ..ops.pallas_preprocess import pallas_stretch_resize
+
+                    x = pallas_stretch_resize(flat, (th, tw), out_dtype=jnp.float32)
+                else:
+                    x = jax.image.resize(
+                        flat.astype(jnp.float32), (b * t_len, th, tw, 3),
+                        "linear", antialias=False,
+                    )
+                    x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB
                 x = ((x - mean) / std).astype(self.compute_dtype)
                 x = x.reshape(b, t_len, th, tw, 3)
                 logits = self.model.apply(params, x).astype(jnp.float32)

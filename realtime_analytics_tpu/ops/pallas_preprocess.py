@@ -91,7 +91,34 @@ def pallas_letterbox(
     planes = frames.transpose(0, 3, 1, 2).reshape(n * 3, spec.src_h, spec.src_w)
 
     kernel = functools.partial(_kernel, spec=spec, round_uint8=round_uint8)
-    out = pl.pallas_call(
+    out = _call_kernel(planes, ah, awt, n, spec, kernel, out_dtype, interpret)
+    return out.reshape(n, 3, spec.dst_h, spec.dst_w).transpose(0, 2, 3, 1)
+
+
+def pallas_stretch_resize(
+    frames: jnp.ndarray,
+    dst_hw: Tuple[int, int],
+    *,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+    round_uint8: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Non-aspect-preserving resize (the ResNet/temporal preprocess contract:
+    stretch to the model input, no letterbox pad): same MXU kernel with a
+    zero-pad spec. uint8 NHWC BGR -> RGB [0, 1] NHWC."""
+    n, src_h, src_w = frames.shape[0], frames.shape[1], frames.shape[2]
+    spec = LetterboxSpec(
+        src_h=src_h, src_w=src_w, dst_h=dst_hw[0], dst_w=dst_hw[1],
+        scale=1.0, new_h=dst_hw[0], new_w=dst_hw[1], pad_top=0, pad_left=0,
+    )
+    return pallas_letterbox(
+        frames, spec=spec, out_dtype=out_dtype, round_uint8=round_uint8,
+        interpret=interpret,
+    )
+
+
+def _call_kernel(planes, ah, awt, n, spec, kernel, out_dtype, interpret):
+    return pl.pallas_call(
         kernel,
         grid=(n * 3,),
         in_specs=[
@@ -130,4 +157,3 @@ def pallas_letterbox(
         ),
         interpret=interpret,
     )(planes, ah, awt)
-    return out.reshape(n, 3, spec.dst_h, spec.dst_w).transpose(0, 2, 3, 1)
