@@ -191,6 +191,11 @@ class DetectorConfig:
     # ResNet classification:
     resnet_num_classes: int = 1000
     resnet_top_k: int = 5
+    # "raw" thresholds/reports the raw model output exactly as the reference
+    # does (detector.py:954-978: argsort + threshold on the uninterpreted
+    # head output), so migrated configs keep their tuned thresholds.
+    # "softmax" normalizes to probabilities first.
+    resnet_scores: str = "raw"  # raw | softmax
     # Temporal models:
     sequence_length: int = 16
     sequence_stride: int = 1
@@ -212,6 +217,10 @@ class DetectorConfig:
     mesh_shape: Optional[List[int]] = None  # e.g. [4, 2] for (dp, tp); None = 1 chip
     compile_cache_dir: Optional[str] = None  # persistent jit cache (≙ .engine files)
     pallas_preprocess: str = "auto"  # auto | on | off: fused MXU letterbox kernel
+    # source resolution to pre-compile for when `warmup: true` and a stream's
+    # resolution can't be inferred from its URL (synthetic:// encodes it);
+    # [H, W], default 1080p
+    warmup_source_hw: Optional[List[int]] = None
 
     def validate(self) -> None:
         if not self.model_path:
@@ -231,6 +240,8 @@ class DetectorConfig:
                 raise ConfigError("resnet_num_classes must be > 0")
             if self.resnet_top_k <= 0:
                 raise ConfigError("resnet_top_k must be > 0")
+            if self.resnet_scores not in {"raw", "softmax"}:
+                raise ConfigError("resnet_scores must be 'raw' or 'softmax'")
         if self.model_type in TEMPORAL_MODEL_TYPES:
             if self.sequence_length <= 0:
                 raise ConfigError("sequence_length must be > 0 for temporal models")

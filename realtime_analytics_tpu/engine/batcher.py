@@ -44,7 +44,7 @@ logger = logging.getLogger(__name__)
 class BatcherStats:
     __slots__ = (
         "batches", "frames", "sum_batch_size", "max_batch_size", "sum_infer_ms",
-        "sum_wait_ms",
+        "sum_wait_ms", "shed",
     )
 
     def __init__(self) -> None:
@@ -54,6 +54,7 @@ class BatcherStats:
         self.max_batch_size = 0
         self.sum_infer_ms = 0.0
         self.sum_wait_ms = 0.0
+        self.shed = 0  # frames dropped by the per-stream in-flight cap
 
     @property
     def avg_batch_size(self) -> float:
@@ -70,6 +71,7 @@ class BatcherStats:
             "avg_batch_size": round(self.avg_batch_size, 2),
             "max_batch_size": self.max_batch_size,
             "avg_infer_ms": round(self.avg_infer_ms, 2),
+            "shed": self.shed,
         }
 
 
@@ -84,8 +86,10 @@ class InferenceBatcher:
         batch_window_ms: float = 4.0,
         per_stream_inflight: Optional[Dict[str, int]] = None,
         pipeline_depth: int = 2,
+        metrics=None,
     ):
         self.engine = engine
+        self.metrics = metrics  # optional MetricsPublisher (observe_batch)
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1e3
         self.pipeline_depth = max(1, pipeline_depth)
@@ -117,16 +121,20 @@ class InferenceBatcher:
                     t.cancel()
             self._task = None
 
-    async def submit(self, packet: FramePacket) -> List[Detection]:
-        """Submit one frame; resolves with its detections."""
+    async def submit(self, packet: FramePacket) -> Optional[List[Detection]]:
+        """Submit one frame; resolves with its detections.
+
+        Returns ``None`` when the frame is *shed* (per-stream in-flight cap
+        hit, or batcher closed): the caller must treat that as a skip — age
+        tracks, no sink event, no health success — never as a clean
+        zero-detection result."""
         if self._closed:
-            return []
+            return None
         name = packet.stream.name
         cap = self._inflight_cap.get(name, packet.stream.batch_size or 1)
         if self._inflight[name] >= max(1, cap):
-            # Too many in flight for this stream: drop-and-age semantics are
-            # handled by the caller (treated like an adaptive skip).
-            return []
+            self.stats.shed += 1
+            return None
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         self._inflight[name] += 1
         await self._queue.put((packet, fut, time.perf_counter()))
@@ -163,14 +171,15 @@ class InferenceBatcher:
             task.add_done_callback(_done)
         if self._running:
             await asyncio.wait(self._running)
-        # drain on shutdown
+        # drain on shutdown: unprocessed frames resolve as shed (None), not
+        # as clean zero-detection results
         for item in self._deferred:
-            item[1].set_result([])
+            item[1].set_result(None)
         self._deferred.clear()
         while not self._queue.empty():
             item = self._queue.get_nowait()
             if item is not None:
-                item[1].set_result([])
+                item[1].set_result(None)
 
     async def _collect_batch(self) -> list:
         """Gather up to max_batch frames, deferring streams that already have
@@ -240,6 +249,8 @@ class InferenceBatcher:
         st.max_batch_size = max(st.max_batch_size, len(items))
         st.sum_infer_ms += infer_ms
         st.sum_wait_ms += sum((t0 - t) * 1e3 for t in submit_times)
+        if self.metrics is not None:
+            self.metrics.observe_batch(len(items), infer_ms / 1e3)
         for fut, dets in zip(futures, results):
             if not fut.done():
                 fut.set_result(dets)

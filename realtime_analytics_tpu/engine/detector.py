@@ -352,7 +352,15 @@ class JaxResNetEngine(BaseDetector):
                 x = normalize_imagenet(x).astype(self.compute_dtype)
                 logits = self.model.apply(params, x).astype(jnp.float32)
                 k = min(self.config.resnet_top_k, logits.shape[-1])
-                top_scores, top_idx = jax.lax.top_k(jax.nn.softmax(logits), k)
+                # reference parity: threshold/report the raw head output
+                # (reference detector.py:954-978); softmax is opt-in via
+                # resnet_scores: softmax
+                scores = (
+                    jax.nn.softmax(logits)
+                    if self.config.resnet_scores == "softmax"
+                    else logits
+                )
+                top_scores, top_idx = jax.lax.top_k(scores, k)
                 return top_scores, top_idx
 
             step = jax.jit(run, device=self.device)

@@ -52,6 +52,12 @@ def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
         shift += 7
 
 
+def _to_signed64(v: int) -> int:
+    """Protobuf encodes int64 as 64-bit two's complement varints; fold the
+    unsigned decode back to signed so e.g. -1 doesn't arrive as 2**64-1."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _read_field_header(buf: bytes, pos: int) -> Tuple[int, int, int]:
     key, pos = _read_varint(buf, pos)
     return key >> 3, key & 0x7, pos
@@ -84,13 +90,13 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
         field, wt, pos = _read_field_header(buf, pos)
         if field == 1 and wt == 0:  # dims (unpacked)
             v, pos = _read_varint(buf, pos)
-            dims.append(v)
+            dims.append(_to_signed64(v))
         elif field == 1 and wt == 2:  # dims (packed)
             ln, pos = _read_varint(buf, pos)
             end = pos + ln
             while pos < end:
                 v, pos = _read_varint(buf, pos)
-                dims.append(v)
+                dims.append(_to_signed64(v))
         elif field == 2 and wt == 0:  # data_type
             dtype_code, pos = _read_varint(buf, pos)
         elif field == 4 and wt == 2:  # float_data (packed)
@@ -107,7 +113,10 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
             end = pos + ln
             while pos < end:
                 v, pos = _read_varint(buf, pos)
-                int64_data.append(v)
+                int64_data.append(_to_signed64(v))
+        elif field == 7 and wt == 0:  # int64_data (unpacked)
+            v, pos = _read_varint(buf, pos)
+            int64_data.append(_to_signed64(v))
         elif field == 8 and wt == 2:  # name
             ln, pos = _read_varint(buf, pos)
             name = buf[pos : pos + ln].decode("utf-8")

@@ -35,6 +35,15 @@ def make_mesh(
     """
     devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"requested a {n}-device mesh but jax.devices() has only "
+            f"{len(devices)} ({devices[0].platform}). For a virtual multi-"
+            "device run, set JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} before jax "
+            "initializes (see tests/conftest.py), or call "
+            "__graft_entry__._ensure_devices(n)."
+        )
     devices = devices[:n]
     if shape is None:
         sizes = []

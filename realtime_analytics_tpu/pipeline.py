@@ -51,6 +51,21 @@ logger = logging.getLogger(__name__)
 DEFAULT_DETECTOR_ID = "__default__"
 
 
+def _stream_source_hw(url: str):
+    """(H, W) of a stream when statically knowable (synthetic:// encodes
+    it); None for file/RTSP sources whose resolution arrives with frame 1."""
+    if not url.startswith("synthetic://"):
+        return None
+    from urllib.parse import parse_qs, urlparse
+
+    q = parse_qs(urlparse(url).query)
+
+    def geti(name, default):
+        return int(q[name][0]) if name in q else default
+
+    return (geti("height", 480), geti("width", 640))
+
+
 # ---------------------------------------------------------------------------
 # Health / scheduling
 # ---------------------------------------------------------------------------
@@ -310,6 +325,12 @@ class StreamWorker:
         except RuntimeError:
             self.health.update_error()
             return
+        if detections is None:
+            # shed by the batcher (in-flight cap / shutdown): a dropped frame
+            # must look like a skip — age tracks, no sink event, no health
+            # success — not like a clean zero-detection result
+            await self._skip_frame(packet)
+            return
         await self._finish_packet(packet, t_start, detections)
 
     async def _finish_packet(
@@ -352,23 +373,26 @@ class StreamWorker:
             )
         await self.kafka.send_tracks(cfg.name, packet.frame_id, tracks, packet.frame)
         self._maybe_save_snapshot(packet, tracks)
-        self._adjust_adaptive_state(len(detections))
+        self._adjust_adaptive_state(len(detections), len(tracks))
 
         elapsed = time.perf_counter() - t_start
         self.health.update_success(elapsed)
         self.scheduler.record_processing_time(elapsed)
 
     async def _skip_frame(self, packet: FramePacket) -> None:
-        """Skipped frames still age tracks and tick metrics
-        (reference pipeline.py:214-222)."""
+        """Skipped frames still age tracks, tick metrics, and tick adaptive
+        idle state (reference pipeline.py:214-222)."""
         tracks = await asyncio.to_thread(self.tracker.update, self.stream.name, [])
         self.metrics.update_counters(
             self.stream.name, frames=1, detections=0, active_tracks=len(tracks)
         )
+        self._adjust_adaptive_state(0, len(tracks))
 
-    def _adjust_adaptive_state(self, num_detections: int) -> None:
+    def _adjust_adaptive_state(self, num_detections: int, num_tracks: int = 0) -> None:
+        """Reference contract (pipeline.py:242-262): full rate while
+        detections OR live tracks exist; idle ticks on skips too."""
         cfg = self.stream
-        if num_detections > 0:
+        if num_detections > 0 or num_tracks > 0:
             self._idle_frames = 0
             self._process_every = 1
             return
@@ -449,6 +473,8 @@ class AnalyticsPipeline:
         for det_id, det_cfg in cfg.detectors.items():
             self.detectors[det_id] = create_detector(det_cfg)
 
+        await self._warmup_detectors()
+
         # one batcher per detector id
         for det_id, det in self.detectors.items():
             batcher = InferenceBatcher(
@@ -456,6 +482,7 @@ class AnalyticsPipeline:
                 max_batch=getattr(det.config, "max_batch_size", 32),
                 batch_window_ms=cfg.batch_window_ms,
                 pipeline_depth=cfg.batch_pipeline_depth,
+                metrics=self.metrics,
             )
             await batcher.start()
             self.batchers[det_id] = batcher
@@ -491,6 +518,41 @@ class AnalyticsPipeline:
         )
         self._started = True
         logger.info("Pipeline started with %d streams", len(enabled))
+
+    async def _warmup_detectors(self) -> None:
+        """Pre-compile the fused step per (bucket, source resolution) when
+        ``detector.warmup`` is true — the analog of the reference's
+        dummy-tensor warmup (detector.py:131-140). Without this, a
+        production start stalls on first-batch compiles."""
+        cfg = self.config
+        # detector id -> source resolutions of the streams that feed it
+        feeds: Dict[str, set] = {det_id: set() for det_id in self.detectors}
+        for stream in cfg.streams:
+            if not stream.enabled:
+                continue
+            det_id = stream.detector_id or DEFAULT_DETECTOR_ID
+            if det_id not in self.detectors:
+                det_id = DEFAULT_DETECTOR_ID
+            hw = _stream_source_hw(stream.url)
+            if hw is not None:
+                feeds[det_id].add(hw)
+        for det_id, det in self.detectors.items():
+            dcfg = getattr(det, "config", None)
+            if dcfg is None or not getattr(dcfg, "warmup", False):
+                continue
+            if not hasattr(det, "warmup"):
+                continue
+            hws = feeds.get(det_id) or set()
+            if not hws:
+                fallback = getattr(dcfg, "warmup_source_hw", None) or [1080, 1920]
+                hws = {tuple(fallback)}
+            for hw in sorted(hws):
+                t0 = time.perf_counter()
+                await asyncio.to_thread(det.warmup, hw)
+                logger.info(
+                    "detector '%s' warmed up for src=%s in %.1fs",
+                    det_id, hw, time.perf_counter() - t0,
+                )
 
     async def stop(self) -> None:
         self._stop_event.set()

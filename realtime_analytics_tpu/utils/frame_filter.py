@@ -97,8 +97,8 @@ def roi_mask(
             x0, y0 = pts[i]
             x1, y1 = pts[(i + 1) % n]
             cond = (ys >= min(y0, y1)) & (ys < max(y0, y1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                x_int = x0 + (ys - y0) * (x1 - x0) / max(y1 - y0, 1e-12) if y1 != y0 else x0
+            # signed denominator: edges with y1 < y0 must keep their slope
+            x_int = x0 + (ys - y0) * (x1 - x0) / (y1 - y0) if y1 != y0 else x0
             inside ^= cond & (xs < x_int)
         mask |= inside.astype(np.uint8)
     return mask

@@ -72,6 +72,42 @@ def test_disabled_adaptive_never_skips():
     assert w._process_every == 1
 
 
+def test_live_tracks_keep_full_rate():
+    """Reference contract: detections OR active tracks count as activity
+    (reference pipeline.py:242-246), so streams don't throttle while tracks
+    are still alive."""
+    w = make_worker(dict(adaptive_fps=True, target_fps=30, min_target_fps=6,
+                         idle_frame_tolerance=1))
+    for _ in range(5):
+        w._adjust_adaptive_state(0, num_tracks=2)
+    assert w._process_every == 1
+    assert w._idle_frames == 0
+    w._adjust_adaptive_state(0, num_tracks=0)
+    w._adjust_adaptive_state(0, num_tracks=0)
+    assert w._process_every > 1
+
+
+def test_skip_frame_ticks_adaptive_idle_state():
+    """_skip_frame must feed the adaptive state machine like the reference
+    (pipeline.py:222 calls _adjust_adaptive_state from the skip path)."""
+    import asyncio
+
+    w = make_worker(dict(adaptive_fps=True, target_fps=30, min_target_fps=6,
+                         idle_frame_tolerance=2))
+
+    class _Pkt:
+        frame_id = 0
+        frame = None
+
+    async def run():
+        for _ in range(2):
+            await w._skip_frame(_Pkt())
+
+    asyncio.run(run())
+    assert w._idle_frames == 2
+    assert w._process_every == w._max_process_every
+
+
 def test_scheduler_decrease_hint_escalates_skipping():
     w = make_worker(dict(adaptive_fps=True, target_fps=30, min_target_fps=5,
                          idle_frame_tolerance=1000))

@@ -87,6 +87,60 @@ def test_pipeline_depth_one_serializes():
     assert engine.violations == []
 
 
+def test_inflight_cap_sheds_as_none_not_empty_result():
+    """A capped submit must return None (shed) — never [] (a clean
+    zero-detection result): VERDICT round-1 weak #6."""
+    engine = SlowFakeEngine(delay=0.05)
+    out = {}
+
+    async def run():
+        b = InferenceBatcher(engine, max_batch=1, batch_window_ms=1,
+                             pipeline_depth=1)
+        await b.start()
+        p1 = packet("capped", 1, batch_size=1)
+        p2 = packet("capped", 2, batch_size=1)
+        t1 = asyncio.create_task(b.submit(p1))
+        await asyncio.sleep(0.01)  # p1 now in flight
+        out["r2"] = await b.submit(p2)  # cap=1 -> shed immediately
+        out["r1"] = await t1
+        out["shed"] = b.stats.shed
+        await b.stop()
+
+    asyncio.run(run())
+    assert out["r1"] == []  # processed, legitimately empty
+    assert out["r2"] is None  # shed, NOT a success
+    assert out["shed"] == 1
+
+
+def test_worker_routes_shed_to_skip_path():
+    """A shed (None) result takes the _skip_frame path: tracks age, no sink
+    event, no health success."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_adaptive_fps import make_worker
+
+    w = make_worker(dict(adaptive_fps=True, target_fps=30, min_target_fps=6,
+                         idle_frame_tolerance=1))
+    pkt = packet("s", 7)
+    sends = []
+
+    async def fake_send(*a, **k):
+        sends.append(a)
+
+    w.kafka.send_tracks = fake_send
+
+    async def run():
+        fut = asyncio.get_running_loop().create_future()
+        fut.set_result(None)  # what a capped submit resolves to
+        w._pending.append((pkt, 0.0, fut))
+        await w._complete_oldest()
+
+    asyncio.run(run())
+    assert w.health.total_frames == 0  # no health success recorded
+    assert w._idle_frames == 1  # skip path ticked adaptive idle state
+    assert sends == []  # no sink event for a shed frame
+
+
 def test_deferred_frames_eventually_processed():
     engine = SlowFakeEngine(delay=0.02)
 

@@ -132,6 +132,39 @@ def test_roi_masks_outside_pixels():
     assert mask.sum() == pytest.approx(20 * 20, rel=0.1)
 
 
+def test_roi_numpy_fallback_matches_cv2_on_polygons(monkeypatch):
+    """The no-cv2 rasterizer must handle edges with y1 < y0 (descending):
+    round-1 advisor found max(y1-y0, 1e-12) destroyed the signed slope."""
+    from realtime_analytics_tpu.utils import frame_filter as ff
+
+    polys = [
+        [[(5, 30), (30, 5), (55, 30)]],            # triangle, one descending edge
+        [[(10, 10), (50, 20), (40, 50), (5, 40)]],  # convex quad
+        [[(0, 0), (59, 0), (59, 59), (0, 59)]],     # rectangle
+    ]
+    def morph(m, reduce_fn):
+        p = np.pad(m, 1, mode="constant" if reduce_fn is np.min else "edge")
+        h, w = m.shape
+        return reduce_fn(
+            np.stack([p[i:i + h, j:j + w] for i in range(3) for j in range(3)]),
+            axis=0,
+        )
+
+    for poly in polys:
+        want = ff.roi_mask((60, 60), poly)  # cv2 path
+        monkeypatch.setattr(ff, "_HAS_CV2", False)
+        got = ff.roi_mask((60, 60), poly)
+        monkeypatch.setattr(ff, "_HAS_CV2", True)
+        # rasterizers may differ on boundary pixels only: the fallback must
+        # cover every strict-interior pixel and add nothing outside a 1-px
+        # dilation (the round-1 bug misfilled whole interior spans)
+        interior = morph(want, np.min).astype(bool)
+        outer = morph(want, np.max).astype(bool)
+        got = got.astype(bool)
+        assert (interior & ~got).sum() == 0, f"{poly}: interior pixels missing"
+        assert (got & ~outer).sum() == 0, f"{poly}: pixels outside polygon"
+
+
 def test_downsample_shape():
     frame = np.zeros((100, 200, 3), dtype=np.uint8)
     out = downsample(frame, 0.5)

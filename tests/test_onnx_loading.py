@@ -39,6 +39,33 @@ def test_roundtrip_all_dtypes(tmp_path):
         np.testing.assert_array_equal(back[k], tensors[k])
 
 
+def test_packed_int64_data_negative_values(tmp_path):
+    """torch-exported models carry shape constants in TensorProto.int64_data
+    (not raw_data); negatives are 10-byte two's-complement varints that must
+    fold back to signed — round-1 advisor found they raised OverflowError."""
+    from realtime_analytics_tpu.models.onnx_lite import (
+        _len_delimited,
+        _varint,
+    )
+
+    values = [-1, -123456789012345, 0, 7, 2**62]
+    packed = b"".join(_varint(v & ((1 << 64) - 1)) for v in values)
+    t = (
+        _varint(1 << 3) + _varint(len(values))  # dims: [5]
+        + _varint(2 << 3) + _varint(7)  # data_type = int64
+        + _len_delimited(8, b"shape_const")  # name
+        + _len_delimited(7, packed)  # int64_data, packed
+    )
+    graph = _len_delimited(5, t)
+    model = _varint(1 << 3) + _varint(8) + _len_delimited(7, graph)
+    path = tmp_path / "neg.onnx"
+    path.write_bytes(model)
+    out = read_onnx_initializers(str(path))
+    np.testing.assert_array_equal(
+        out["shape_const"], np.asarray(values, dtype=np.int64)
+    )
+
+
 def test_yolo_loads_from_onnx_with_fidelity(tmp_path):
     torch.manual_seed(12)
     jm = build_yolo("yolov8", "n", nc=80)

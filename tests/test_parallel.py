@@ -82,6 +82,73 @@ def test_sharded_train_step_decreases_loss(mesh):
     assert len(some_leaf.sharding.device_set) > 1
 
 
+@pytest.fixture(scope="module")
+def mesh3():
+    """The 3-axis (dp, sp, tp) mesh the driver's dryrun takes at n=8."""
+    return make_mesh(8, axis_names=("dp", "sp", "tp"))
+
+
+def test_mesh3_shape(mesh3):
+    assert dict(mesh3.shape) == {"dp": 2, "sp": 2, "tp": 2}
+
+
+def test_make_mesh_insufficient_devices_is_actionable():
+    with pytest.raises(ValueError, match="xla_force_host_platform_device_count"):
+        make_mesh(16)
+
+
+def test_sharded_train_step_3axis_sp_halo(mesh3):
+    """Train step on the (dp, sp, tp) mesh: images shard over batch AND
+    image height, so GSPMD must insert conv halo exchanges over sp."""
+    model = build_yolo("yolov8", "n", nc=8)
+    input_hw = (64, 64)
+    init_fn, step_fn = make_train_step(model, mesh3, input_hw, learning_rate=5e-3)
+    rng = np.random.default_rng(0)
+    batch = 4
+    images = jnp.asarray(rng.uniform(0, 1, (batch, *input_hw, 3)).astype(np.float32))
+    targets = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_targets(rng, batch, 4, input_hw, 8).items()
+    }
+    with mesh3:
+        state = init_fn(jax.random.PRNGKey(0))
+        losses = []
+        for _ in range(3):
+            state, loss = step_fn(state, images, targets)
+            losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_sharded_inference_3axis_matches_single_device(mesh3):
+    """dp+sp-sharded fused inference must equal the unsharded result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    cfg = DetectorConfig(
+        model_path="__random__.pt", input_size=[64, 64],
+        confidence_threshold=0.01, max_batch_size=4, batch_buckets=[4],
+        precision="fp32", warmup=False, pre_nms_topk=64, max_detections=16,
+    )
+    eng = JaxYoloEngine(cfg)
+    frames = np.random.default_rng(1).integers(
+        0, 256, (4, 96, 128, 3), dtype=np.uint8
+    )
+    step = eng._get_step(4, (96, 128))
+    ref = jax.device_get(step(eng.params, jnp.asarray(frames)))
+
+    sharded_params = shard_params(eng.params, mesh3)
+    with mesh3:
+        fsh = jax.device_put(
+            frames, NamedSharding(mesh3, P("dp", "sp", None, None))
+        )
+        got = jax.device_get(step(sharded_params, fsh))
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(r, g, rtol=1e-4, atol=1e-3)
+
+
 def test_sharded_inference_matches_single_device(mesh):
     """dp-sharded fused inference must equal the unsharded result."""
     from realtime_analytics_tpu.config import DetectorConfig
