@@ -117,9 +117,21 @@ def yolo_params_from_state_dict(
                 ])
             layers[str(i)] = {"cv2": cv2, "cv3": cv3}
         elif node.kind == "detect_v5":
-            layers[str(i)] = {
+            p = {
                 "m": [_fold_conv_bn(sd, f"{base}.m.{lvl}", None) for lvl in range(3)]
             }
+            # the published .pt registers `anchors` divided by stride
+            # (yolov5 Detect.__init__); multiply back to input pixels so
+            # custom-trained anchor sets decode correctly
+            if f"{base}.anchors" in sd:
+                a = _np(sd[f"{base}.anchors"]).astype(np.float32)  # [3, na, 2]
+                strides = np.asarray([8.0, 16.0, 32.0], np.float32)
+                p["anchors"] = jnp.asarray(a * strides[:, None, None])
+            else:
+                from .yolo import V5_ANCHORS
+
+                p["anchors"] = jnp.asarray(np.asarray(V5_ANCHORS, np.float32))
+            layers[str(i)] = p
     return {"layers": layers}
 
 

@@ -305,11 +305,17 @@ def _init_detect_v5(key, ch: Sequence[int], nc: int):
         b[:, 5:] = math.log(0.6 / (nc - 0.999999)) if nc > 1 else 0.0
         cv["b"] = jnp.asarray(b.reshape(-1))
         convs.append(cv)
-    return {"m": convs}
+    # anchors live in the params tree so checkpoint-specific anchors (the
+    # published .pt files register an `anchors` buffer) override the defaults
+    return {"m": convs,
+            "anchors": jnp.asarray(V5_ANCHORS, dtype=jnp.float32)}
 
 
 def _detect_v5(p, feats: Sequence[jnp.ndarray], nc: int) -> Dict[str, jnp.ndarray]:
     na = len(V5_ANCHORS[0])
+    anchor_table = p.get("anchors")
+    if anchor_table is None:
+        anchor_table = jnp.asarray(V5_ANCHORS, dtype=jnp.float32)
     boxes_all, scores_all = [], []
     for lvl, x in enumerate(feats):
         stride = float(STRIDES[lvl])
@@ -319,7 +325,7 @@ def _detect_v5(p, feats: Sequence[jnp.ndarray], nc: int) -> Dict[str, jnp.ndarra
         gx, gy = jnp.meshgrid(
             jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
         )
-        anchors = jnp.asarray(V5_ANCHORS[lvl], dtype=jnp.float32)  # [na, 2]
+        anchors = anchor_table[lvl].astype(jnp.float32)  # [na, 2] input px
         cx = (y[..., 0] * 2.0 - 0.5 + gx[..., None]) * stride
         cy = (y[..., 1] * 2.0 - 0.5 + gy[..., None]) * stride
         bw = (y[..., 2] * 2.0) ** 2 * anchors[None, None, None, :, 0]

@@ -196,5 +196,5 @@ def test_batcher_per_stream_inflight_cap(yolo_engine):
         return first, second
 
     first, second = asyncio.run(run())
-    assert second == []  # dropped by in-flight cap
+    assert second is None  # shed by in-flight cap (None, never a clean [])
     assert isinstance(first, list)
