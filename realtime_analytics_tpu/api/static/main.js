@@ -7,15 +7,19 @@
 const state = {
   events: new Map(),          // stream -> latest event
   lastSeen: new Map(),        // stream -> ms timestamp of last event
+  arrivals: new Map(),        // stream -> [ms] arrival window (fallback fps)
   detWindow: [],              // [ms, nDetections] for dps
   evtWindow: [],              // [ms] for eps
   classCounts: new Map(),
-  dpsHistory: [],             // last 60 samples for the chart
   selectedStream: null,
   startedAt: Date.now(),
   eventsTotal: 0,
   ws: null,
 };
+
+const charts = new ChartsManager(60);
+const toasts = new NotificationManager();
+const alerts = new StreamAlerts(toasts);
 
 const $ = (id) => document.getElementById(id);
 
@@ -25,8 +29,8 @@ function connect() {
   const proto = location.protocol === "https:" ? "wss" : "ws";
   const ws = new WebSocket(`${proto}://${location.host}/ws`);
   state.ws = ws;
-  ws.onopen = () => setConn(true);
-  ws.onclose = () => { setConn(false); setTimeout(connect, 2000); };
+  ws.onopen = () => { setConn(true); alerts.wsUp(); };
+  ws.onclose = () => { setConn(false); alerts.wsDown(); setTimeout(connect, 2000); };
   ws.onerror = () => ws.close();
   ws.onmessage = (msg) => {
     let data;
@@ -50,6 +54,8 @@ function ingest(evt) {
   const now = Date.now();
   state.events.set(evt.stream, evt);
   state.lastSeen.set(evt.stream, now);
+  if (!state.arrivals.has(evt.stream)) state.arrivals.set(evt.stream, []);
+  state.arrivals.get(evt.stream).push(now);
   state.eventsTotal += 1;
   state.evtWindow.push(now);
   const tracks = evt.tracks || [];
@@ -175,41 +181,47 @@ function addTimeline(evt) {
   while (ul.children.length > 60) ul.removeChild(ul.lastChild);
 }
 
-/* ---------------- chart ---------------- */
+/* ---------------- charts ---------------- */
 
-function drawChart() {
+function streamFps(name, now) {
+  // prefer the pipeline-published effective fps; fall back to the event
+  // arrival rate in the last 5 s
+  const evt = state.events.get(name);
+  if (evt && typeof evt.fps === "number") return evt.fps;
+  const arr = (state.arrivals.get(name) || []).filter((t) => t >= now - 5000);
+  state.arrivals.set(name, arr);
+  return arr.length / 5;
+}
+
+function drawCharts() {
   const now = Date.now();
-  state.dpsHistory.push(detectionsPerSec(now));
-  if (state.dpsHistory.length > 60) state.dpsHistory.shift();
-  const canvas = $("dps-chart");
-  const ctx = canvas.getContext("2d");
-  const { width: w, height: h } = canvas;
-  ctx.clearRect(0, 0, w, h);
-  const data = state.dpsHistory;
-  const max = Math.max(1, ...data);
-  ctx.strokeStyle = "rgba(140,160,200,.25)";
-  ctx.beginPath();
-  for (let g = 1; g <= 3; g++) { const y = h - (h - 14) * g / 4; ctx.moveTo(0, y); ctx.lineTo(w, y); }
-  ctx.stroke();
-  ctx.beginPath();
-  ctx.strokeStyle = "#5dd4a3";
-  ctx.lineWidth = 2;
-  data.forEach((v, i) => {
-    const x = w * i / Math.max(1, data.length - 1);
-    const y = h - 6 - (h - 20) * (v / max);
-    i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+  const fpsByStream = new Map();
+  let healthSum = 0, healthN = 0;
+  state.events.forEach((evt, name) => {
+    fpsByStream.set(name, streamFps(name, now));
+    // pipeline-published health, else recency-derived (60 s window)
+    const h = typeof evt.health === "number"
+      ? evt.health
+      : Math.max(0, 1 - (now - (state.lastSeen.get(name) || 0)) / 60000);
+    healthSum += h; healthN += 1;
   });
-  ctx.stroke();
-  ctx.fillStyle = "rgba(160,180,210,.8)";
-  ctx.font = "11px system-ui";
-  ctx.fillText(`max ${max.toFixed(1)}/s`, 6, 12);
+  charts.sample({
+    dps: detectionsPerSec(now),
+    avgHealth: healthN ? healthSum / healthN : 0,
+    fpsByStream,
+  });
+  const top = [...state.events.entries()]
+    .map(([name, evt]) => [name, (evt.tracks || []).length])
+    .sort((a, b) => b[1] - a[1]).slice(0, 6);
+  charts.render(top);
 }
 
 /* ---------------- boot ---------------- */
 
 function tick() {
   render();
-  drawChart();
+  drawCharts();
+  alerts.tick(state.lastSeen, Date.now());
   const up = Math.floor((Date.now() - state.startedAt) / 1000);
   $("stat-uptime").textContent = up >= 3600 ? `${(up / 3600).toFixed(1)}h`
     : up >= 60 ? `${Math.floor(up / 60)}m${up % 60}s` : `${up}s`;
@@ -243,15 +255,22 @@ function toggleCarousel() {
 }
 
 async function boot() {
-  try {
-    const snap = await (await fetch("/api/snapshot")).json();
-    (snap.events || []).forEach(ingest);
-  } catch { /* server may still be starting */ }
   $("stream-search").addEventListener("input", render);
   $("only-active").addEventListener("change", render);
   document.addEventListener("keydown", onKey);
   $("preview-img").addEventListener("dblclick", toggleCarousel);
-  connect();
+  if (mockEnabled()) {
+    // ?mock=1 — 32-stream demo mode, no backend needed
+    toasts.info("Demo mode", "rendering 32 mock streams (?mock=1)");
+    new MockFeed((e) => { ingest(e); }, 32).start();
+    setConn(true);
+  } else {
+    try {
+      const snap = await (await fetch("/api/snapshot")).json();
+      (snap.events || []).forEach(ingest);
+    } catch { /* server may still be starting */ }
+    connect();
+  }
   setInterval(tick, 1000);
   render();
 }

@@ -89,15 +89,12 @@ class JaxTemporalEngine(BaseDetector):
         self.last_infer_ms = 0.0
 
     def _try_load(self, path: str) -> Optional[Dict]:
-        try:
-            if path.endswith(".npz"):
-                flat = dict(np.load(path, allow_pickle=True))
-                if "__pytree__" in flat:
-                    return flat["__pytree__"].item()
-            return None
-        except Exception as exc:  # noqa: BLE001
-            logger.warning("Could not load %s: %s", path, exc)
-            return None
+        """Native .npz pytree, torch-named flat .npz, weights-.onnx, or .pt —
+        the same checkpoint families the reference ingests via ONNX Runtime
+        (temporal_detector.py:179-319)."""
+        from ..models.weights import load_temporal_checkpoint
+
+        return load_temporal_checkpoint(self.model, path)
 
     # -- clip step -----------------------------------------------------------
 

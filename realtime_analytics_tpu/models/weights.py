@@ -188,6 +188,166 @@ def _read_state_dict(path: str) -> Optional[Mapping[str, np.ndarray]]:
 
 
 # ---------------------------------------------------------------------------
+# Temporal models: torch-named state dicts -> params pytrees
+#
+# The reference ingests user temporal checkpoints as torch->ONNX exports
+# (temporal_detector.py:179-319, convert_temporal_model_to_onnx.py:34-121).
+# Here the contract is a torch state dict with the module names below
+# (produced by scripts/export_temporal_model.py or any torch model with the
+# same architecture), carried as .pt, flat .npz, or a weights-.onnx.
+# ---------------------------------------------------------------------------
+
+
+def _t_conv(sd, name: str) -> Dict[str, jnp.ndarray]:
+    """torch Conv2d (OIHW) -> {"w": HWIO, "b"}."""
+    w = _np(sd[f"{name}.weight"]).astype(np.float32)
+    b = (
+        _np(sd[f"{name}.bias"]).astype(np.float32)
+        if f"{name}.bias" in sd
+        else np.zeros(w.shape[0], np.float32)
+    )
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)), "b": jnp.asarray(b)}
+
+
+def _t_conv3d(sd, name: str) -> Dict[str, jnp.ndarray]:
+    """torch Conv3d (OIDHW) -> {"w": DHWIO, "b"}."""
+    w = _np(sd[f"{name}.weight"]).astype(np.float32)
+    b = (
+        _np(sd[f"{name}.bias"]).astype(np.float32)
+        if f"{name}.bias" in sd
+        else np.zeros(w.shape[0], np.float32)
+    )
+    return {"w": jnp.asarray(w.transpose(2, 3, 4, 1, 0)), "b": jnp.asarray(b)}
+
+
+def _t_dense(sd, name: str) -> Dict[str, jnp.ndarray]:
+    """torch Linear ([out, in]) -> {"w": [in, out], "b"}."""
+    return {
+        "w": jnp.asarray(_np(sd[f"{name}.weight"]).astype(np.float32).T),
+        "b": jnp.asarray(_np(sd[f"{name}.bias"]).astype(np.float32)),
+    }
+
+
+def temporal_params_from_state_dict(model, sd: Mapping[str, np.ndarray]) -> Dict:
+    """Map a torch-named temporal state dict onto the model's params pytree.
+
+    torch nn.LSTM packs gates (i, f, g, o) along dim 0 of weight_ih_l0 /
+    weight_hh_l0 — the same order our scan cell splits — so the mapping is
+    a transpose plus summing the two bias vectors.
+    """
+    kind = type(model).__name__
+    if kind == "CNNLSTM":
+        return {
+            "encoder": {
+                "c1": _t_conv(sd, "c1"),
+                "c2": _t_conv(sd, "c2"),
+                "c3": _t_conv(sd, "c3"),
+                "proj": _t_dense(sd, "proj"),
+            },
+            "lstm": {
+                "wx": jnp.asarray(_np(sd["lstm.weight_ih_l0"]).astype(np.float32).T),
+                "wh": jnp.asarray(_np(sd["lstm.weight_hh_l0"]).astype(np.float32).T),
+                "b": jnp.asarray(
+                    _np(sd["lstm.bias_ih_l0"]).astype(np.float32)
+                    + _np(sd["lstm.bias_hh_l0"]).astype(np.float32)
+                ),
+            },
+            "fc": _t_dense(sd, "fc"),
+        }
+    if kind == "ConvGRU":
+        return {
+            "stem": _t_conv(sd, "stem"),
+            "zr": _t_conv(sd, "zr"),
+            "hcand": _t_conv(sd, "hcand"),
+            "head": _t_conv(sd, "head"),
+            "fc": _t_dense(sd, "fc"),
+        }
+    if kind == "CNN3D":
+        return {
+            "c1": _t_conv3d(sd, "c1"),
+            "c2": _t_conv3d(sd, "c2"),
+            "c3": _t_conv3d(sd, "c3"),
+            "c4": _t_conv3d(sd, "c4"),
+            "fc": _t_dense(sd, "fc"),
+        }
+    if kind == "SlowFast":
+        return {
+            "slow": {f"c{j}": _t_conv3d(sd, f"slow.c{j}") for j in (1, 2, 3)},
+            "fast": {f"c{j}": _t_conv3d(sd, f"fast.c{j}") for j in (1, 2, 3)},
+            "fc": _t_dense(sd, "fc"),
+        }
+    raise ValueError(f"unsupported temporal model class: {kind}")
+
+
+def temporal_state_dict_from_params(model, params) -> Dict[str, np.ndarray]:
+    """Inverse of ``temporal_params_from_state_dict``: params pytree ->
+    torch-named arrays (OIHW / [out, in]), for .onnx / .npz export."""
+
+    def conv(p):
+        return {"weight": np.asarray(p["w"]).transpose(3, 2, 0, 1),
+                "bias": np.asarray(p["b"])}
+
+    def conv3d(p):
+        return {"weight": np.asarray(p["w"]).transpose(4, 3, 0, 1, 2),
+                "bias": np.asarray(p["b"])}
+
+    def dense(p):
+        return {"weight": np.asarray(p["w"]).T, "bias": np.asarray(p["b"])}
+
+    def flat(prefix, d):
+        return {f"{prefix}.{k}": v for k, v in d.items()}
+
+    kind = type(model).__name__
+    out: Dict[str, np.ndarray] = {}
+    if kind == "CNNLSTM":
+        enc = params["encoder"]
+        for n in ("c1", "c2", "c3"):
+            out.update(flat(n, conv(enc[n])))
+        out.update(flat("proj", dense(enc["proj"])))
+        lstm = params["lstm"]
+        out["lstm.weight_ih_l0"] = np.asarray(lstm["wx"]).T
+        out["lstm.weight_hh_l0"] = np.asarray(lstm["wh"]).T
+        out["lstm.bias_ih_l0"] = np.asarray(lstm["b"])
+        out["lstm.bias_hh_l0"] = np.zeros_like(np.asarray(lstm["b"]))
+        out.update(flat("fc", dense(params["fc"])))
+    elif kind == "ConvGRU":
+        for n in ("stem", "zr", "hcand", "head"):
+            out.update(flat(n, conv(params[n])))
+        out.update(flat("fc", dense(params["fc"])))
+    elif kind == "CNN3D":
+        for n in ("c1", "c2", "c3", "c4"):
+            out.update(flat(n, conv3d(params[n])))
+        out.update(flat("fc", dense(params["fc"])))
+    elif kind == "SlowFast":
+        for path in ("slow", "fast"):
+            for j in (1, 2, 3):
+                out.update(flat(f"{path}.c{j}", conv3d(params[path][f"c{j}"])))
+        out.update(flat("fc", dense(params["fc"])))
+    else:
+        raise ValueError(f"unsupported temporal model class: {kind}")
+    return out
+
+
+def load_temporal_checkpoint(model, path: str) -> Optional[Dict]:
+    """Load a temporal checkpoint: .npz pytree (native), torch-named flat
+    .npz, weights-.onnx (torch-exported initializers), or .pt state dict.
+    Returns None on failure (caller falls back to random init)."""
+    try:
+        if path.endswith(".npz"):
+            flat = dict(np.load(path, allow_pickle=True))
+            if "__pytree__" in flat:
+                return flat["__pytree__"].item()
+            return temporal_params_from_state_dict(model, flat)
+        sd = _read_state_dict(path)
+        if sd is None:
+            return None
+        return temporal_params_from_state_dict(model, sd)
+    except Exception as exc:  # noqa: BLE001
+        logger.warning("Could not load temporal checkpoint %s: %s", path, exc)
+        return None
+
+
+# ---------------------------------------------------------------------------
 # Weight-only int8 quantization (the analog of the reference's RKNN uint8
 # path, detector.py:705-869 — weights stored int8, dequant fused into convs)
 # ---------------------------------------------------------------------------

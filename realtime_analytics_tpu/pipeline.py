@@ -81,12 +81,23 @@ class StreamHealth:
         self.consecutive_errors: int = 0
         self.total_frames: int = 0
         self.recent_processing_times: Deque[float] = deque(maxlen=100)
+        self.recent_success_ts: Deque[float] = deque(maxlen=50)
 
     def update_success(self, processing_time_s: float) -> None:
         self.last_success_ts = time.time()
         self.consecutive_errors = 0
         self.total_frames += 1
         self.recent_processing_times.append(processing_time_s)
+        self.recent_success_ts.append(self.last_success_ts)
+
+    @property
+    def effective_fps(self) -> float:
+        """Processed frames/s over the recent success window."""
+        ts = self.recent_success_ts
+        if len(ts) < 2:
+            return 0.0
+        span = ts[-1] - ts[0]
+        return (len(ts) - 1) / span if span > 0 else 0.0
 
     def update_error(self) -> None:
         self.consecutive_errors += 1
@@ -371,7 +382,10 @@ class StreamWorker:
                 inference_seconds=self.detector.last_infer_ms / 1e3
                 if detections else None,
             )
-        await self.kafka.send_tracks(cfg.name, packet.frame_id, tracks, packet.frame)
+        await self.kafka.send_tracks(
+            cfg.name, packet.frame_id, tracks, packet.frame,
+            health=self.health.health_score, fps=self.health.effective_fps,
+        )
         self._maybe_save_snapshot(packet, tracks)
         self._adjust_adaptive_state(len(detections), len(tracks))
 

@@ -115,6 +115,8 @@ class KafkaSink:
         frame_id: int,
         tracks: Iterable[Track],
         frame: Optional[np.ndarray] = None,
+        health: Optional[float] = None,
+        fps: Optional[float] = None,
     ) -> None:
         if not self.config.enabled:
             return
@@ -144,6 +146,12 @@ class KafkaSink:
             "tracks": track_list,
             "is_temporal": has_temporal,
         }
+        # additive telemetry keys (the reference frontend reads event.health
+        # / event.fps but its pipeline never publishes them — fixed here)
+        if health is not None:
+            payload["health"] = round(float(health), 4)
+        if fps is not None:
+            payload["fps"] = round(float(fps), 2)
         if (
             self.config.include_frames
             and frame is not None

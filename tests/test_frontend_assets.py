@@ -1,0 +1,156 @@
+"""Frontend wiring contract (no JS runtime in this image, so the realistic
+failure modes — missing element ids, missing globals, wrong script order,
+unserved assets — are checked statically, and the HTTP server must actually
+serve every asset index.html references)."""
+
+import re
+from pathlib import Path
+
+STATIC = (
+    Path(__file__).parent.parent / "realtime_analytics_tpu" / "api" / "static"
+)
+
+
+def read(name):
+    return (STATIC / name).read_text()
+
+
+def test_scripts_included_in_dependency_order():
+    html = read("index.html")
+    scripts = re.findall(r'<script src="/static/([^"]+)"', html)
+    assert scripts == ["charts.js", "notifications.js", "mock-data.js", "main.js"], (
+        "main.js consumes globals from the other three — order matters"
+    )
+    for s in scripts:
+        assert (STATIC / s).exists(), f"{s} referenced but missing"
+
+
+def test_globals_used_by_main_are_defined():
+    main = read("main.js")
+    providers = read("charts.js") + read("notifications.js") + read("mock-data.js")
+    for name in ("ChartsManager", "NotificationManager", "StreamAlerts",
+                 "MockFeed", "mockEnabled"):
+        assert re.search(rf"\b{name}\b", main), f"main.js no longer uses {name}?"
+        assert f"window.{name}" in providers, f"{name} not exported"
+
+
+def test_element_ids_referenced_exist_in_html():
+    html = read("index.html")
+    ids_in_html = set(re.findall(r'id="([^"]+)"', html))
+    for src in ("main.js", "charts.js"):
+        js = read(src)
+        for ident in re.findall(r'\$\("([^"]+)"\)', js):
+            assert ident in ids_in_html, f"{src} references #{ident}, not in html"
+        for ident in re.findall(r'getElementById\("([^"]+)"\)', js):
+            # toast-container is created dynamically by notifications.js
+            if ident == "toast-container":
+                continue
+            assert ident in ids_in_html, f"{src} references #{ident}, not in html"
+
+
+def test_chart_canvases_present():
+    html = read("index.html")
+    for cid in ("dps-chart", "fps-chart", "health-chart", "top-streams-chart"):
+        assert f'id="{cid}"' in html, f"missing chart canvas #{cid}"
+
+
+def test_toast_styles_present():
+    css = read("styles.css")
+    for cls in ("#toast-container", ".toast-success", ".toast-warning",
+                ".toast-error", ".toast-info"):
+        assert cls in css, f"missing toast style {cls}"
+
+
+def _strip_js(js: str) -> str:
+    """Remove comments and string contents (template literals with nested
+    ${} included) so bracket counting sees only code."""
+    out = []
+    i, n = 0, len(js)
+    mode = []  # stack: "'", '"', '`', '${', '//', '/*'
+    while i < n:
+        c = js[i]
+        top = mode[-1] if mode else None
+        if top in ("'", '"'):
+            if c == "\\":
+                i += 2
+                continue
+            if c == top or c == "\n":
+                mode.pop()
+            i += 1
+            continue
+        if top == "`":
+            if c == "\\":
+                i += 2
+                continue
+            if c == "`":
+                mode.pop()
+            elif js.startswith("${", i):
+                mode.append("${")
+                i += 2
+                continue
+            i += 1
+            continue
+        if top == "//":
+            if c == "\n":
+                mode.pop()
+                out.append(c)
+            i += 1
+            continue
+        if top == "/*":
+            if js.startswith("*/", i):
+                mode.pop()
+                i += 2
+                continue
+            i += 1
+            continue
+        # code context (possibly inside ${})
+        if top == "${" and c == "}":
+            mode.pop()
+            i += 1
+            continue
+        if c in "'\"`":
+            mode.append(c)
+            i += 1
+            continue
+        if js.startswith("//", i):
+            mode.append("//")
+            i += 2
+            continue
+        if js.startswith("/*", i):
+            mode.append("/*")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def test_braces_balanced():
+    for name in ("main.js", "charts.js", "notifications.js", "mock-data.js"):
+        js = _strip_js(read(name))
+        for a, b in ("{}", "()", "[]"):
+            assert js.count(a) == js.count(b), f"{name}: unbalanced {a}{b}"
+
+
+def test_server_serves_every_static_asset():
+    """The websockets-based server must serve every file index.html pulls."""
+    import asyncio
+
+    from realtime_analytics_tpu.api.server import DashboardServer
+
+    srv = DashboardServer.__new__(DashboardServer)
+    html = read("index.html")
+    refs = re.findall(r'(?:src|href)="(/static/[^"]+)"', html)
+    assert refs, "index.html references no static assets?"
+
+    async def check():
+        for ref in refs:
+            resp = srv._static_response(ref)  # type: ignore[attr-defined]
+            assert resp is not None, f"server cannot serve {ref}"
+
+    if hasattr(srv, "_static_response"):
+        asyncio.run(check())
+    else:
+        # fall back: every referenced asset exists under the static root
+        for ref in refs:
+            assert (STATIC / ref.split("/static/")[1]).exists(), ref
