@@ -292,15 +292,34 @@ class DetectorConfig:
 
 @dataclass
 class TrackerConfig:
-    """IOU tracker configuration (ByteTrack-style lifecycle)."""
+    """Tracker configuration.
+
+    ``type``:
+      * "byte_track" / "iou" — the reference's IOU tracker contract
+        (the reference only *labels* its IOU tracker byte_track,
+        tracker.py:38-43; the shim stays default for config parity);
+      * "byte_track_full" — genuine ByteTrack: two-stage association
+        (high-confidence first, then low-confidence rescue of unmatched
+        tracks) with an optional Kalman constant-velocity motion model.
+    """
 
     type: str = "byte_track"
     max_age: int = 30
     max_iou_distance: float = 0.7  # despite the name: minimum IoU to match (ref quirk)
     min_hits: int = 3
     max_tracks_per_stream: int = 256  # TPU extension: padding bound for vectorized assoc
+    # ---- byte_track_full knobs (ByteTrack paper defaults) ----
+    high_thresh: float = 0.5  # stage-1 detection confidence gate
+    low_thresh: float = 0.1  # stage-2 lower confidence bound
+    new_track_thresh: float = 0.6  # min confidence to start a track
+    match_thresh: float = 0.8  # stage-1 min IoU
+    use_kalman: bool = True  # constant-velocity motion model
 
     def validate(self) -> None:
+        if self.type not in {"byte_track", "iou", "byte_track_full"}:
+            raise ConfigError(
+                "Tracker type must be one of: byte_track, iou, byte_track_full"
+            )
         if self.max_age < 1:
             raise ConfigError("Tracker max_age must be >= 1")
         if self.max_iou_distance <= 0:
@@ -309,6 +328,10 @@ class TrackerConfig:
             raise ConfigError("Tracker min_hits must be >= 0")
         if self.max_tracks_per_stream < 1:
             raise ConfigError("Tracker max_tracks_per_stream must be >= 1")
+        if not (0.0 <= self.low_thresh <= self.high_thresh <= 1.0):
+            raise ConfigError("need 0 <= low_thresh <= high_thresh <= 1")
+        if not (0.0 < self.match_thresh <= 1.0):
+            raise ConfigError("match_thresh must be in (0, 1]")
 
 
 @dataclass

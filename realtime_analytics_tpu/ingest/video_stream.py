@@ -37,7 +37,7 @@ class StreamSourceError(RuntimeError):
     """Raised when a stream source cannot be opened or permanently fails."""
 
 
-def _open_capture(url: str):
+def _open_capture(url: str, target_fps: float = 0.0, name: str = "?"):
     if url.startswith("synthetic://"):
         return SyntheticSource.from_url(url)
     try:
@@ -51,9 +51,28 @@ def _open_capture(url: str):
         # some builds need the default backend for plain files
         cap = cv2.VideoCapture(url)
     if cap.isOpened():
-        # low-latency: minimal internal buffering (reference video_stream.py:112)
+        # capture configuration (reference video_stream.py:97-142): request
+        # the target rate, keep internal buffering minimal for low latency,
+        # and log the negotiated codec/resolution so stream debugging
+        # doesn't need ffprobe
         try:
+            if target_fps > 0:
+                cap.set(cv2.CAP_PROP_FPS, float(target_fps))
             cap.set(cv2.CAP_PROP_BUFFERSIZE, 1)
+        except Exception:  # pragma: no cover  # noqa: BLE001
+            pass
+        try:
+            fourcc = int(cap.get(cv2.CAP_PROP_FOURCC))
+            codec = (
+                "".join(chr((fourcc >> (8 * i)) & 0xFF) for i in range(4)).strip()
+                or "unknown"
+            )
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            fps = cap.get(cv2.CAP_PROP_FPS)
+            logger.info(
+                "Stream '%s': codec=%s %dx%d @ %.1f fps", name, codec, w, h, fps
+            )
         except Exception:  # pragma: no cover  # noqa: BLE001
             pass
     return cap
@@ -73,7 +92,10 @@ class VideoStream:
         await self.close()
 
     async def open(self) -> None:
-        cap = await asyncio.to_thread(_open_capture, self.config.url)
+        cap = await asyncio.to_thread(
+            _open_capture, self.config.url, self.config.target_fps,
+            self.config.name,
+        )
         if cap is None or not cap.isOpened():
             raise StreamSourceError(
                 f"Stream '{self.config.name}': cannot open url '{self.config.url}'"

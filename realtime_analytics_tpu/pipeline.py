@@ -462,7 +462,9 @@ class AnalyticsPipeline:
     def __init__(self, config: PipelineConfig):
         config.validate()
         self.config = config
-        self.tracker = IouTracker(config.tracker)
+        from .bytetrack import create_tracker
+
+        self.tracker = create_tracker(config.tracker)
         self.kafka = KafkaSink(config.kafka)
         self.metrics = MetricsPublisher(config.prometheus)
         self.scheduler = StreamScheduler()

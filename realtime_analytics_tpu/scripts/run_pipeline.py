@@ -32,6 +32,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="run for N seconds then exit (default: run until SIGINT/SIGTERM)",
     )
     parser.add_argument(
+        "--shards", type=int, default=None, metavar="K",
+        help="supervisor mode: spawn K pipeline processes that split the "
+             "stream list round-robin and publish to one shared bus (one "
+             "process per chip on a multi-chip host)",
+    )
+    parser.add_argument(
+        "--shard-device-env", choices=["none", "tpu"], default="none",
+        help="with --shards on a multi-chip TPU host: 'tpu' pins shard i to "
+             "chip i via TPU_VISIBLE_DEVICES",
+    )
+    parser.add_argument(
+        "--shard-index", type=int, default=None, help=argparse.SUPPRESS,
+    )
+    parser.add_argument(
+        "--shard-count", type=int, default=None, help=argparse.SUPPRESS,
+    )
+    parser.add_argument(
         "--jax-profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the run into DIR",
     )
@@ -39,11 +56,100 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def shard_config(config, index: int, count: int):
+    """Restrict a pipeline config to shard ``index`` of ``count``: enabled
+    streams split round-robin; the Prometheus port offsets by the shard
+    index so every shard exports metrics."""
+    enabled = [s for s in config.streams if s.enabled]
+    keep = {s.name for i, s in enumerate(enabled) if i % count == index}
+    config.streams = [s for s in config.streams if s.name in keep]
+    if config.prometheus.enabled:
+        config.prometheus.port += index
+    return config
+
+
+def _wait_for_port(host: str, port: int, timeout_s: float = 30.0) -> bool:
+    import socket
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        try:
+            with socket.create_connection((host, port), timeout=1.0):
+                return True
+        except OSError:
+            _time.sleep(0.2)
+    return False
+
+
+def run_shards(args) -> int:
+    """Supervisor: one pipeline process per shard, one shared bus.
+
+    Shard 0 hosts the eventbus broker (when --broker); the others spawn
+    once the bus port answers, so no shard races the broker. Signals are
+    forwarded; the supervisor exits with the worst child rc.
+    """
+    import os
+    import signal
+    import subprocess
+
+    from ..config import load_config
+
+    config = load_config(args.config)
+    n_enabled = sum(1 for s in config.streams if s.enabled)
+    k = max(1, min(args.shards, n_enabled))
+    logger.info("supervisor: %d shards over %d streams", k, n_enabled)
+
+    def cmd(i: int):
+        c = [sys.executable, "-m", "realtime_analytics_tpu.scripts.run_pipeline",
+             "--config", args.config,
+             "--shard-index", str(i), "--shard-count", str(k),
+             "--log-level", args.log_level]
+        if args.duration:
+            c += ["--duration", str(args.duration)]
+        if i == 0 and args.broker:
+            c += ["--broker"]
+        return c
+
+    def env_for(i: int):
+        env = dict(os.environ)
+        env["RVA_SHARD_INDEX"] = str(i)
+        if args.shard_device_env == "tpu":
+            env["TPU_VISIBLE_DEVICES"] = str(i)
+        return env
+
+    procs = [subprocess.Popen(cmd(0), env=env_for(0))]
+    if args.broker and config.kafka.enabled and config.kafka.transport == "eventbus":
+        host, _, port = config.kafka.bootstrap_servers.partition(":")
+        if not _wait_for_port(host or "127.0.0.1", int(port or 9192)):
+            logger.error("bus port never came up — aborting remaining shards")
+            procs[0].terminate()
+            return procs[0].wait() or 1
+    procs += [subprocess.Popen(cmd(i), env=env_for(i)) for i in range(1, k)]
+
+    def forward(signum, _frame):
+        for p in procs:
+            if p.poll() is None:
+                p.send_signal(signum)
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, forward)
+    rcs = [p.wait() for p in procs]
+    logger.info("supervisor: shard exit codes %s", rcs)
+    return max(abs(rc) for rc in rcs)
+
+
 async def _amain(args) -> int:
     from ..config import load_config
     from ..pipeline import AnalyticsPipeline
 
     config = load_config(args.config)
+    if args.shard_index is not None and args.shard_count:
+        config = shard_config(config, args.shard_index, args.shard_count)
+        logger.info(
+            "shard %d/%d: serving %d streams",
+            args.shard_index, args.shard_count, len(config.streams),
+        )
 
     broker = None
     if args.broker and config.kafka.enabled and config.kafka.transport == "eventbus":
@@ -78,6 +184,8 @@ def main(argv=None) -> int:
         no_color=args.no_color,
     )
     try:
+        if args.shards and args.shards > 1 and args.shard_index is None:
+            return run_shards(args)
         rc = asyncio.run(_amain(args))
     except KeyboardInterrupt:
         logger.info("interrupted — shut down cleanly")

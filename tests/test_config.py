@@ -194,3 +194,20 @@ def test_ffmpeg_simulator_requires_rtsp():
     )
     with pytest.raises(ConfigError, match="RTSP"):
         s.validate()
+
+
+def test_shipped_config_corpus_loads():
+    """Every YAML under config/ must load and validate (the reference ships
+    a bit-rotted demo-config.yaml — reference config.py:78 splat crash;
+    this gate keeps ours honest)."""
+    from pathlib import Path
+
+    from realtime_analytics_tpu.config import load_config
+
+    corpus = sorted(
+        (Path(__file__).parent.parent / "config").glob("*.yaml")
+    )
+    assert len(corpus) >= 7, f"expected a full config corpus, got {corpus}"
+    for path in corpus:
+        cfg = load_config(str(path))
+        assert cfg.streams, f"{path.name}: no streams"

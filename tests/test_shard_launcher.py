@@ -1,0 +1,134 @@
+"""Multi-chip stream-sharding launcher (round-1 VERDICT #10).
+
+``run_pipeline --shards K`` starts K pipeline processes that split the
+stream list round-robin and publish to ONE shared eventbus — the process
+topology for a multi-chip TPU host (one pipeline per chip, docs/deployment).
+The integration test runs the real launcher with 2 shards over 4 synthetic
+streams on the CPU backend and asserts every stream's events reach the bus.
+"""
+
+import asyncio
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+from realtime_analytics_tpu.config import load_config
+from realtime_analytics_tpu.scripts.run_pipeline import shard_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUS_PORT = 19411
+
+
+def _config_dict(n_streams=4, frames=40):
+    return {
+        "streams": [
+            {
+                "name": f"cam-{i}",
+                "url": f"synthetic://?width=96&height=64&frames={frames}&seed={i}",
+                "target_fps": 30,
+                "warmup_seconds": 0.0,
+                "max_retries": 0,
+                "batch_size": 2,
+            }
+            for i in range(n_streams)
+        ],
+        "detector": {
+            "model_path": "__random__.pt",
+            "confidence_threshold": 0.005,
+            "input_size": [64, 64],
+            "max_batch_size": 2,
+            "batch_buckets": [2],
+            "precision": "fp32",
+            "warmup": False,
+            "pre_nms_topk": 64,
+            "max_detections": 8,
+        },
+        "tracker": {"min_hits": 1},
+        "kafka": {
+            "enabled": True,
+            "transport": "eventbus",
+            "bootstrap_servers": f"127.0.0.1:{BUS_PORT}",
+            "topic": "analytics.events",
+            "include_frames": False,
+        },
+        "prometheus": {"enabled": False},
+        "snapshots": {"enabled": False},
+        "stats_interval_seconds": 60,
+    }
+
+
+def test_shard_config_splits_round_robin(tmp_path):
+    path = tmp_path / "c.yaml"
+    path.write_text(yaml.safe_dump(_config_dict(5)))
+    got = {}
+    for i in range(2):
+        cfg = shard_config(load_config(str(path)), i, 2)
+        got[i] = [s.name for s in cfg.streams]
+    assert got[0] == ["cam-0", "cam-2", "cam-4"]
+    assert got[1] == ["cam-1", "cam-3"]
+
+
+def test_shard_config_offsets_prometheus_port(tmp_path):
+    d = _config_dict(4)
+    d["prometheus"] = {"enabled": True, "port": 9400}
+    path = tmp_path / "c.yaml"
+    path.write_text(yaml.safe_dump(d))
+    assert shard_config(load_config(str(path)), 0, 2).prometheus.port == 9400
+    assert shard_config(load_config(str(path)), 1, 2).prometheus.port == 9401
+
+
+@pytest.mark.slow
+def test_launcher_runs_two_shards_one_bus(tmp_path):
+    path = tmp_path / "c.yaml"
+    path.write_text(yaml.safe_dump(_config_dict(4, frames=60)))
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "realtime_analytics_tpu.scripts.run_pipeline",
+         "--config", str(path), "--shards", "2", "--broker",
+         "--duration", "75", "--log-level", "INFO"],
+        cwd=REPO, env=dict(os.environ),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+    streams_seen = set()
+
+    async def consume():
+        from realtime_analytics_tpu.sinks.eventbus import EventBusSubscriber
+
+        # broker is inside shard 0; wait for it
+        sub = EventBusSubscriber("127.0.0.1", BUS_PORT, "analytics.events")
+        for _ in range(150):
+            try:
+                await sub.connect()
+                break
+            except OSError:
+                await asyncio.sleep(0.2)
+        else:
+            return
+        try:
+            async with asyncio.timeout(90):
+                async for payload in sub.messages():
+                    if payload and "stream" in payload:
+                        streams_seen.add(payload["stream"])
+                    if len(streams_seen) == 4:
+                        return
+        except TimeoutError:
+            pass
+        finally:
+            await sub.close()
+
+    try:
+        asyncio.run(consume())
+    finally:
+        out, _ = proc.communicate(timeout=120)
+
+    assert streams_seen == {"cam-0", "cam-1", "cam-2", "cam-3"}, (
+        f"bus saw {streams_seen}; launcher output tail:\n{out[-2000:]}"
+    )
+    assert "shard 0/2: serving 2 streams" in out
+    assert "shard 1/2: serving 2 streams" in out
+    assert proc.returncode == 0, out[-2000:]
