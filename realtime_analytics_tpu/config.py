@@ -217,6 +217,12 @@ class DetectorConfig:
     mesh_shape: Optional[List[int]] = None  # e.g. [4, 2] for (dp, tp); None = 1 chip
     compile_cache_dir: Optional[str] = None  # persistent jit cache (≙ .engine files)
     pallas_preprocess: str = "auto"  # auto | on | off: fused MXU letterbox kernel
+    # When the letterbox ratio is an odd integer per axis (1080p->640 is
+    # exactly 3x), bilinear resize degenerates to an exact pixel pick — do
+    # it on the HOST before upload: H2D bytes drop 8.6x (6 MB -> 0.7 MB per
+    # 1080p frame) and the device-side resize disappears. "off" keeps the
+    # full-frame device path (e.g. on a host with too few cores).
+    host_select: str = "auto"  # auto | off
     # source resolution to pre-compile for when `warmup: true` and a stream's
     # resolution can't be inferred from its URL (synthetic:// encodes it);
     # [H, W], default 1080p
@@ -257,6 +263,8 @@ class DetectorConfig:
             raise ConfigError("max_batch_size must be >= 1")
         if self.max_detections < 1:
             raise ConfigError("max_detections must be >= 1")
+        if self.host_select not in {"auto", "off"}:
+            raise ConfigError("host_select must be 'auto' or 'off'")
         if self.precision not in {"bf16", "fp32", "int8"}:
             raise ConfigError("precision must be one of: bf16, fp32, int8")
         if self.batch_buckets is not None:

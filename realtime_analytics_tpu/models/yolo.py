@@ -127,9 +127,18 @@ class YoloModel:
 
     # -- forward -----------------------------------------------------------
 
-    def apply(self, params: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def apply(
+        self, params: Dict, x: jnp.ndarray, reduce_scores: bool = False
+    ) -> Dict[str, jnp.ndarray]:
         """x: [N, H, W, 3] normalized RGB (NHWC). Returns decoded outputs:
         {"boxes_xyxy": [N, A, 4] input-pixel xyxy, "scores": [N, A, nc]}.
+
+        ``reduce_scores=True`` returns {"boxes_xyxy", "conf": [N, A],
+        "cls": [N, A]} instead: the per-anchor max/argmax is taken on the
+        raw logits per level (sigmoid is monotonic, so
+        max(sigmoid(l)) == sigmoid(max(l))), which keeps the full
+        [N, A, nc] f32 score matrix out of HBM — the serving NMS only needs
+        (conf, cls) anyway (engine detector.py; ~1 ms/step at batch 128).
         """
         layers = params["layers"]
         outs: List[Optional[jnp.ndarray]] = [None] * len(self.nodes)
@@ -154,9 +163,9 @@ class YoloModel:
             elif node.kind == "concat":
                 y = jnp.concatenate(ins, axis=-1)
             elif node.kind == "detect_v8":
-                return _detect_v8(p, ins, self.nc, q)
+                return _detect_v8(p, ins, self.nc, q, reduce_scores)
             elif node.kind == "detect_v5":
-                return _detect_v5(p, ins, self.nc)
+                return _detect_v5(p, ins, self.nc, reduce_scores)
             else:  # pragma: no cover
                 raise ValueError(f"unknown node kind {node.kind}")
             outs[i] = y
@@ -261,9 +270,10 @@ def _init_detect_v8(key, ch: Sequence[int], nc: int):
     return {"cv2": cv2, "cv3": cv3}
 
 
-def _detect_v8(p, feats: Sequence[jnp.ndarray], nc: int, q: bool = False) -> Dict[str, jnp.ndarray]:
+def _detect_v8(p, feats: Sequence[jnp.ndarray], nc: int, q: bool = False,
+               reduce_scores: bool = False) -> Dict[str, jnp.ndarray]:
     proj = jnp.arange(REG_MAX, dtype=jnp.float32)
-    boxes_all, scores_all = [], []
+    boxes_all, scores_all, conf_all, cls_all = [], [], [], []
     for lvl, x in enumerate(feats):
         stride = float(STRIDES[lvl])
         n, h, w, _ = x.shape
@@ -284,13 +294,28 @@ def _detect_v8(p, feats: Sequence[jnp.ndarray], nc: int, q: bool = False) -> Dic
         x2 = (gx + dist[..., 2]) * stride
         y2 = (gy + dist[..., 3]) * stride
         boxes = jnp.stack([x1, y1, x2, y2], axis=-1).reshape(n, h * w, 4)
-        scores = jax.nn.sigmoid(cls_f.astype(jnp.float32)).reshape(n, h * w, nc)
         boxes_all.append(boxes)
-        scores_all.append(scores)
-    return {
-        "boxes_xyxy": jnp.concatenate(boxes_all, axis=1),
-        "scores": jnp.concatenate(scores_all, axis=1),
-    }
+        if reduce_scores:
+            # max/argmax on the raw (bf16) logits, sigmoid on [N, h*w] only
+            conf_all.append(
+                jax.nn.sigmoid(
+                    jnp.max(cls_f, axis=-1).astype(jnp.float32)
+                ).reshape(n, h * w)
+            )
+            cls_all.append(
+                jnp.argmax(cls_f, axis=-1).astype(jnp.int32).reshape(n, h * w)
+            )
+        else:
+            scores_all.append(
+                jax.nn.sigmoid(cls_f.astype(jnp.float32)).reshape(n, h * w, nc)
+            )
+    out = {"boxes_xyxy": jnp.concatenate(boxes_all, axis=1)}
+    if reduce_scores:
+        out["conf"] = jnp.concatenate(conf_all, axis=1)
+        out["cls"] = jnp.concatenate(cls_all, axis=1)
+    else:
+        out["scores"] = jnp.concatenate(scores_all, axis=1)
+    return out
 
 
 def _init_detect_v5(key, ch: Sequence[int], nc: int):
@@ -311,17 +336,19 @@ def _init_detect_v5(key, ch: Sequence[int], nc: int):
             "anchors": jnp.asarray(V5_ANCHORS, dtype=jnp.float32)}
 
 
-def _detect_v5(p, feats: Sequence[jnp.ndarray], nc: int) -> Dict[str, jnp.ndarray]:
+def _detect_v5(p, feats: Sequence[jnp.ndarray], nc: int,
+               reduce_scores: bool = False) -> Dict[str, jnp.ndarray]:
     na = len(V5_ANCHORS[0])
     anchor_table = p.get("anchors")
     if anchor_table is None:
         anchor_table = jnp.asarray(V5_ANCHORS, dtype=jnp.float32)
-    boxes_all, scores_all = [], []
+    boxes_all, scores_all, conf_all, cls_all = [], [], [], []
     for lvl, x in enumerate(feats):
         stride = float(STRIDES[lvl])
         n, h, w, _ = x.shape
-        y = conv2d(x, get_weight(p["m"][lvl], x.dtype), p["m"][lvl]["b"])
-        y = jax.nn.sigmoid(y.astype(jnp.float32).reshape(n, h, w, na, nc + 5))
+        raw = conv2d(x, get_weight(p["m"][lvl], x.dtype), p["m"][lvl]["b"])
+        raw = raw.reshape(n, h, w, na, nc + 5)
+        y = jax.nn.sigmoid(raw[..., :5].astype(jnp.float32))
         gx, gy = jnp.meshgrid(
             jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
         )
@@ -333,13 +360,30 @@ def _detect_v5(p, feats: Sequence[jnp.ndarray], nc: int) -> Dict[str, jnp.ndarra
         boxes = jnp.stack(
             [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
         ).reshape(n, h * w * na, 4)
-        scores = (y[..., 5:] * y[..., 4:5]).reshape(n, h * w * na, nc)
         boxes_all.append(boxes)
-        scores_all.append(scores)
-    return {
-        "boxes_xyxy": jnp.concatenate(boxes_all, axis=1),
-        "scores": jnp.concatenate(scores_all, axis=1),
-    }
+        obj = y[..., 4]
+        if reduce_scores:
+            # conf = sigmoid(obj) * max(sigmoid(cls)); sigmoid is monotonic
+            # so the max runs on the raw logits and the full [*, nc] f32
+            # score tensor never materializes
+            best = jnp.max(raw[..., 5:], axis=-1).astype(jnp.float32)
+            conf_all.append((obj * jax.nn.sigmoid(best)).reshape(n, h * w * na))
+            cls_all.append(
+                jnp.argmax(raw[..., 5:], axis=-1).astype(jnp.int32)
+                .reshape(n, h * w * na)
+            )
+        else:
+            cls_probs = jax.nn.sigmoid(raw[..., 5:].astype(jnp.float32))
+            scores_all.append(
+                (cls_probs * obj[..., None]).reshape(n, h * w * na, nc)
+            )
+    out = {"boxes_xyxy": jnp.concatenate(boxes_all, axis=1)}
+    if reduce_scores:
+        out["conf"] = jnp.concatenate(conf_all, axis=1)
+        out["cls"] = jnp.concatenate(cls_all, axis=1)
+    else:
+        out["scores"] = jnp.concatenate(scores_all, axis=1)
+    return out
 
 
 # ---------------------------------------------------------------------------

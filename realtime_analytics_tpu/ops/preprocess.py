@@ -113,12 +113,28 @@ def preprocess_batch(
 
     Returns [N, 3, dst_h, dst_w] (or NHWC) in ``out_dtype``, RGB in [0, 1].
     """
-    x = frames.astype(jnp.float32)
-    if (spec.new_h, spec.new_w) != (spec.src_h, spec.src_w):
-        x = _resize_axis(x, 1, spec.src_h, spec.new_h)
-        x = _resize_axis(x, 2, spec.src_w, spec.new_w)
-        if round_uint8:
-            x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    needs_resize = (spec.new_h, spec.new_w) != (spec.src_h, spec.src_w)
+    int_ratio = (
+        needs_resize
+        and spec.src_h % spec.new_h == 0
+        and spec.src_w % spec.new_w == 0
+        and (spec.src_h // spec.new_h) % 2 == 1
+        and (spec.src_w // spec.new_w) % 2 == 1
+    )
+    if int_ratio:
+        # odd-integer ratio (1080p->640 is exactly 3x): bilinear degenerates
+        # to a strided slice — do it on the *uint8* input so the full-res
+        # frame is never materialized in f32 (at batch 128 that cast alone
+        # is ~3.2 GB of HBM traffic, w+r ~8 ms)
+        x = _resize_axis(frames, 1, spec.src_h, spec.new_h)
+        x = _resize_axis(x, 2, spec.src_w, spec.new_w).astype(jnp.float32)
+    else:
+        x = frames.astype(jnp.float32)
+        if needs_resize:
+            x = _resize_axis(x, 1, spec.src_h, spec.new_h)
+            x = _resize_axis(x, 2, spec.src_w, spec.new_w)
+            if round_uint8:
+                x = jnp.clip(jnp.round(x), 0.0, 255.0)
     pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
     pad_right = spec.dst_w - spec.new_w - spec.pad_left
     x = jnp.pad(

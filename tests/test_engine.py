@@ -198,3 +198,53 @@ def test_batcher_per_stream_inflight_cap(yolo_engine):
     first, second = asyncio.run(run())
     assert second is None  # shed by in-flight cap (None, never a clean [])
     assert isinstance(first, list)
+
+
+def test_host_select_path_matches_full_path():
+    """For odd-integer letterbox ratios (e.g. 3x) the host-picked path must
+    produce identical detections to the full-frame device path — the pick
+    selects the exact pixels bilinear would."""
+    import numpy as np
+
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    def make(host_select):
+        return DetectorConfig(
+            model_path="__random__.pt", confidence_threshold=0.01,
+            input_size=[64, 64], max_batch_size=2, batch_buckets=[2],
+            precision="fp32", warmup=False, pre_nms_topk=64,
+            max_detections=16, host_select=host_select,
+        )
+
+    eng_sel = JaxYoloEngine(make("auto"))
+    eng_off = JaxYoloEngine(make("off"), params=eng_sel.params)
+    # 192x192 -> 64x64 letterbox: exactly 3x on both axes
+    frames = np.random.default_rng(7).integers(
+        0, 256, (2, 192, 192, 3), dtype=np.uint8
+    )
+    prepared, selected = eng_sel.host_prepare(frames, (192, 192))
+    assert selected and prepared.shape == (2, 64, 64, 3)
+
+    got = eng_sel.predict_arrays(frames)
+    want = eng_off.predict_arrays(frames)
+    np.testing.assert_array_equal(got.num_valid, want.num_valid)
+    np.testing.assert_allclose(got.boxes_xyxy, want.boxes_xyxy,
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(got.class_ids, want.class_ids)
+
+
+def test_host_select_disabled_for_fractional_ratios():
+    import numpy as np
+
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    eng = JaxYoloEngine(DetectorConfig(
+        model_path="__random__.pt", input_size=[64, 64], warmup=False,
+        max_batch_size=2, batch_buckets=[2], precision="fp32",
+    ))
+    frames = np.zeros((1, 100, 150, 3), dtype=np.uint8)
+    prepared, selected = eng.host_prepare(frames, (100, 150))
+    assert not selected and prepared is frames

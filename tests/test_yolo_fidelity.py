@@ -80,3 +80,37 @@ def test_size_from_model_path():
     assert size_from_model_path("models/yolov8s.pt") == "s"
     assert size_from_model_path("/x/yolov5m.onnx") == "m"
     assert size_from_model_path("custom.pt", default="n") == "n"
+
+
+@pytest.mark.parametrize("model_type", ["yolov8", "yolov5"])
+def test_reduce_scores_matches_full_decode(model_type):
+    """The serving decode (reduce_scores=True: per-anchor max/argmax on raw
+    logits, sigmoid monotonicity) must equal max/argmax of the full score
+    matrix — same boxes, same conf, same class ids."""
+    import jax
+    import jax.numpy as jnp
+
+    model = build_yolo(model_type, "n", nc=16)
+    params = model.init_params(jax.random.PRNGKey(3))
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    )
+    full = model.apply(params, x)
+    red = model.apply(params, x, reduce_scores=True)
+
+    np.testing.assert_allclose(
+        np.asarray(red["boxes_xyxy"]), np.asarray(full["boxes_xyxy"]), rtol=1e-5
+    )
+    scores = np.asarray(full["scores"])
+    np.testing.assert_allclose(
+        np.asarray(red["conf"]), scores.max(-1), rtol=1e-5, atol=1e-6
+    )
+    # argmax ties are broken identically only when scores differ; mask ties
+    want_cls = scores.argmax(-1)
+    got_cls = np.asarray(red["cls"])
+    agree = want_cls == got_cls
+    tie = (
+        np.take_along_axis(scores, got_cls[..., None], -1)[..., 0]
+        >= scores.max(-1) - 1e-6
+    )
+    assert np.all(agree | tie)
