@@ -343,6 +343,21 @@ def main() -> None:
             pipe = bench_pipeline_latency(step_by_bucket, pcie_ms_per_frame)
         except Exception as exc:  # noqa: BLE001
             pipe = {"error": str(exc)[:200]}
+        # analytic p50 floor at FULL 32-stream load on an unconstrained
+        # host: frames wait at most one batch window, then ~half a batch
+        # service for a pipelined slot, then their own batch's wall time
+        b16 = step_by_bucket.get(16)
+        if b16 is not None:
+            wall16 = b16 + 16 * pcie_ms_per_frame
+            pipe["slo_decomposition_32streams"] = {
+                "model": "p50_floor = batch_window + 0.5*batch_wall(b16) +"
+                         " batch_wall(b16); host add-on measured above",
+                "batch_window_ms": 4.0,
+                "batch_wall_b16_ms": round(wall16, 1),
+                "p50_floor_ms": round(4.0 + 1.5 * wall16, 1),
+                "slo_ms": LATENCY_SLO_MS,
+                "floor_meets_slo": bool(4.0 + 1.5 * wall16 <= LATENCY_SLO_MS),
+            }
 
     print(
         json.dumps(

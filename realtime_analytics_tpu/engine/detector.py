@@ -476,6 +476,16 @@ class JaxResNetEngine(BaseDetector):
         self._steps: Dict[Tuple[int, int, int], object] = {}
         self.last_infer_ms = 0.0
 
+    def warmup(self, src_hw: Tuple[int, int], buckets: Optional[Sequence[int]] = None):
+        """Pre-compile classification steps (reference warms every backend,
+        detector.py:938-943)."""
+        buckets = buckets or self.config.resolved_buckets
+        for b in buckets:
+            step = self._get_step(b, src_hw)
+            r = step(self.params, jnp.zeros((b, *src_hw, 3), jnp.uint8))
+            jax.block_until_ready(r)
+            logger.info("resnet warmup: compiled bucket B=%d src=%s", b, src_hw)
+
     def _get_step(self, batch: int, src_hw: Tuple[int, int]):
         key = (batch, *src_hw)
         step = self._steps.get(key)

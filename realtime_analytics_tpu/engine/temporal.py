@@ -98,6 +98,17 @@ class JaxTemporalEngine(BaseDetector):
 
     # -- clip step -----------------------------------------------------------
 
+    def warmup(self, src_hw: Tuple[int, int], buckets=None) -> None:
+        """Pre-compile the clip step for each bucket (reference warms its
+        temporal sessions too, temporal_detector.py:231-249)."""
+        buckets = buckets or self.config.resolved_buckets
+        t_len = self.config.sequence_length
+        for b in buckets:
+            step = self._get_step(b, src_hw)
+            clips = jnp.zeros((b, t_len, *src_hw, 3), jnp.uint8)
+            jax.block_until_ready(step(self.params, clips))
+            logger.info("temporal warmup: compiled bucket B=%d src=%s", b, src_hw)
+
     def _get_step(self, batch: int, src_hw: Tuple[int, int]):
         key = (batch, *src_hw)
         step = self._steps.get(key)

@@ -76,3 +76,39 @@ def test_scheduler_errors_trigger_decrease():
     sched.register(h)
     sched.record_processing_time(0.01)
     assert sched.recommend_adaptive_adjustment("s") == "decrease"
+
+
+def test_every_engine_supports_warmup():
+    """`detector.warmup: true` must pre-compile EVERY engine family — the
+    reference warms all its backends (detector.py:131-140, 938-943,
+    temporal_detector.py:231-249); round 1 only warmed YOLO."""
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import (
+        JaxResNetEngine,
+        JaxYoloEngine,
+    )
+    from realtime_analytics_tpu.engine.temporal import JaxTemporalEngine
+
+    yolo = JaxYoloEngine(DetectorConfig(
+        model_path="__random__.pt", warmup=False, input_size=[64, 64],
+        max_batch_size=1, batch_buckets=[1], precision="fp32",
+        pre_nms_topk=64, max_detections=8,
+    ))
+    yolo.warmup((96, 96))
+    assert any(k[0] == 1 for k in yolo._steps)
+
+    resnet = JaxResNetEngine(DetectorConfig(
+        model_path="resnet18.pt", model_type="resnet", backend="onnx",
+        resnet_num_classes=10, input_size=[64, 64], precision="fp32",
+        max_batch_size=1, batch_buckets=[1],
+    ))
+    resnet.warmup((96, 96))
+    assert (1, 96, 96) in resnet._steps
+
+    temporal = JaxTemporalEngine(DetectorConfig(
+        model_path="t.npz", model_type="cnn_lstm", backend="onnx",
+        sequence_length=2, num_action_classes=5, input_size=[32, 32],
+        precision="fp32", max_batch_size=1, batch_buckets=[1],
+    ))
+    temporal.warmup((48, 48))
+    assert (1, 48, 48) in temporal._steps
