@@ -161,3 +161,33 @@ def test_pipeline_constructs_bytetrack_from_config():
         snapshots=SnapshotConfig(enabled=False),
     )
     assert isinstance(AnalyticsPipeline(cfg_p).tracker, ByteTracker)
+
+
+def test_concurrent_stream_updates_are_safe():
+    """Per-stream locks: concurrent updates across streams must keep ids
+    unique and per-stream states consistent (the pipeline offloads tracker
+    updates to executor threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = ByteTracker(cfg())
+
+    def work(k):
+        name = f"s{k % 8}"
+        out = []
+        for i in range(30):
+            x = (i * 7 + k) % 200
+            out.extend(t.update(name, [det((x, 0, x + 100, 100), 0.9, frame=i)]))
+        return out
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(work, range(16)))
+
+    ids = [tr.track_id for tracks in results for tr in tracks]
+    # global ids never collide across streams
+    per_stream = {}
+    for tracks in results:
+        for tr in tracks:
+            per_stream.setdefault(tr.stream_name, set()).add(tr.track_id)
+    all_ids = [i for s in per_stream.values() for i in s]
+    assert len(all_ids) == len(set(all_ids)), "track ids leaked across streams"
+    assert ids, "no tracks emitted"
