@@ -241,6 +241,15 @@ class DetectorConfig:
             raise ConfigError("iou_threshold must be in (0, 1]")
         if self.input_size is not None and len(self.input_size) != 2:
             raise ConfigError("input_size must be [height, width]")
+        if (
+            self.input_size is not None
+            and self.model_type in ("yolov5", "yolov8")
+            and any(v % 32 for v in self.input_size)
+        ):
+            raise ConfigError(
+                "YOLO input_size must be divisible by 32 (stride of the P5 "
+                "level); got " + str(self.input_size)
+            )
         if self.model_type == "resnet":
             if self.resnet_num_classes <= 0:
                 raise ConfigError("resnet_num_classes must be > 0")

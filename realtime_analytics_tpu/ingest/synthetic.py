@@ -80,6 +80,22 @@ class SyntheticSource:
         self._i += 1
         return True, frame
 
+    def read_labeled(self):
+        """(ok, frame, boxes_xyxy [n_boxes, 4] float px, class_ids [n_boxes])
+        — ground-truth boxes for the rendered rectangles, enabling supervised
+        training/eval without datasets (see scripts/train.py). Class id = the
+        rectangle's index (stable per source)."""
+        ok, frame = self.read()
+        if not ok:
+            return False, None, None, None
+        boxes = np.empty((self.n_boxes, 4), np.float32)
+        boxes[:, 0] = self._pos[:, 0] * self.width
+        boxes[:, 1] = self._pos[:, 1] * self.height
+        boxes[:, 2] = boxes[:, 0] + self._size[:, 0] * self.width
+        boxes[:, 3] = boxes[:, 1] + self._size[:, 1] * self.height
+        classes = np.arange(self.n_boxes, dtype=np.int32)
+        return True, frame, boxes, classes
+
     def release(self) -> None:
         self._opened = False
 

@@ -27,6 +27,7 @@ from typing import Dict, List, Mapping, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .resnet import ResNetModel
@@ -135,6 +136,10 @@ def yolo_params_from_state_dict(
     return {"layers": layers}
 
 
+def _shape_key():
+    return jax.random.PRNGKey(0)
+
+
 def load_yolo_checkpoint(model: YoloModel, path: str) -> Optional[Dict]:
     """Best-effort load of a YOLO checkpoint file. Returns None on failure."""
     try:
@@ -144,6 +149,15 @@ def load_yolo_checkpoint(model: YoloModel, path: str) -> Optional[Dict]:
         return None
     if sd is None:
         return None
+    if "__pytree__" in sd:
+        params = sd["__pytree__"].item()
+        want = jax.tree_util.tree_map(lambda a: tuple(np.shape(a)),
+                                      model.init_params(_shape_key()))
+        got = jax.tree_util.tree_map(lambda a: tuple(np.shape(a)), params)
+        if want != got:
+            logger.warning("pytree checkpoint %s does not match the model", path)
+            return None
+        return jax.tree_util.tree_map(jnp.asarray, params)
     # Ultralytics full-model state dicts prefix everything with "model.".
     prefix = "model." if any(k.startswith("model.0.") for k in sd) else ""
     try:
@@ -158,7 +172,12 @@ def load_yolo_checkpoint(model: YoloModel, path: str) -> Optional[Dict]:
 
 def _read_state_dict(path: str) -> Optional[Mapping[str, np.ndarray]]:
     if path.endswith(".npz"):
-        return dict(np.load(path))
+        flat = dict(np.load(path, allow_pickle=True))
+        if "__pytree__" in flat:
+            # native params pytree (e.g. saved by scripts/train.py) — the
+            # caller's name-mapping is bypassed via _PYTREE marker
+            return {"__pytree__": flat["__pytree__"]}
+        return {k: v for k, v in flat.items()}
     if path.endswith(".onnx"):
         # torch-exported ONNX preserves state-dict parameter names in the
         # initializers (BN usually pre-fused); no onnx package needed
