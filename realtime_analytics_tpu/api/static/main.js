@@ -55,7 +55,9 @@ function ingest(evt) {
   state.events.set(evt.stream, evt);
   state.lastSeen.set(evt.stream, now);
   if (!state.arrivals.has(evt.stream)) state.arrivals.set(evt.stream, []);
-  state.arrivals.get(evt.stream).push(now);
+  const arr = state.arrivals.get(evt.stream);
+  arr.push(now);
+  if (arr.length > 256) arr.splice(0, arr.length - 128);  // bound growth
   state.eventsTotal += 1;
   state.evtWindow.push(now);
   const tracks = evt.tracks || [];
@@ -184,12 +186,15 @@ function addTimeline(evt) {
 /* ---------------- charts ---------------- */
 
 function streamFps(name, now) {
-  // prefer the pipeline-published effective fps; fall back to the event
-  // arrival rate in the last 5 s
-  const evt = state.events.get(name);
-  if (evt && typeof evt.fps === "number") return evt.fps;
+  // a stale stream is 0 fps no matter what its LAST event claimed;
+  // otherwise prefer the pipeline-published effective fps, falling back to
+  // the observed arrival rate in the last 5 s (pruned here each tick)
   const arr = (state.arrivals.get(name) || []).filter((t) => t >= now - 5000);
   state.arrivals.set(name, arr);
+  const age = now - (state.lastSeen.get(name) || 0);
+  if (age > 5000) return 0;
+  const evt = state.events.get(name);
+  if (evt && typeof evt.fps === "number") return evt.fps;
   return arr.length / 5;
 }
 
@@ -199,10 +204,12 @@ function drawCharts() {
   let healthSum = 0, healthN = 0;
   state.events.forEach((evt, name) => {
     fpsByStream.set(name, streamFps(name, now));
-    // pipeline-published health, else recency-derived (60 s window)
+    // pipeline-published health bounded by recency decay (a dead stream
+    // must not keep rendering its last healthy value)
+    const recency = Math.max(0, 1 - (now - (state.lastSeen.get(name) || 0)) / 60000);
     const h = typeof evt.health === "number"
-      ? evt.health
-      : Math.max(0, 1 - (now - (state.lastSeen.get(name) || 0)) / 60000);
+      ? Math.min(evt.health, recency)
+      : recency;
     healthSum += h; healthN += 1;
   });
   charts.sample({

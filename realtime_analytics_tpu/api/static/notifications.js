@@ -21,7 +21,13 @@ class NotificationManager {
     }
     const el = document.createElement("div");
     el.className = `toast toast-${type}`;
-    el.innerHTML = `<b>${title}</b><span>${message}</span>`;
+    // textContent, never innerHTML: stream names are operator input and
+    // flow into these strings
+    const b = document.createElement("b");
+    b.textContent = title;
+    const span = document.createElement("span");
+    span.textContent = message;
+    el.append(b, span);
     el.onclick = () => el.remove();
     this.container.appendChild(el);
     while (this.container.children.length > this.maxVisible) {

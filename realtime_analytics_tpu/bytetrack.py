@@ -221,8 +221,15 @@ class ByteTracker:
             matched_tracks.add(tid)
             matched_dets.add(di)
 
-        # stage 2: LOW-confidence dets rescue the remaining tracks
-        rem_idx = [k for k, t in enumerate(tids) if t not in matched_tracks]
+        # stage 2: LOW-confidence dets rescue the remaining CONFIRMED tracks
+        # only — the paper restricts the second association to previously
+        # tracked (activated) tracks, so low-confidence flicker can never
+        # confirm a tentative track into a published ghost
+        rem_idx = [
+            k for k, t in enumerate(tids)
+            if t not in matched_tracks
+            and state.tracks[t].hits >= cfg.min_hits
+        ]
         rem_tids = [tids[k] for k in rem_idx]
         if rem_tids and low:
             for di, tid in self._match(dets, low, rem_tids,

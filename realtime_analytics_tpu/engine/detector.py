@@ -177,21 +177,15 @@ class JaxYoloEngine(BaseDetector):
     @staticmethod
     def _select_geometry(spec) -> Optional[Tuple[int, int, int, int]]:
         """(hr, hoff, wr, woff) when both axis ratios are odd integers —
-        half-pixel-center bilinear then has integral source coordinates, so
-        the resize is an exact pixel pick (1080p->640 letterbox is exactly
-        3x on both axes). None otherwise."""
+        the resize is then an exact pixel pick (1080p->640 letterbox is
+        exactly 3x on both axes; geometry rule:
+        ``ops.preprocess.integer_axis_reduction``). None otherwise."""
+        from ..ops.preprocess import integer_axis_reduction
 
-        def axis(src: int, dst: int):
-            if dst != src and src % dst == 0:
-                r = src // dst
-                if r % 2 == 1:
-                    return r, (r - 1) // 2
-            return None
-
-        h = axis(spec.src_h, spec.new_h)
-        w = axis(spec.src_w, spec.new_w)
-        if h is not None and w is not None:
-            return (*h, *w)
+        h = integer_axis_reduction(spec.src_h, spec.new_h)
+        w = integer_axis_reduction(spec.src_w, spec.new_w)
+        if h is not None and w is not None and h[0] == w[0] == "select":
+            return (h[1], h[2], w[1], w[2])
         return None
 
     def host_prepare(self, frames: np.ndarray, src_hw: Tuple[int, int]):
@@ -230,6 +224,12 @@ class JaxYoloEngine(BaseDetector):
             else:  # int8 weight-quantized stem: flip channels, scale dequant
                 stem["w_q"] = stem["w_q"][:, :, ::-1, :]
                 stem["w_scale"] = stem["w_scale"] * (1.0 / 255.0)
+                if "a_scale" in stem:
+                    # activation scales were calibrated on [0, 1] inputs;
+                    # this step feeds raw 0-255 pixels, so the quantization
+                    # scale must grow by the same 255 the weights absorbed —
+                    # otherwise every pixel saturates the int8 range
+                    stem["a_scale"] = stem["a_scale"] * 255.0
             layers["0"] = stem
             return {**params, "layers": layers}
 

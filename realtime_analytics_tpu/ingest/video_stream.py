@@ -56,8 +56,12 @@ def _open_capture(url: str, target_fps: float = 0.0, name: str = "?"):
         # and log the negotiated codec/resolution so stream debugging
         # doesn't need ffprobe
         try:
-            if target_fps > 0:
+            if target_fps and target_fps > 0:
                 cap.set(cv2.CAP_PROP_FPS, float(target_fps))
+        except Exception:  # pragma: no cover  # noqa: BLE001
+            pass
+        try:
+            # low latency: must apply regardless of CAP_PROP_FPS outcome
             cap.set(cv2.CAP_PROP_BUFFERSIZE, 1)
         except Exception:  # pragma: no cover  # noqa: BLE001
             pass

@@ -55,14 +55,12 @@ def bilinear_matrix(src: int, dst: int) -> np.ndarray:
 def _h_mode(spec: LetterboxSpec) -> Tuple[str, int, int]:
     """How to reduce the H axis: 'select' (odd-integer ratio — bilinear
     degenerates to a row pick), 'mean2' (even-integer ratio — exact 2-tap
-    mean), or 'matmul' (general bilinear)."""
-    if spec.src_h % spec.new_h == 0 and spec.src_h != spec.new_h:
-        r = spec.src_h // spec.new_h
-        # half-pixel centers: x = (i + 0.5) r - 0.5 = r i + (r - 1) / 2
-        if r % 2 == 1:
-            return "select", r, (r - 1) // 2
-        return "mean2", r, r // 2 - 1
-    return "matmul", 0, 0
+    mean), or 'matmul' (general bilinear). The geometry rule lives in
+    ``preprocess.integer_axis_reduction``."""
+    from .preprocess import integer_axis_reduction
+
+    red = integer_axis_reduction(spec.src_h, spec.new_h)
+    return red if red is not None else ("matmul", 0, 0)
 
 
 def _kernel(img_ref, ah_ref, awt_ref, out_ref, *, spec: LetterboxSpec,

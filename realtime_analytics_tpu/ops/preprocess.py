@@ -65,25 +65,39 @@ def letterbox_spec(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]) -> Letterbo
     )
 
 
-def _resize_axis(x: jnp.ndarray, axis: int, src: int, dst: int) -> jnp.ndarray:
-    """Bilinear (half-pixel centers, no antialias) resize along one axis.
+def integer_axis_reduction(src: int, dst: int):
+    """How half-pixel-center bilinear degenerates for an exact integer
+    downscale ratio r = src/dst (source coords are (i+0.5)·r − 0.5):
 
-    Fast paths when the ratio is an exact integer r (the common letterbox
-    geometry — 1080p -> 640 is exactly 3x):
-      * r odd:  source coords (i+0.5)*r-0.5 = r*i+(r-1)/2 are INTEGRAL, so
-        bilinear degenerates to a strided slice (zero math, minimal HBM);
-      * r even: coords land exactly halfway, so it is a 2-tap mean at
-        stride r.
-    Anything else falls back to the general jax.image.resize.
+      * ``("select", r, off)`` — r odd: coords are INTEGRAL, the resize is
+        an exact pixel pick at stride r, offset (r−1)/2;
+      * ``("mean2", r, off)`` — r even: coords land exactly halfway, a
+        2-tap mean of offsets off, off+1 at stride r;
+      * ``None`` — fractional ratio (general bilinear needed).
+
+    This is THE geometry invariant shared by the host pixel-pick upload
+    (engine host_select), the Pallas kernel's mode dispatch, and the XLA
+    fast paths below — keep it in one place.
     """
-    if dst == src:
-        return x
-    if src % dst == 0:
+    if src != dst and src % dst == 0:
         r = src // dst
         if r % 2 == 1:
-            off = (r - 1) // 2
+            return ("select", r, (r - 1) // 2)
+        return ("mean2", r, r // 2 - 1)
+    return None
+
+
+def _resize_axis(x: jnp.ndarray, axis: int, src: int, dst: int) -> jnp.ndarray:
+    """Bilinear (half-pixel centers, no antialias) resize along one axis,
+    with the ``integer_axis_reduction`` fast paths (1080p -> 640 is exactly
+    3x); fractional ratios fall back to the general jax.image.resize."""
+    if dst == src:
+        return x
+    red = integer_axis_reduction(src, dst)
+    if red is not None:
+        mode, r, off = red
+        if mode == "select":
             return jax.lax.slice_in_dim(x, off, off + r * (dst - 1) + 1, r, axis=axis)
-        off = r // 2 - 1
         t1 = jax.lax.slice_in_dim(x, off, off + r * (dst - 1) + 1, r, axis=axis)
         t2 = jax.lax.slice_in_dim(x, off + 1, off + r * (dst - 1) + 2, r, axis=axis)
         return (t1 + t2) * 0.5

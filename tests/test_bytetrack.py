@@ -191,3 +191,17 @@ def test_concurrent_stream_updates_are_safe():
     all_ids = [i for s in per_stream.values() for i in s]
     assert len(all_ids) == len(set(all_ids)), "track ids leaked across streams"
     assert ids, "no tracks emitted"
+
+
+def test_low_conf_flicker_cannot_confirm_tentative_track():
+    """Stage-2 rescue is restricted to CONFIRMED tracks: a single spurious
+    high-conf detection followed by low-confidence flicker must never
+    publish a ghost track (code-review finding, round 2)."""
+    t = ByteTracker(cfg(min_hits=3))
+    box = (50, 50, 150, 250)
+    assert t.update("s", [det(box, 0.65)]) == []  # tentative, hits=1
+    for _ in range(4):
+        out = t.update("s", [det(box, 0.15)])  # low-conf flicker only
+        assert out == [], "ghost track confirmed by low-confidence flicker"
+    # the tentative track died on its first unmatched frame
+    assert t.active_track_count("s") == 0

@@ -157,3 +157,27 @@ def test_int8_detection_agreement_on_video_frames():
             f"frame {i}: only {matched}/{k} fp32 detections matched in int8"
         )
         assert abs(n_ref - n_got) <= max(3, n_ref // 2)
+
+
+def test_int8_host_select_path_matches_int8_full_path():
+    """precision=int8 with host_select: the stem's activation scale must be
+    rescaled together with the folded /255 — a mismatch saturates every
+    pixel to 127 and the output goes input-insensitive (round-2 review
+    finding #1)."""
+    cfg_kw = dict(
+        model_path="__random__.pt", confidence_threshold=0.01,
+        input_size=[64, 64], max_batch_size=2, batch_buckets=[2],
+        precision="int8", warmup=False, pre_nms_topk=64, max_detections=16,
+    )
+    sel = JaxYoloEngine(DetectorConfig(host_select="auto", **cfg_kw))
+    off = JaxYoloEngine(DetectorConfig(host_select="off", **cfg_kw),
+                        params=sel.params)
+    off.model.act_int8 = True  # params already quantized+calibrated
+    frames = np.random.default_rng(3).integers(
+        0, 256, (2, 192, 192, 3), dtype=np.uint8  # exact 3x -> select path
+    )
+    got = sel.predict_arrays(frames)
+    want = off.predict_arrays(frames)
+    np.testing.assert_array_equal(got.num_valid, want.num_valid)
+    np.testing.assert_allclose(got.scores, want.scores, atol=0.02)
+    np.testing.assert_allclose(got.boxes_xyxy, want.boxes_xyxy, atol=4.0)
