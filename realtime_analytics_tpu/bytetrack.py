@@ -245,6 +245,8 @@ class ByteTracker:
                 continue
             if dets[i].confidence < cfg.new_track_thresh:
                 continue
+            if len(state.tracks) >= cfg.max_tracks_per_stream:
+                break  # safety bound: no unbounded growth under noise
             matched_tracks.add(self._start(state, stream_name, dets[i]))
 
         # age + cull unmatched tracks: confirmed tracks persist as "lost"

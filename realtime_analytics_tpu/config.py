@@ -213,7 +213,6 @@ class DetectorConfig:
     # vanishingly rare at production thresholds (raise for low-conf sweeps)
     pre_nms_topk: int = 512
     precision: str = "bf16"  # bf16 | fp32 | int8
-    donate_inputs: bool = True
     mesh_shape: Optional[List[int]] = None  # e.g. [4, 2] for (dp, tp); None = 1 chip
     compile_cache_dir: Optional[str] = None  # persistent jit cache (≙ .engine files)
     pallas_preprocess: str = "auto"  # auto | on | off: fused MXU letterbox kernel

@@ -162,7 +162,18 @@ class JaxYoloEngine(BaseDetector):
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
                 params,
             )
-        self.params = jax.device_put(params, self.device)
+        # multi-chip: detector.mesh_shape = [dp, tp] shards the params over
+        # channels (tp) and every batch over dp; XLA inserts the collectives
+        self.mesh = None
+        if config.mesh_shape:
+            from ..parallel.mesh import make_mesh, shard_params
+
+            self.mesh = make_mesh(
+                int(np.prod(config.mesh_shape)), shape=tuple(config.mesh_shape)
+            )
+            self.params = shard_params(params, self.mesh)
+        else:
+            self.params = jax.device_put(params, self.device)
         self._class_mask = None
         if config.classes:
             mask = np.zeros((nc,), dtype=bool)
@@ -262,6 +273,8 @@ class JaxYoloEngine(BaseDetector):
             )
             return b, s, c, n
 
+        if self.mesh is not None:
+            return jax.jit(step)  # sharded in/out: no single-device pin
         return jax.jit(step, device=self.device)
 
     def _get_step_selected(self, batch: int, src_hw: Tuple[int, int]):
@@ -342,6 +355,8 @@ class JaxYoloEngine(BaseDetector):
         # Note: the uint8 input never aliases an output (different shape and
         # dtype), so donation buys nothing here; double-buffering happens at
         # the batcher level instead.
+        if self.mesh is not None:
+            return jax.jit(step)  # sharded in/out: no single-device pin
         return jax.jit(step, device=self.device)
 
     def warmup(self, src_hw: Tuple[int, int], buckets: Optional[Sequence[int]] = None):
@@ -392,7 +407,14 @@ class JaxYoloEngine(BaseDetector):
             else self._get_step(bucket, src_hw)
         )
         t0 = time.perf_counter()
-        b, s, c, nv = step(self.params, jnp.asarray(frames))
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            frames_dev = jax.device_put(frames, batch_sharding(self.mesh, 4))
+            with self.mesh:
+                b, s, c, nv = step(self.params, frames_dev)
+        else:
+            b, s, c, nv = step(self.params, jnp.asarray(frames))
         b, s, c, nv = jax.device_get((b, s, c, nv))
         self.last_infer_ms = (time.perf_counter() - t0) * 1e3
         return BatchResult(

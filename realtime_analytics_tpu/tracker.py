@@ -158,6 +158,8 @@ class IouTracker:
                 f: getattr(det, f) for f in _TEMPORAL_FIELDS if hasattr(det, f)
             }
             if best_iou < 0.0:
+                if len(state.tracks) >= self.config.max_tracks_per_stream:
+                    continue  # safety bound: no unbounded growth under noise
                 track = Track(
                     track_id=next(self._next_track_id),
                     stream_name=stream_name,

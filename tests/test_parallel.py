@@ -172,3 +172,31 @@ def test_sharded_inference_matches_single_device(mesh):
         got = jax.device_get(step(sharded_params, fsh))
     for r, g in zip(ref, got):
         np.testing.assert_allclose(r, g, rtol=1e-4, atol=1e-3)
+
+
+def test_engine_mesh_shape_config_is_wired(mesh):
+    """detector.mesh_shape must actually shard the serving engine (it was a
+    dead key in round 2 until wired): results equal the unsharded engine."""
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    base = dict(
+        model_path="__random__.pt", input_size=[64, 64],
+        confidence_threshold=0.01, max_batch_size=8, batch_buckets=[8],
+        precision="fp32", warmup=False, pre_nms_topk=64, max_detections=16,
+        host_select="off",
+    )
+    plain = JaxYoloEngine(DetectorConfig(**base))
+    sharded = JaxYoloEngine(DetectorConfig(mesh_shape=[4, 2], **base),
+                            params=jax.device_get(plain.params))
+    assert sharded.mesh is not None
+    assert len(jax.tree_util.tree_leaves(sharded.params)[5].sharding.device_set) > 1
+
+    frames = np.random.default_rng(2).integers(
+        0, 256, (8, 96, 128, 3), dtype=np.uint8
+    )
+    ref = plain.predict_arrays(frames)
+    got = sharded.predict_arrays(frames)
+    np.testing.assert_array_equal(got.num_valid, ref.num_valid)
+    np.testing.assert_allclose(got.boxes_xyxy, ref.boxes_xyxy, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(got.scores, ref.scores, rtol=1e-4, atol=1e-5)

@@ -105,3 +105,18 @@ def test_best_iou_wins(rng):
     by_id = {t.track_id: t for t in tracks}
     assert by_id[2].hits == 2
     assert by_id[1].hits == 1
+
+
+def test_max_tracks_per_stream_bounds_growth():
+    """max_tracks_per_stream is a real safety bound: a noisy detector can't
+    grow a stream's track set without limit."""
+    from realtime_analytics_tpu.config import TrackerConfig
+    from realtime_analytics_tpu.tracker import IouTracker
+    from realtime_analytics_tpu.types import Detection
+
+    t = IouTracker(TrackerConfig(min_hits=1, max_age=100,
+                                 max_tracks_per_stream=5))
+    for i in range(20):  # disjoint boxes -> each wants a new track
+        t.update("s", [Detection("s", i, 0, 0.9,
+                                 (i * 50.0, 0.0, i * 50.0 + 40, 40.0))])
+    assert t.active_track_count("s") <= 5
