@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
              "chip i via TPU_VISIBLE_DEVICES",
     )
     parser.add_argument(
+        "--shard-restart", action="store_true",
+        help="restart a shard that exits non-zero (the in-process analog of "
+             "docker restart: unless-stopped), 5 s backoff",
+    )
+    parser.add_argument(
         "--shard-index", type=int, default=None, help=argparse.SUPPRESS,
     )
     parser.add_argument(
@@ -118,25 +123,51 @@ def run_shards(args) -> int:
             env["TPU_VISIBLE_DEVICES"] = str(i)
         return env
 
-    procs = [subprocess.Popen(cmd(0), env=env_for(0))]
+    procs = {0: subprocess.Popen(cmd(0), env=env_for(0))}
     if args.broker and config.kafka.enabled and config.kafka.transport == "eventbus":
         host, _, port = config.kafka.bootstrap_servers.partition(":")
         if not _wait_for_port(host or "127.0.0.1", int(port or 9192)):
             logger.error("bus port never came up — aborting remaining shards")
             procs[0].terminate()
             return procs[0].wait() or 1
-    procs += [subprocess.Popen(cmd(i), env=env_for(i)) for i in range(1, k)]
+    for i in range(1, k):
+        procs[i] = subprocess.Popen(cmd(i), env=env_for(i))
+
+    stopping = {"flag": False}
 
     def forward(signum, _frame):
-        for p in procs:
+        stopping["flag"] = True
+        for p in procs.values():
             if p.poll() is None:
                 p.send_signal(signum)
 
     for sig in (signal.SIGINT, signal.SIGTERM):
         signal.signal(sig, forward)
-    rcs = [p.wait() for p in procs]
-    logger.info("supervisor: shard exit codes %s", rcs)
-    return max(abs(rc) for rc in rcs)
+
+    import time as _time
+
+    rcs = {}
+    while len(rcs) < k:
+        for i, p in list(procs.items()):
+            if i in rcs:
+                continue
+            rc = p.poll()
+            if rc is None:
+                continue
+            if rc != 0 and args.shard_restart and not stopping["flag"]:
+                # unless-stopped semantics: crashed shards come back
+                logger.warning(
+                    "shard %d exited rc=%d — restarting in 5 s", i, rc
+                )
+                _time.sleep(5.0)
+                if not stopping["flag"]:
+                    procs[i] = subprocess.Popen(cmd(i), env=env_for(i))
+                    continue
+            rcs[i] = rc
+        _time.sleep(0.3)
+    logger.info("supervisor: shard exit codes %s",
+                [rcs[i] for i in range(k)])
+    return max(abs(rc) for rc in rcs.values())
 
 
 async def _amain(args) -> int:

@@ -132,3 +132,50 @@ def test_launcher_runs_two_shards_one_bus(tmp_path):
     assert "shard 0/2: serving 2 streams" in out
     assert "shard 1/2: serving 2 streams" in out
     assert proc.returncode == 0, out[-2000:]
+
+
+@pytest.mark.slow
+def test_shard_restart_revives_crashed_shard(tmp_path):
+    """--shard-restart: a shard killed mid-run comes back and resumes
+    publishing (the in-process analog of docker restart: unless-stopped)."""
+    import signal as _signal
+    import time as _time
+
+    path = tmp_path / "c.yaml"
+    path.write_text(yaml.safe_dump(_config_dict(2, frames=0)))  # endless
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "realtime_analytics_tpu.scripts.run_pipeline",
+         "--config", str(path), "--shards", "2", "--broker", "--shard-restart",
+         "--duration", "150", "--log-level", "INFO"],
+        cwd=REPO, env=dict(os.environ),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    def shard1_pids():
+        # note: pattern must not start with "--" (pgrep option parsing)
+        out = subprocess.run(
+            ["pgrep", "-f", "shard-index 1"], capture_output=True, text=True
+        )
+        return [int(p) for p in out.stdout.split() if p.strip()]
+
+    killed = False
+    deadline = _time.time() + 100
+    try:
+        # shard 1 spawns only after shard 0's broker binds — poll for it
+        while _time.time() < deadline and not killed:
+            _time.sleep(2.0)
+            for pid in shard1_pids():
+                os.kill(pid, _signal.SIGKILL)
+                killed = True
+        assert killed, "never found the shard-1 child to kill"
+        # wait for the supervisor to notice + restart (5 s backoff + spawn)
+        revived = False
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not revived:
+            _time.sleep(2.0)
+            revived = bool(shard1_pids())
+        assert revived, "shard 1 was not restarted"
+    finally:
+        proc.send_signal(_signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    assert "restarting in 5 s" in out, out[-2000:]
