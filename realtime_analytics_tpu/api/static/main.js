@@ -23,6 +23,13 @@ const alerts = new StreamAlerts(toasts);
 
 const $ = (id) => document.getElementById(id);
 
+/* escape operator/model-provided strings before any innerHTML use */
+function esc(s) {
+  return String(s)
+    .replaceAll("&", "&amp;").replaceAll("<", "&lt;").replaceAll(">", "&gt;")
+    .replaceAll('"', "&quot;").replaceAll("'", "&#39;");
+}
+
 /* ---------------- websocket ---------------- */
 
 function connect() {
@@ -131,11 +138,16 @@ function renderTable(now) {
     const topClasses = Object.entries(classes)
       .sort((a, b) => b[1] - a[1]).slice(0, 3)
       .map(([k, n]) => `${k}×${n}`).join(" ");
-    rows.push(`<tr data-stream="${name}" class="${name === state.selectedStream ? "sel" : ""}">
-      <td>${name}${evt.is_temporal ? ' <span class="tag">temporal</span>' : ""}</td>
+    const fps = streamFps(name, now);
+    const health = isActive && typeof evt.health === "number"
+      ? `${Math.round(evt.health * 100)}%` : "–";
+    rows.push(`<tr data-stream="${esc(name)}" class="${name === state.selectedStream ? "sel" : ""}">
+      <td>${esc(name)}${evt.is_temporal ? ' <span class="tag">temporal</span>' : ""}</td>
       <td>${evt.frame_id}</td>
+      <td>${fps ? fps.toFixed(1) : "–"}</td>
+      <td>${health}</td>
       <td>${tracks.length}</td>
-      <td>${topClasses || "–"}</td>
+      <td>${esc(topClasses) || "–"}</td>
       <td>${(age / 1000).toFixed(1)}s ago</td>
       <td><span class="state ${isActive ? "ok" : "idle"}">${isActive ? "active" : "idle"}</span></td>
     </tr>`);
@@ -165,7 +177,7 @@ function renderClassBars() {
   const entries = [...state.classCounts.entries()].sort((a, b) => b[1] - a[1]).slice(0, 8);
   const max = entries.length ? entries[0][1] : 1;
   $("class-bars").innerHTML = entries.map(([k, n]) =>
-    `<div class="bar-row"><span class="bar-label">${k}</span>
+    `<div class="bar-row"><span class="bar-label">${esc(k)}</span>
       <div class="bar"><div class="bar-fill" style="width:${(100 * n / max).toFixed(1)}%"></div></div>
       <span class="bar-count">${n}</span></div>`).join("") || '<div class="hint">no detections yet</div>';
 }
@@ -178,7 +190,7 @@ function addTimeline(evt) {
     .map((t) => t.action_label ? `${t.action_label} ${(t.temporal_score ?? 0).toFixed(2)}` : `c${t.class_id} ${(t.confidence ?? 0).toFixed(2)}`)
     .join(", ");
   li.innerHTML = `<span class="t">${new Date().toLocaleTimeString()}</span>
-    <b>${evt.stream}</b> frame ${evt.frame_id} — ${n} track${n === 1 ? "" : "s"}${labels ? ": " + labels : ""}`;
+    <b>${esc(evt.stream)}</b> frame ${evt.frame_id} — ${n} track${n === 1 ? "" : "s"}${labels ? ": " + esc(labels) : ""}`;
   ul.prepend(li);
   while (ul.children.length > 60) ul.removeChild(ul.lastChild);
 }
