@@ -134,6 +134,8 @@ class InferenceBatcher:
         cap = self._inflight_cap.get(name, packet.stream.batch_size or 1)
         if self._inflight[name] >= max(1, cap):
             self.stats.shed += 1
+            if self.metrics is not None:
+                self.metrics.record_shed(name)
             return None
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         self._inflight[name] += 1

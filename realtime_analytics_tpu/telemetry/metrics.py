@@ -49,6 +49,7 @@ class MetricsPublisher:
         self._temporal_latency = None
         self._batch_size = None
         self._device_latency = None
+        self._shed = None
 
     def _lazy_init(self) -> None:
         if self._initialized or not _HAS_PROM:
@@ -81,6 +82,10 @@ class MetricsPublisher:
             "device_inference_duration_seconds",
             "Fused device step latency",
             buckets=_LATENCY_BUCKETS,
+        )
+        self._shed = Counter(
+            "stream_frames_shed_total",
+            "Frames shed by the per-stream in-flight cap", ["stream"],
         )
         self._initialized = True
 
@@ -144,3 +149,10 @@ class MetricsPublisher:
             return
         self._batch_size.observe(batch_size)
         self._device_latency.observe(inference_seconds)
+
+    def record_shed(self, stream: str, frames: int = 1) -> None:
+        """A frame dropped by the batcher's in-flight cap (never counted as
+        a processed frame — shed must be visible, not disguised)."""
+        if not self._initialized:
+            return
+        self._shed.labels(stream=stream).inc(frames)
