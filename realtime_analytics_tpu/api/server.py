@@ -142,6 +142,8 @@ class DashboardServer:
     async def _route(self, path: str, query) -> Response:
         if path == "/":
             return self._static("index.html")
+        if path == "/wall":
+            return self._static("wall.html")
         if path.startswith("/static/"):
             return self._static(path[len("/static/"):])
         if path == "/favicon.ico":

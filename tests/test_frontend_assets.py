@@ -154,3 +154,27 @@ def test_server_serves_every_static_asset():
         # fall back: every referenced asset exists under the static root
         for ref in refs:
             assert (STATIC / ref.split("/static/")[1]).exists(), ref
+
+
+def test_wall_view_assets():
+    """The 32-stream wall view: assets exist, script order correct, globals
+    provided, and the server routes /wall."""
+    html = read("wall.html")
+    scripts = re.findall(r'<script src="/static/([^"]+)"', html)
+    assert scripts == ["mock-data.js", "wall.js"]
+    wall = read("wall.js")
+    for name in ("MockFeed", "mockEnabled"):
+        assert re.search(rf"\b{name}\b", wall)
+    ids = set(re.findall(r'id="([^"]+)"', html))
+    for ident in re.findall(r'getElementById\("([^"]+)"\)', wall):
+        if ident.startswith("card-"):
+            continue  # generated per stream
+        assert ident in ids, f"wall.js references #{ident}, not in wall.html"
+    server = (STATIC.parent / "server.py").read_text()
+    assert '"/wall"' in server and 'wall.html' in server
+
+
+def test_wall_js_braces_balanced():
+    js = _strip_js(read("wall.js"))
+    for a, b in ("{}", "()", "[]"):
+        assert js.count(a) == js.count(b), f"wall.js: unbalanced {a}{b}"
