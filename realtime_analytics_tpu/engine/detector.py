@@ -209,8 +209,10 @@ class JaxYoloEngine(BaseDetector):
         if self.config.host_select != "off":
             geom = self._select_geometry(spec)
             if geom is not None:
+                from ..native import pick_u8
+
                 hr, hoff, wr, woff = geom
-                return np.ascontiguousarray(frames[:, hoff::hr, woff::wr]), True
+                return pick_u8(frames, hr, hoff, wr, woff), True
         return frames, False
 
     def _build_step_selected(self, src_hw: Tuple[int, int]):
@@ -437,9 +439,12 @@ class JaxYoloEngine(BaseDetector):
             if self.config.host_select != "off":
                 geom = self._select_geometry(letterbox_spec(shape, self.input_hw))
             if geom is not None:
+                from ..native import pick_u8
+
                 hr, hoff, wr, woff = geom
                 frames = np.stack(
-                    [packets[i].frame[hoff::hr, woff::wr] for i in idxs]
+                    [pick_u8(packets[i].frame, hr, hoff, wr, woff)
+                     for i in idxs]
                 )
                 br = self._predict_prepared(frames, shape, True)
             else:

@@ -1,0 +1,54 @@
+/* Host-side hot ops for the serving pipeline.
+ *
+ * pick_u8: the host pixel-pick that feeds the TPU when the letterbox ratio
+ * is an odd integer (engine host_select): gather every (hr, wr)-th pixel
+ * (all 3 interleaved channels) from uint8 HWC frames into a contiguous
+ * batch. This runs per frame at up to 32x25 fps on the ingest path; the
+ * numpy strided-copy equivalent costs ~2 ms per 1080p frame, this loop
+ * ~4-6x less, and it parallelizes over frames with OpenMP when built with
+ * -fopenmp (a v5e host has ~100 cores; the GIL is released by ctypes).
+ *
+ * Built on demand by native/__init__.py (cc -O3 -shared); everything
+ * gracefully falls back to numpy when no compiler is present.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+/* src: [n, H, W, 3] C-contiguous uint8; dst: [n, oh, ow, 3].
+ * Picks rows hoff, hoff+hr, ... and cols woff, woff+wr, ... */
+void pick_u8(const uint8_t *src, uint8_t *dst,
+             long n, long h, long w,
+             long hr, long hoff, long wr, long woff,
+             long oh, long ow) {
+    const long src_frame = h * w * 3;
+    const long dst_frame = oh * ow * 3;
+    const long src_row = w * 3;
+    const long dst_row = ow * 3;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n > 1)
+#endif
+    for (long f = 0; f < n; f++) {
+        const uint8_t *sf = src + f * src_frame;
+        uint8_t *df = dst + f * dst_frame;
+        for (long i = 0; i < oh; i++) {
+            const uint8_t *srow = sf + (hoff + i * hr) * src_row + woff * 3;
+            uint8_t *drow = df + i * dst_row;
+            if (wr == 1) {
+                memcpy(drow, srow, (size_t)dst_row);
+                continue;
+            }
+            const long step = wr * 3;
+            for (long j = 0; j < ow; j++) {
+                const uint8_t *p = srow + j * step;
+                drow[3 * j] = p[0];
+                drow[3 * j + 1] = p[1];
+                drow[3 * j + 2] = p[2];
+            }
+        }
+    }
+}
