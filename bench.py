@@ -179,9 +179,10 @@ class EmulatedDeviceEngine:
         self.config = config  # the worker reads confidence_threshold etc.
 
     def predict_packets(self, packets):
-        frames = np.stack([p.frame for p in packets])  # host copy, like real
-        # host_select pixel pick (the real engine uploads only these)
-        frames = np.ascontiguousarray(frames[:, 1::3, 1::3])
+        # host_select pixel pick + stack, exactly like the real engine
+        from realtime_analytics_tpu.native import pick_u8
+
+        frames = np.stack([pick_u8(p.frame, 3, 1, 3, 1) for p in packets])
         del frames
         n = len(packets)
         bucket = next((b for b in self.buckets if n <= b), self.buckets[-1])
