@@ -23,13 +23,6 @@ const alerts = new StreamAlerts(toasts);
 
 const $ = (id) => document.getElementById(id);
 
-/* escape operator/model-provided strings before any innerHTML use */
-function esc(s) {
-  return String(s)
-    .replaceAll("&", "&amp;").replaceAll("<", "&lt;").replaceAll(">", "&gt;")
-    .replaceAll('"', "&quot;").replaceAll("'", "&#39;");
-}
-
 /* ---------------- websocket ---------------- */
 
 function connect() {
@@ -141,13 +134,13 @@ function renderTable(now) {
     const fps = streamFps(name, now);
     const health = isActive && typeof evt.health === "number"
       ? `${Math.round(evt.health * 100)}%` : "–";
-    rows.push(`<tr data-stream="${esc(name)}" class="${name === state.selectedStream ? "sel" : ""}">
-      <td>${esc(name)}${evt.is_temporal ? ' <span class="tag">temporal</span>' : ""}</td>
+    rows.push(`<tr data-stream="${escHtml(name)}" class="${name === state.selectedStream ? "sel" : ""}">
+      <td>${escHtml(name)}${evt.is_temporal ? ' <span class="tag">temporal</span>' : ""}</td>
       <td>${evt.frame_id}</td>
       <td>${fps ? fps.toFixed(1) : "–"}</td>
       <td>${health}</td>
       <td>${tracks.length}</td>
-      <td>${esc(topClasses) || "–"}</td>
+      <td>${escHtml(topClasses) || "–"}</td>
       <td>${(age / 1000).toFixed(1)}s ago</td>
       <td><span class="state ${isActive ? "ok" : "idle"}">${isActive ? "active" : "idle"}</span></td>
     </tr>`);
@@ -162,8 +155,9 @@ function renderTable(now) {
 function renderPreview() {
   const evt = state.events.get(state.selectedStream);
   $("preview-name").textContent = state.selectedStream || "";
-  if (evt && evt.frame_jpeg) {
-    $("preview-img").src = evt.frame_jpeg;
+  const src = evt && safeFrameSrc(evt.frame_jpeg);
+  if (src) {
+    $("preview-img").src = src;
     $("preview-img").style.display = "block";
     $("preview-hint").style.display = "none";
   } else {
@@ -177,7 +171,7 @@ function renderClassBars() {
   const entries = [...state.classCounts.entries()].sort((a, b) => b[1] - a[1]).slice(0, 8);
   const max = entries.length ? entries[0][1] : 1;
   $("class-bars").innerHTML = entries.map(([k, n]) =>
-    `<div class="bar-row"><span class="bar-label">${esc(k)}</span>
+    `<div class="bar-row"><span class="bar-label">${escHtml(k)}</span>
       <div class="bar"><div class="bar-fill" style="width:${(100 * n / max).toFixed(1)}%"></div></div>
       <span class="bar-count">${n}</span></div>`).join("") || '<div class="hint">no detections yet</div>';
 }
@@ -190,7 +184,7 @@ function addTimeline(evt) {
     .map((t) => t.action_label ? `${t.action_label} ${(t.temporal_score ?? 0).toFixed(2)}` : `c${t.class_id} ${(t.confidence ?? 0).toFixed(2)}`)
     .join(", ");
   li.innerHTML = `<span class="t">${new Date().toLocaleTimeString()}</span>
-    <b>${esc(evt.stream)}</b> frame ${evt.frame_id} — ${n} track${n === 1 ? "" : "s"}${labels ? ": " + esc(labels) : ""}`;
+    <b>${escHtml(evt.stream)}</b> frame ${evt.frame_id} — ${n} track${n === 1 ? "" : "s"}${labels ? ": " + escHtml(labels) : ""}`;
   ul.prepend(li);
   while (ul.children.length > 60) ul.removeChild(ul.lastChild);
 }

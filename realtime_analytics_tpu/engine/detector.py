@@ -361,25 +361,32 @@ class JaxYoloEngine(BaseDetector):
             return jax.jit(step)  # sharded in/out: no single-device pin
         return jax.jit(step, device=self.device)
 
+    def _effective_bucket(self, n: int) -> int:
+        """Compile bucket for an n-frame batch. In mesh mode the batch dim
+        shards over dp, so buckets round up to a dp multiple (device_put
+        requires divisibility)."""
+        bucket = _bucket_for(self.config.resolved_buckets, n)
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("dp", 1)
+            bucket = ((bucket + dp - 1) // dp) * dp
+        return bucket
+
     def warmup(self, src_hw: Tuple[int, int], buckets: Optional[Sequence[int]] = None):
         """Pre-compile buckets (the analog of TensorRT engine build +
         dummy-tensor warmup, reference detector.py:131-140). Warms the exact
-        variant predict will use (host-select when the geometry allows)."""
+        executable predict will use — the host-select variant when the
+        geometry allows, and the mesh-sharded input layout when a mesh is
+        configured (an unsharded warmup input would compile a different
+        cache entry and the first live batch would recompile)."""
         buckets = buckets or self.config.resolved_buckets
         probe = np.zeros((1, *src_hw, 3), dtype=np.uint8)
         _, selected = self.host_prepare(probe, src_hw)
         for b in buckets:
-            if selected:
-                prepared, _ = self.host_prepare(
-                    np.zeros((b, *src_hw, 3), dtype=np.uint8), src_hw
-                )
-                step = self._get_step_selected(b, src_hw)
-                r = step(self.params, jnp.asarray(prepared))
-            else:
-                frames = np.zeros((b, *src_hw, 3), dtype=np.uint8)
-                step = self._get_step(b, src_hw)
-                r = step(self.params, jnp.asarray(frames))
-            jax.block_until_ready(r)
+            b = self._effective_bucket(b)
+            prepared, _ = self.host_prepare(
+                np.zeros((b, *src_hw, 3), dtype=np.uint8), src_hw
+            )
+            self._predict_prepared(prepared, src_hw, selected)
             logger.info("warmup: compiled bucket B=%d src=%s (host_select=%s)",
                         b, src_hw, selected)
 
@@ -397,7 +404,7 @@ class JaxYoloEngine(BaseDetector):
         self, frames: np.ndarray, src_hw: Tuple[int, int], selected: bool
     ) -> BatchResult:
         n = frames.shape[0]
-        bucket = _bucket_for(self.config.resolved_buckets, n)
+        bucket = self._effective_bucket(n)
         if n > bucket:
             raise ValueError(f"batch {n} exceeds max bucket {bucket}")
         if n < bucket:
@@ -442,10 +449,15 @@ class JaxYoloEngine(BaseDetector):
                 from ..native import pick_u8
 
                 hr, hoff, wr, woff = geom
-                frames = np.stack(
-                    [pick_u8(packets[i].frame, hr, hoff, wr, woff)
-                     for i in idxs]
-                )
+                h, w = shape
+                oh = (h - hoff + hr - 1) // hr
+                ow = (w - woff + wr - 1) // wr
+                # pick each frame straight into the batch buffer: one copy
+                # total (pick-then-stack would copy the picked data twice)
+                frames = np.empty((len(idxs), oh, ow, 3), np.uint8)
+                for j, i in enumerate(idxs):
+                    pick_u8(packets[i].frame, hr, hoff, wr, woff,
+                            out=frames[j])
                 br = self._predict_prepared(frames, shape, True)
             else:
                 frames = np.stack([packets[i].frame for i in idxs])

@@ -43,19 +43,27 @@ def _compile() -> Optional[Path]:
     out = _build_dir() / f"hostops_{sys.platform}_{src_mtime}.so"
     if out.exists():
         return out
-    base = ["cc", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(out)]
+    # compile to a process-unique temp file, then atomically rename: shard
+    # launchers spawn many processes at once with a cold cache, and a
+    # half-written .so must never be dlopen'd (or persist and poison the
+    # cache into a permanent silent numpy fallback)
+    tmp = out.with_suffix(f".{os.getpid()}.tmp.so")
     for extra in (["-fopenmp"], []):  # prefer OpenMP, fall back without
         try:
             proc = subprocess.run(
-                base[:2] + extra + base[2:],
+                ["cc", "-O3", *extra, "-shared", "-fPIC", str(_SRC),
+                 "-o", str(tmp)],
                 capture_output=True, text=True, timeout=120,
             )
-            if proc.returncode == 0 and out.exists():
+            if proc.returncode == 0 and tmp.exists():
+                os.replace(tmp, out)
                 logger.info("built native hostops (%s)",
                             "openmp" if extra else "single-thread")
                 return out
         except (OSError, subprocess.TimeoutExpired):
-            return None
+            break
+        finally:
+            tmp.unlink(missing_ok=True)
     return None
 
 
@@ -85,23 +93,42 @@ def _load() -> Optional[ctypes.CDLL]:
     return _lib
 
 
-def pick_u8(frames: np.ndarray, hr: int, hoff: int, wr: int, woff: int
-            ) -> np.ndarray:
+def pick_u8(frames: np.ndarray, hr: int, hoff: int, wr: int, woff: int,
+            out: Optional[np.ndarray] = None) -> np.ndarray:
     """[N, H, W, 3] (or [H, W, 3]) uint8 -> picked contiguous array.
     Equivalent to ``np.ascontiguousarray(frames[..., hoff::hr, woff::wr, :])``
-    but ~4-6x faster per core and OpenMP-parallel over frames."""
+    but ~4-6x faster per core and OpenMP-parallel over frames.
+
+    ``out``: optional preallocated C-contiguous destination of the exact
+    output shape — lets callers pick straight into a batch buffer (one copy
+    instead of pick-then-stack)."""
     squeeze = frames.ndim == 3
     if squeeze:
         frames = frames[None]
+        if out is not None:
+            out = out[None]
     n, h, w, c = frames.shape
-    assert c == 3 and frames.dtype == np.uint8
+    if c != 3 or frames.dtype != np.uint8:
+        raise ValueError(f"pick_u8 needs uint8 HWC/NHWC with 3 channels, "
+                         f"got {frames.dtype} {frames.shape}")
     oh = (h - hoff + hr - 1) // hr
     ow = (w - woff + wr - 1) // wr
+    if out is not None and (
+        out.shape != (n, oh, ow, 3) or out.dtype != np.uint8
+        or not out.flags["C_CONTIGUOUS"]
+    ):
+        raise ValueError("pick_u8 out= must be C-contiguous uint8 "
+                         f"{(n, oh, ow, 3)}, got {out.dtype} {out.shape}")
     lib = _load()
     if lib is None or not frames.flags["C_CONTIGUOUS"]:
-        out = np.ascontiguousarray(frames[:, hoff::hr, woff::wr])
+        picked = np.ascontiguousarray(frames[:, hoff::hr, woff::wr])
+        if out is not None:
+            out[...] = picked
+        else:
+            out = picked
     else:
-        out = np.empty((n, oh, ow, 3), np.uint8)
+        if out is None:
+            out = np.empty((n, oh, ow, 3), np.uint8)
         lib.pick_u8(
             frames.ctypes.data, out.ctypes.data,
             n, h, w, hr, hoff, wr, woff, oh, ow,

@@ -161,7 +161,12 @@ def run_shards(args) -> int:
                 )
                 _time.sleep(5.0)
                 if not stopping["flag"]:
-                    procs[i] = subprocess.Popen(cmd(i), env=env_for(i))
+                    child = subprocess.Popen(cmd(i), env=env_for(i))
+                    procs[i] = child
+                    if stopping["flag"]:
+                        # a signal landed during Popen: forward() only saw
+                        # the old (dead) proc, so terminate the newborn here
+                        child.terminate()
                     continue
             rcs[i] = rc
         _time.sleep(0.3)

@@ -18,8 +18,9 @@ def read(name):
 def test_scripts_included_in_dependency_order():
     html = read("index.html")
     scripts = re.findall(r'<script src="/static/([^"]+)"', html)
-    assert scripts == ["charts.js", "notifications.js", "mock-data.js", "main.js"], (
-        "main.js consumes globals from the other three — order matters"
+    assert scripts == ["util.js", "charts.js", "notifications.js",
+                       "mock-data.js", "main.js"], (
+        "main.js consumes globals from the others — order matters"
     )
     for s in scripts:
         assert (STATIC / s).exists(), f"{s} referenced but missing"
@@ -27,9 +28,10 @@ def test_scripts_included_in_dependency_order():
 
 def test_globals_used_by_main_are_defined():
     main = read("main.js")
-    providers = read("charts.js") + read("notifications.js") + read("mock-data.js")
+    providers = (read("util.js") + read("charts.js") + read("notifications.js")
+                 + read("mock-data.js"))
     for name in ("ChartsManager", "NotificationManager", "StreamAlerts",
-                 "MockFeed", "mockEnabled"):
+                 "MockFeed", "mockEnabled", "escHtml", "safeFrameSrc"):
         assert re.search(rf"\b{name}\b", main), f"main.js no longer uses {name}?"
         assert f"window.{name}" in providers, f"{name} not exported"
 
@@ -126,7 +128,8 @@ def _strip_js(js: str) -> str:
 
 
 def test_braces_balanced():
-    for name in ("main.js", "charts.js", "notifications.js", "mock-data.js"):
+    for name in ("main.js", "charts.js", "notifications.js", "mock-data.js",
+                 "util.js"):
         js = _strip_js(read(name))
         for a, b in ("{}", "()", "[]"):
             assert js.count(a) == js.count(b), f"{name}: unbalanced {a}{b}"
@@ -161,9 +164,9 @@ def test_wall_view_assets():
     provided, and the server routes /wall."""
     html = read("wall.html")
     scripts = re.findall(r'<script src="/static/([^"]+)"', html)
-    assert scripts == ["mock-data.js", "wall.js"]
+    assert scripts == ["util.js", "mock-data.js", "wall.js"]
     wall = read("wall.js")
-    for name in ("MockFeed", "mockEnabled"):
+    for name in ("MockFeed", "mockEnabled", "safeFrameSrc"):
         assert re.search(rf"\b{name}\b", wall)
     ids = set(re.findall(r'id="([^"]+)"', html))
     for ident in re.findall(r'getElementById\("([^"]+)"\)', wall):
@@ -178,3 +181,15 @@ def test_wall_js_braces_balanced():
     js = _strip_js(read("wall.js"))
     for a, b in ("{}", "()", "[]"):
         assert js.count(a) == js.count(b), f"wall.js: unbalanced {a}{b}"
+
+
+def test_frame_previews_are_sanitized():
+    """frame_jpeg flows from the bus into <img>.src: both pages must gate
+    it through safeFrameSrc (data:image/ only — no attribute injection,
+    no javascript: URIs)."""
+    for src_name in ("main.js", "wall.js"):
+        js = read(src_name)
+        assert "safeFrameSrc(" in js, f"{src_name} renders previews unsanitized"
+        assert "frame_jpeg" in js  # the preview field is actually consumed
+        # no direct interpolation of frame_jpeg into markup
+        assert "${evt.frame_jpeg}" not in js, f"{src_name}: raw interpolation"

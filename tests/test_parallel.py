@@ -200,3 +200,48 @@ def test_engine_mesh_shape_config_is_wired(mesh):
     np.testing.assert_array_equal(got.num_valid, ref.num_valid)
     np.testing.assert_allclose(got.boxes_xyxy, ref.boxes_xyxy, rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(got.scores, ref.scores, rtol=1e-4, atol=1e-5)
+
+
+def test_engine_mesh_small_batches_round_to_dp(mesh):
+    """Mesh-mode buckets round up to a dp multiple — a single-frame predict
+    must not crash on batch-dim divisibility (round-2 review finding)."""
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    eng = JaxYoloEngine(DetectorConfig(
+        model_path="__random__.pt", input_size=[64, 64],
+        confidence_threshold=0.01, max_batch_size=8,
+        batch_buckets=[1, 2, 8],  # 1 and 2 are NOT divisible by dp=4
+        precision="fp32", warmup=False, pre_nms_topk=64, max_detections=16,
+        host_select="off", mesh_shape=[4, 2],
+    ))
+    assert eng._effective_bucket(1) == 4
+    frames = np.random.default_rng(3).integers(
+        0, 256, (1, 96, 128, 3), dtype=np.uint8
+    )
+    br = eng.predict_arrays(frames)  # crashed before the fix
+    assert br.boxes_xyxy.shape[0] == 1
+
+
+def test_engine_mesh_warmup_compiles_the_serving_executable(mesh):
+    """Mesh-mode warmup must prime the same jit cache entry predict uses
+    (sharded input layout) — otherwise the first live batch recompiles."""
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    eng = JaxYoloEngine(DetectorConfig(
+        model_path="__random__.pt", input_size=[64, 64],
+        confidence_threshold=0.01, max_batch_size=8, batch_buckets=[8],
+        precision="fp32", warmup=False, pre_nms_topk=64, max_detections=16,
+        host_select="off", mesh_shape=[4, 2],
+    ))
+    eng.warmup((96, 128))
+    step = eng._steps[(8, 96, 128)]
+    n_before = step._cache_size()
+    frames = np.random.default_rng(3).integers(
+        0, 256, (8, 96, 128, 3), dtype=np.uint8
+    )
+    eng.predict_arrays(frames)
+    assert step._cache_size() == n_before, (
+        "predict compiled a second executable after warmup"
+    )
