@@ -426,6 +426,15 @@ class PipelineConfig:
     stats_interval_seconds: float = 15.0  # live here: drives scheduler status logs
     batch_window_ms: float = 4.0  # TPU extension: batcher packing window
     batch_pipeline_depth: int = 2  # TPU extension: in-flight batches (H2D/compute overlap)
+    # TPU extension: temporal clip coalescing window. Clips that become
+    # ready (per-stream ring buffer filled) within this window run as ONE
+    # device clip batch even when their frames arrived in different batcher
+    # ticks. 0 = reference-like arrival grouping. Temporal clips are the
+    # expensive device calls (8-30x a single-frame detect), so coalescing
+    # drifted streams into one batch is worth a bounded wait; keep the
+    # window under frame_interval * (stream.batch_size - 1) to avoid
+    # stalling stream workers.
+    temporal_clip_window_ms: float = 0.0
 
     def validate(self) -> None:
         if not self.streams:
@@ -443,6 +452,8 @@ class PipelineConfig:
             raise ConfigError("batch_window_ms must be >= 0")
         if self.batch_pipeline_depth < 1:
             raise ConfigError("batch_pipeline_depth must be >= 1")
+        if self.temporal_clip_window_ms < 0:
+            raise ConfigError("temporal_clip_window_ms must be >= 0")
         names = [s.name for s in self.streams]
         if len(set(names)) != len(names):
             raise ConfigError("Stream names must be unique")
@@ -530,11 +541,12 @@ def config_from_dict(raw: dict) -> PipelineConfig:
         stats_interval_seconds=raw.get("stats_interval_seconds", 15.0),
         batch_window_ms=raw.get("batch_window_ms", 4.0),
         batch_pipeline_depth=raw.get("batch_pipeline_depth", 2),
+        temporal_clip_window_ms=raw.get("temporal_clip_window_ms", 0.0),
     )
     known_top = {
         "streams", "detector", "detectors", "tracker", "kafka", "prometheus",
         "snapshots", "max_concurrent_streams", "stats_interval_seconds",
-        "batch_window_ms", "batch_pipeline_depth",
+        "batch_window_ms", "batch_pipeline_depth", "temporal_clip_window_ms",
     }
     unknown_top = set(raw) - known_top
     if unknown_top:

@@ -44,7 +44,7 @@ logger = logging.getLogger(__name__)
 class BatcherStats:
     __slots__ = (
         "batches", "frames", "sum_batch_size", "max_batch_size", "sum_infer_ms",
-        "sum_wait_ms", "shed",
+        "sum_wait_ms", "shed", "clip_batches", "clips", "sum_clip_batch_size",
     )
 
     def __init__(self) -> None:
@@ -55,6 +55,9 @@ class BatcherStats:
         self.sum_infer_ms = 0.0
         self.sum_wait_ms = 0.0
         self.shed = 0  # frames dropped by the per-stream in-flight cap
+        self.clip_batches = 0  # temporal clip-coalescing device calls
+        self.clips = 0
+        self.sum_clip_batch_size = 0
 
     @property
     def avg_batch_size(self) -> float:
@@ -65,7 +68,7 @@ class BatcherStats:
         return self.sum_infer_ms / self.batches if self.batches else 0.0
 
     def snapshot(self) -> dict:
-        return {
+        out = {
             "batches": self.batches,
             "frames": self.frames,
             "avg_batch_size": round(self.avg_batch_size, 2),
@@ -73,6 +76,13 @@ class BatcherStats:
             "avg_infer_ms": round(self.avg_infer_ms, 2),
             "shed": self.shed,
         }
+        if self.clip_batches:
+            out["clip_batches"] = self.clip_batches
+            out["clips"] = self.clips
+            out["avg_clip_batch_size"] = round(
+                self.sum_clip_batch_size / self.clip_batches, 2
+            )
+        return out
 
 
 class InferenceBatcher:
@@ -87,6 +97,7 @@ class InferenceBatcher:
         per_stream_inflight: Optional[Dict[str, int]] = None,
         pipeline_depth: int = 2,
         metrics=None,
+        temporal_clip_window_ms: float = 0.0,
     ):
         self.engine = engine
         self.metrics = metrics  # optional MetricsPublisher (observe_batch)
@@ -102,6 +113,18 @@ class InferenceBatcher:
         self._task: Optional[asyncio.Task] = None
         self._closed = False
         self.stats = BatcherStats()
+        # temporal clip coalescing: with a window > 0 and a temporal engine
+        # (duck-typed: buffer_packet + predict_clips), frame buffering runs
+        # inline per tick and ready clips are held up to the window so clips
+        # from streams whose frames arrived in *different* ticks still run
+        # as one device clip batch (clips cost 8-30x a single-frame detect —
+        # see docs/TEMPORAL cost table — so batching them matters most).
+        self.clip_window_s = max(0.0, temporal_clip_window_ms) / 1e3
+        self._temporal = hasattr(engine, "buffer_packet") and hasattr(
+            engine, "predict_clips"
+        )
+        self._pending_clips: list = []  # (sequence, future, t_submit)
+        self._clip_timer: Optional[asyncio.Task] = None
 
     async def start(self) -> None:
         if self._task is None:
@@ -173,8 +196,15 @@ class InferenceBatcher:
             task.add_done_callback(_done)
         if self._running:
             await asyncio.wait(self._running)
-        # drain on shutdown: unprocessed frames resolve as shed (None), not
-        # as clean zero-detection results
+        # drain on shutdown: unprocessed frames/clips resolve as shed (None),
+        # not as clean zero-detection results
+        if self._clip_timer is not None:
+            self._clip_timer.cancel()
+            self._clip_timer = None
+        for _, fut, _ in self._pending_clips:
+            if not fut.done():
+                fut.set_result(None)
+        self._pending_clips.clear()
         for item in self._deferred:
             item[1].set_result(None)
         self._deferred.clear()
@@ -231,6 +261,9 @@ class InferenceBatcher:
             items.append(item)
 
     async def _process(self, items: Sequence[Tuple]) -> None:
+        if self._temporal and self.clip_window_s > 0:
+            await self._process_temporal(items)
+            return
         packets = [it[0] for it in items]
         futures = [it[1] for it in items]
         submit_times = [it[2] for it in items]
@@ -254,5 +287,78 @@ class InferenceBatcher:
         if self.metrics is not None:
             self.metrics.observe_batch(len(items), infer_ms / 1e3)
         for fut, dets in zip(futures, results):
+            if not fut.done():
+                fut.set_result(dets)
+
+    # -- temporal clip coalescing ----------------------------------------
+
+    def _clip_flush_target(self) -> int:
+        cfg = getattr(self.engine, "config", None)
+        buckets = getattr(cfg, "resolved_buckets", None) if cfg else None
+        return min(self.max_batch, buckets[-1]) if buckets else self.max_batch
+
+    async def _process_temporal(self, items: Sequence[Tuple]) -> None:
+        """Stage 1 of temporal inference: ring-buffer every frame (host,
+        O(1)); frames that do not complete a clip resolve immediately with
+        [] (the reference contract for in-buffer frames). Ready clips are
+        parked up to ``clip_window_s`` so clips from other streams —
+        arriving in later batcher ticks — join the same device batch."""
+        st = self.stats
+        st.frames += len(items)
+        for packet, fut, t_sub in items:
+            seq = self.engine.buffer_packet(packet)
+            if seq is None:
+                if not fut.done():
+                    fut.set_result([])
+            else:
+                self._pending_clips.append((seq, fut, t_sub))
+        if not self._pending_clips:
+            return
+        if len(self._pending_clips) >= self._clip_flush_target():
+            await self._flush_clips()
+        elif self._clip_timer is None:
+            self._clip_timer = asyncio.create_task(
+                self._clip_timer_run(), name="clip-flush-timer"
+            )
+
+    async def _clip_timer_run(self) -> None:
+        try:
+            await asyncio.sleep(self.clip_window_s)
+            self._clip_timer = None
+            await self._flush_clips()
+        except asyncio.CancelledError:  # flushed early or shutdown
+            pass
+
+    async def _flush_clips(self) -> None:
+        if self._clip_timer is not None:
+            self._clip_timer.cancel()
+            self._clip_timer = None
+        pending, self._pending_clips = self._pending_clips, []
+        if not pending:
+            return
+        t0 = time.perf_counter()
+        try:
+            results = await asyncio.to_thread(
+                self.engine.predict_clips, [seq for seq, _, _ in pending]
+            )
+        except Exception as exc:  # noqa: BLE001
+            logger.exception("batched clip inference failed: %s", exc)
+            for _, fut, _ in pending:
+                if not fut.done():
+                    fut.set_exception(RuntimeError(f"inference failed: {exc}"))
+            return
+        infer_ms = (time.perf_counter() - t0) * 1e3
+        st = self.stats
+        st.batches += 1
+        st.clip_batches += 1
+        st.clips += len(pending)
+        st.sum_clip_batch_size += len(pending)
+        st.sum_batch_size += len(pending)
+        st.max_batch_size = max(st.max_batch_size, len(pending))
+        st.sum_infer_ms += infer_ms
+        st.sum_wait_ms += sum((t0 - t) * 1e3 for _, _, t in pending)
+        if self.metrics is not None:
+            self.metrics.observe_batch(len(pending), infer_ms / 1e3)
+        for (_, fut, _), dets in zip(pending, results):
             if not fut.done():
                 fut.set_result(dets)

@@ -149,11 +149,15 @@ class JaxTemporalEngine(BaseDetector):
 
     # -- sliding-window predict ----------------------------------------------
 
-    def _buffer_and_extract(
+    def buffer_packet(
         self, packet: FramePacket
     ) -> Optional[List[FramePacket]]:
         """Append to the stream's ring buffer; return a clip when one is due
-        (reference buffering contract, temporal_detector.py:78-120)."""
+        (reference buffering contract, temporal_detector.py:78-120).
+
+        Public so the batcher can split buffering (cheap, host, per frame)
+        from clip inference (expensive, device) and coalesce ready clips
+        across streams — see ``InferenceBatcher`` temporal clip batching."""
         cfg = self.config
         name = packet.stream.name
         required = cfg.sequence_length * cfg.sequence_stride
@@ -172,11 +176,14 @@ class JaxTemporalEngine(BaseDetector):
             buf.clear()
         return sequence
 
+    # backward-compatible private aliases
+    _buffer_and_extract = buffer_packet
+
     def predict(self, packet: FramePacket) -> List[Detection]:
-        sequence = self._buffer_and_extract(packet)
+        sequence = self.buffer_packet(packet)
         if sequence is None:
             return []
-        return self._predict_clips([sequence])[0]
+        return self.predict_clips([sequence])[0]
 
     def predict_packets(self, packets: Sequence[FramePacket]) -> List[List[Detection]]:
         """Cross-stream batched clip inference: clips that become ready in the
@@ -185,11 +192,11 @@ class JaxTemporalEngine(BaseDetector):
         results: List[List[Detection]] = [[] for _ in packets]
         ready: List[Tuple[int, List[FramePacket]]] = []
         for i, p in enumerate(packets):
-            seq = self._buffer_and_extract(p)
+            seq = self.buffer_packet(p)
             if seq is not None:
                 ready.append((i, seq))
         if ready:
-            dets = self._predict_clips([s for _, s in ready])
+            dets = self.predict_clips([s for _, s in ready])
             for (i, _), d in zip(ready, dets):
                 results[i] = d
         return results
@@ -199,9 +206,11 @@ class JaxTemporalEngine(BaseDetector):
         not straddle a stream gap)."""
         self._buffers.pop(stream_name, None)
 
-    def _predict_clips(
+    def predict_clips(
         self, sequences: Sequence[List[FramePacket]]
     ) -> List[List[Detection]]:
+        """Batched device inference over ready clips (public: the batcher's
+        clip-coalescing path calls this directly)."""
         by_shape: Dict[Tuple[int, int], List[int]] = {}
         for i, seq in enumerate(sequences):
             by_shape.setdefault(tuple(seq[0].frame.shape[:2]), []).append(i)

@@ -499,6 +499,7 @@ class AnalyticsPipeline:
                 batch_window_ms=cfg.batch_window_ms,
                 pipeline_depth=cfg.batch_pipeline_depth,
                 metrics=self.metrics,
+                temporal_clip_window_ms=cfg.temporal_clip_window_ms,
             )
             await batcher.start()
             self.batchers[det_id] = batcher
