@@ -216,6 +216,7 @@ class DetectorConfig:
     mesh_shape: Optional[List[int]] = None  # e.g. [4, 2] for (dp, tp); None = 1 chip
     compile_cache_dir: Optional[str] = None  # persistent jit cache (≙ .engine files)
     pallas_preprocess: str = "auto"  # auto | on | off: fused MXU letterbox kernel
+    pallas_gather: str = "auto"  # auto | on | off: MXU one-hot NMS payload gather
     # When the letterbox ratio is an odd integer per axis (1080p->640 is
     # exactly 3x), bilinear resize degenerates to an exact pixel pick — do
     # it on the HOST before upload: H2D bytes drop 8.6x (6 MB -> 0.7 MB per
@@ -282,6 +283,8 @@ class DetectorConfig:
             raise ConfigError("mesh_shape entries must be >= 1")
         if self.pallas_preprocess not in {"auto", "on", "off"}:
             raise ConfigError("pallas_preprocess must be auto|on|off")
+        if self.pallas_gather not in {"auto", "on", "off"}:
+            raise ConfigError("pallas_gather must be auto|on|off")
 
     @property
     def resolved_input_size(self) -> Tuple[int, int]:

@@ -246,6 +246,8 @@ class JaxYoloEngine(BaseDetector):
             layers["0"] = stem
             return {**params, "layers": layers}
 
+        nms_gather = self._nms_gather_impl()
+
         def step(params, sel_u8):
             pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
             pad_right = spec.dst_w - spec.new_w - spec.pad_left
@@ -268,6 +270,7 @@ class JaxYoloEngine(BaseDetector):
                 max_det=cfg.max_detections,
                 pre_topk=min(cfg.pre_nms_topk, boxes.shape[1]),
                 class_agnostic=self.class_agnostic_nms,
+                gather_impl=nms_gather,
             )
             b = unletterbox_boxes(
                 b, spec.scale, spec.pad_left, spec.pad_top, spec.src_h,
@@ -278,6 +281,21 @@ class JaxYoloEngine(BaseDetector):
         if self.mesh is not None:
             return jax.jit(step)  # sharded in/out: no single-device pin
         return jax.jit(step, device=self.device)
+
+    def _nms_gather_impl(self) -> str:
+        """NMS payload gather impl: the bit-exact Pallas MXU one-hot gather
+        on a single TPU (take_along_axis is element-serial there — ~1.9 ms
+        of the round-2 step); XLA gathers on CPU and under a mesh (pallas
+        partitioning under pjit is not exercised by the CPU-mesh tests)."""
+        if self.config.pallas_gather == "on":
+            return "pallas"
+        if (
+            self.config.pallas_gather == "auto"
+            and self.device.platform == "tpu"
+            and self.mesh is None
+        ):
+            return "pallas"
+        return "xla"
 
     def _get_step_selected(self, batch: int, src_hw: Tuple[int, int]):
         key = (batch, *src_hw, "sel")
@@ -317,6 +335,7 @@ class JaxYoloEngine(BaseDetector):
             and self.device.platform == "tpu"
             and needs_resize
         )
+        nms_gather = self._nms_gather_impl()
 
         def step(params, frames_u8):
             if use_pallas:
@@ -348,6 +367,7 @@ class JaxYoloEngine(BaseDetector):
                 max_det=cfg.max_detections,
                 pre_topk=min(cfg.pre_nms_topk, boxes.shape[1]),
                 class_agnostic=self.class_agnostic_nms,
+                gather_impl=nms_gather,
             )
             b = unletterbox_boxes(
                 b, spec.scale, spec.pad_left, spec.pad_top, spec.src_h, spec.src_w

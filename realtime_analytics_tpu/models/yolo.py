@@ -93,6 +93,16 @@ class YoloModel:
     detect_ch: List[int] = field(default_factory=list)
     head_idx: int = -1
     act_int8: bool = False  # full int8 conv path (requires quantized params)
+    # Fuse upsample->concat->block neck junctions: the block's leading 1x1
+    # conv(s) commute with nearest-neighbour upsample, so
+    # cv1(concat(up(x), y)) == silu(up(cv1_a(x)) + cv1_b(y) + bias) with the
+    # weights split by input channel. The 2x-upsampled high-channel tensor
+    # and the concat buffer never materialize in HBM (profiled 0.5+ ms/step
+    # of pure broadcast/copy traffic at batch 128). Exact up to f32
+    # accumulation order; disabled on the int8 path (per-conv activation
+    # scales are calibrated on the unsplit input).
+    fuse_neck: bool = True
+    _fusions: Optional[Dict[int, str]] = None
 
     # -- construction ------------------------------------------------------
 
@@ -142,6 +152,7 @@ class YoloModel:
         """
         layers = params["layers"]
         outs: List[Optional[jnp.ndarray]] = [None] * len(self.nodes)
+        fus = self._neck_fusions() if self.fuse_neck and not self.act_int8 else {}
         prev = x
         for i, node in enumerate(self.nodes):
             srcs = [s if s >= 0 else i - 1 for s in node.src]
@@ -159,9 +170,14 @@ class YoloModel:
             elif node.kind == "sppf":
                 y = _sppf(p, ins[0], node.k, q)
             elif node.kind == "upsample":
-                y = upsample2x(ins[0])
+                # fused junction: defer the 2x upsample into the consumer
+                # block's split 1x1 (see ``fuse_neck``)
+                y = ("lazy_up", ins[0]) if i in fus else upsample2x(ins[0])
             elif node.kind == "concat":
-                y = jnp.concatenate(ins, axis=-1)
+                if i in fus:
+                    y = ("lazy_up_concat", ins[0][1], ins[1])
+                else:
+                    y = jnp.concatenate(ins, axis=-1)
             elif node.kind == "detect_v8":
                 return _detect_v8(p, ins, self.nc, q, reduce_scores)
             elif node.kind == "detect_v5":
@@ -171,6 +187,35 @@ class YoloModel:
             outs[i] = y
             prev = y
         raise ValueError("graph has no detect head")  # pragma: no cover
+
+    def _neck_fusions(self) -> Dict[int, str]:
+        """Indices of fusable upsample->concat(up, skip)->c2f/c3 triples:
+        the upsample and concat must each have exactly one consumer (the
+        next node) so deferring them cannot change any other path."""
+        if self._fusions is None:
+            consumers: Dict[int, List[int]] = {}
+            for j, nd in enumerate(self.nodes):
+                for s in nd.src:
+                    consumers.setdefault(s if s >= 0 else j - 1, []).append(j)
+            fus: Dict[int, str] = {}
+            for i, nd in enumerate(self.nodes):
+                if nd.kind != "upsample" or i + 2 >= len(self.nodes):
+                    continue
+                cat, blk = self.nodes[i + 1], self.nodes[i + 2]
+                if cat.kind != "concat" or len(cat.src) != 2:
+                    continue
+                if (cat.src[0] if cat.src[0] >= 0 else i) != i:
+                    continue
+                if blk.kind not in ("c2f", "c3"):
+                    continue
+                if [s if s >= 0 else i + 1 for s in blk.src] != [i + 1]:
+                    continue
+                if consumers.get(i) != [i + 1] or consumers.get(i + 1) != [i + 2]:
+                    continue
+                fus[i] = "up"
+                fus[i + 1] = "cat"
+            self._fusions = fus
+        return self._fusions
 
     def num_anchors(self, input_hw: Tuple[int, int]) -> int:
         h, w = input_hw
@@ -204,8 +249,24 @@ def _init_c2f(key, c1, c2, n):
     }
 
 
+def _split_up_conv1x1_act(p, x_small, y_skip):
+    """silu(conv1x1(concat(up2x(x_small), y_skip))) without materializing
+    the upsample or the concat: the 1x1 weights split by input channel and
+    the nearest upsample moves past the conv (they commute)."""
+    from .layers import conv2d, get_weight, silu, upsample2x
+
+    w = get_weight(p, x_small.dtype)  # [1, 1, c_up + c_skip, cout]
+    ch = x_small.shape[-1]
+    a = conv2d(x_small, w[:, :, :ch], None)
+    b = conv2d(y_skip, w[:, :, ch:], p.get("b"))
+    return silu(upsample2x(a) + b)
+
+
 def _c2f(p, x, n, shortcut, q=False):
-    y = conv_act(p["cv1"], x, act_int8=q)
+    if isinstance(x, tuple):  # ("lazy_up_concat", x_small, y_skip)
+        y = _split_up_conv1x1_act(p["cv1"], x[1], x[2])
+    else:
+        y = conv_act(p["cv1"], x, act_int8=q)
     a, b = jnp.split(y, 2, axis=-1)
     ys = [a, b]
     cur = b
@@ -227,10 +288,14 @@ def _init_c3(key, c1, c2, n):
 
 
 def _c3(p, x, n, shortcut, q=False):
-    a = conv_act(p["cv1"], x, act_int8=q)
+    if isinstance(x, tuple):  # ("lazy_up_concat", x_small, y_skip)
+        a = _split_up_conv1x1_act(p["cv1"], x[1], x[2])
+        b = _split_up_conv1x1_act(p["cv2"], x[1], x[2])
+    else:
+        a = conv_act(p["cv1"], x, act_int8=q)
+        b = conv_act(p["cv2"], x, act_int8=q)
     for j in range(n):
         a = _bottleneck(p["m"][j], a, shortcut, q)
-    b = conv_act(p["cv2"], x, act_int8=q)
     return conv_act(p["cv3"], jnp.concatenate([a, b], axis=-1), act_int8=q)
 
 
