@@ -217,6 +217,13 @@ class DetectorConfig:
     compile_cache_dir: Optional[str] = None  # persistent jit cache (≙ .engine files)
     pallas_preprocess: str = "auto"  # auto | on | off: fused MXU letterbox kernel
     pallas_gather: str = "auto"  # auto | on | off: MXU one-hot NMS payload gather
+    # Space-to-depth early backbone: run the 16/32-channel P1/P2 stage in
+    # s2d layout so activations fill TPU lanes (models/s2d.py). Exact up
+    # to accumulation order — but MEASURED SLOWER on v5e (17.8 vs 16.5 ms
+    # at b=128: the 4x tap-scatter FLOP dilution outweighs the lane-density
+    # win for XLA convs), so the default is off. Kept as an option: the
+    # trade flips where HBM bandwidth per FLOP is scarcer.
+    s2d_backbone: str = "off"  # on | off (+ "auto" alias of off on v5e)
     # When the letterbox ratio is an odd integer per axis (1080p->640 is
     # exactly 3x), bilinear resize degenerates to an exact pixel pick — do
     # it on the HOST before upload: H2D bytes drop 8.6x (6 MB -> 0.7 MB per
@@ -285,6 +292,8 @@ class DetectorConfig:
             raise ConfigError("pallas_preprocess must be auto|on|off")
         if self.pallas_gather not in {"auto", "on", "off"}:
             raise ConfigError("pallas_gather must be auto|on|off")
+        if self.s2d_backbone not in {"auto", "on", "off"}:
+            raise ConfigError("s2d_backbone must be auto|on|off")
 
     @property
     def resolved_input_size(self) -> Tuple[int, int]:

@@ -174,6 +174,10 @@ class JaxYoloEngine(BaseDetector):
             self.params = shard_params(params, self.mesh)
         else:
             self.params = jax.device_put(params, self.device)
+        # s2d early backbone (models/s2d.py): exact lane-density layout
+        # for the P1/P2 stage. Off by default — measured slower on v5e
+        # (config.py knob comment); "on" forces it for study/other gens.
+        self.model.s2d_backbone = self.config.s2d_backbone == "on"
         self._class_mask = None
         if config.classes:
             mask = np.zeros((nc,), dtype=bool)

@@ -103,6 +103,12 @@ class YoloModel:
     # scales are calibrated on the unsplit input).
     fuse_neck: bool = True
     _fusions: Optional[Dict[int, str]] = None
+    # Run the P1/P2 stage (nodes 0..3: stem conv, P2 conv, first block,
+    # P3 conv) in space-to-depth layout so the 16/32-channel activations
+    # fill TPU lanes (see models/s2d.py). Exact up to accumulation order;
+    # engine enables it on single-chip TPU (config knob ``s2d_backbone``).
+    s2d_backbone: bool = False
+    _s2d_ok: Optional[bool] = None
 
     # -- construction ------------------------------------------------------
 
@@ -153,8 +159,22 @@ class YoloModel:
         layers = params["layers"]
         outs: List[Optional[jnp.ndarray]] = [None] * len(self.nodes)
         fus = self._neck_fusions() if self.fuse_neck and not self.act_int8 else {}
-        prev = x
+        start = 0
+        if (
+            self.s2d_backbone
+            and not self.act_int8
+            and self._s2d_prefix_ok()
+            and x.shape[1] % 4 == 0
+            and x.shape[2] % 4 == 0
+        ):
+            outs[3] = self._apply_s2d_prefix(layers, x)
+            prev = outs[3]
+            start = 4
+        else:
+            prev = x
         for i, node in enumerate(self.nodes):
+            if i < start:
+                continue
             srcs = [s if s >= 0 else i - 1 for s in node.src]
             ins = [prev if s == i - 1 and i > 0 else outs[s] for s in srcs]
             if i == 0:
@@ -216,6 +236,44 @@ class YoloModel:
                 fus[i + 1] = "cat"
             self._fusions = fus
         return self._fusions
+
+    def _s2d_prefix_ok(self) -> bool:
+        """The s2d prefix covers nodes 0..3 = conv(s2), conv(s2),
+        c2f/c3(s1), conv(s2) with strictly chained single consumers —
+        true for every published v5/v8 layout (Ultralytics yolov8.yaml /
+        yolov5.yaml backbone rows 0-3)."""
+        if self._s2d_ok is None:
+            ok = len(self.nodes) > 4
+            if ok:
+                n0, n1, n2, n3 = self.nodes[:4]
+                ok = (
+                    n0.kind == "conv" and n0.s == 2
+                    and n1.kind == "conv" and n1.s == 2 and n1.k == 3
+                    and n2.kind in ("c2f", "c3")
+                    and n3.kind == "conv" and n3.s == 2 and n3.k == 3
+                )
+            if ok:
+                consumers: Dict[int, List[int]] = {}
+                for j, nd in enumerate(self.nodes):
+                    for s in nd.src:
+                        consumers.setdefault(s if s >= 0 else j - 1, []).append(j)
+                ok = all(consumers.get(i) == [i + 1] for i in range(3))
+            self._s2d_ok = ok
+        return self._s2d_ok
+
+    def _apply_s2d_prefix(self, layers: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        """Nodes 0..3 in space-to-depth layout (see models/s2d.py): the
+        sub-128-channel stage runs on full-density HBM tiles. Returns the
+        node-3 (P3 conv) output in normal [N, H/8, W/8, C] layout."""
+        from .s2d import c2f_s2d, c3_s2d, s2d_conv_act, space_to_depth
+
+        n0, n2 = self.nodes[0], self.nodes[2]
+        y = space_to_depth(x, 4)  # [N, H/4, W/4, 48]
+        y = s2d_conv_act(layers["0"], y, fi=4, fo=2, stride=2, pad=n0.p)
+        y = s2d_conv_act(layers["1"], y, fi=2, fo=2, stride=2)
+        block = c2f_s2d if n2.kind == "c2f" else c3_s2d
+        y = block(layers["2"], y, n2.n, n2.shortcut, 2)
+        return s2d_conv_act(layers["3"], y, fi=2, fo=1, stride=2)
 
     def num_anchors(self, input_hw: Tuple[int, int]) -> int:
         h, w = input_hw

@@ -80,14 +80,17 @@ def batched_nms(
         # the SAME sort for free (idx < 2^15 and class < 2^16 fit one s32
         # exactly — both hold for every real detection head; m >= 2^15
         # falls back to the XLA path at trace time), leaving only the
-        # 16-byte box rows for the MXU gather. Stability: ascending packed
-        # value on tied scores == lowest-index-first, the top_k tie-break.
+        # 16-byte box rows for the MXU gather. Tie-break: the packed value
+        # is its OWN secondary sort key (num_keys=2) — ascending packed on
+        # tied scores == lowest-index-first, exactly top_k's tie-break —
+        # so no stable-sort iota operand is added (a third [N, M] array
+        # through the sort network, profiled at ~0.3 ms/step at b=128).
         assert m < (1 << 15), "pallas NMS gather supports M < 32768 anchors"
         mrange = jnp.arange(m, dtype=jnp.int32)
         packed = mrange[None, :] * 65536 + (class_ids % 65536)
         neg, packed_top = jax.lax.sort(
             (-scores, jnp.broadcast_to(packed, scores.shape)),
-            dimension=1, is_stable=True, num_keys=1,
+            dimension=1, is_stable=False, num_keys=2,
         )
         top_scores = -neg[:, :k]
         packed_top = packed_top[:, :k]
