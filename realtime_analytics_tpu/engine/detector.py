@@ -184,6 +184,7 @@ class JaxYoloEngine(BaseDetector):
             mask[np.asarray(config.classes, dtype=np.int64)] = True
             self._class_mask = jnp.asarray(mask)
         self._steps: Dict[Tuple[int, int, int], object] = {}  # (B, H, W) -> jitted
+        self._bucket_cost_ms: Dict[int, float] = {}  # warmup-measured step ms
         self.class_agnostic_nms = True  # reference NMS is class-agnostic
         self.last_infer_ms: float = 0.0
 
@@ -386,10 +387,24 @@ class JaxYoloEngine(BaseDetector):
         return jax.jit(step, device=self.device)
 
     def _effective_bucket(self, n: int) -> int:
-        """Compile bucket for an n-frame batch. In mesh mode the batch dim
-        shards over dp, so buckets round up to a dp multiple (device_put
-        requires divisibility)."""
+        """Compile bucket for an n-frame batch: the CHEAPEST bucket that
+        fits, by warmup-measured step cost when available, else the
+        smallest. Bucket cost is non-monotonic on TPU — XLA lays the early
+        backbone out batch-minor, so the batch dim rides the 128-wide lane
+        dim: b=128 fills lanes exactly while b=64 pads half of every tile
+        AND thrashes between batch-minor/channel-minor layouts (measured
+        21.5 ms vs 16.5 ms for the b=128 step on v5e — padding 40 frames
+        to 128 beats running them at 64). In mesh mode the batch dim
+        shards over dp, so buckets round up to a dp multiple."""
         bucket = _bucket_for(self.config.resolved_buckets, n)
+        if self._bucket_cost_ms:
+            cands = [
+                b
+                for b in self.config.resolved_buckets
+                if b >= n and b in self._bucket_cost_ms
+            ]
+            if cands:
+                bucket = min(cands, key=lambda b: (self._bucket_cost_ms[b], b))
         if self.mesh is not None:
             dp = self.mesh.shape.get("dp", 1)
             bucket = ((bucket + dp - 1) // dp) * dp
@@ -401,18 +416,46 @@ class JaxYoloEngine(BaseDetector):
         executable predict will use — the host-select variant when the
         geometry allows, and the mesh-sharded input layout when a mesh is
         configured (an unsharded warmup input would compile a different
-        cache entry and the first live batch would recompile)."""
+        cache entry and the first live batch would recompile).
+
+        After compiling, each bucket's step is timed (min of 3 calls) and
+        the cost feeds cost-aware bucket selection (``_effective_bucket``).
+        The constant per-dispatch overhead cancels in the comparison."""
         buckets = buckets or self.config.resolved_buckets
         probe = np.zeros((1, *src_hw, 3), dtype=np.uint8)
         _, selected = self.host_prepare(probe, src_hw)
         for b in buckets:
-            b = self._effective_bucket(b)
+            b = _bucket_for(self.config.resolved_buckets, b)
+            if self.mesh is not None:
+                dp = self.mesh.shape.get("dp", 1)
+                b = ((b + dp - 1) // dp) * dp
             prepared, _ = self.host_prepare(
                 np.zeros((b, *src_hw, 3), dtype=np.uint8), src_hw
             )
             self._predict_prepared(prepared, src_hw, selected)
-            logger.info("warmup: compiled bucket B=%d src=%s (host_select=%s)",
-                        b, src_hw, selected)
+            cost = self.last_infer_ms
+            for _ in range(2):
+                self._predict_prepared(prepared, src_hw, selected)
+                cost = min(cost, self.last_infer_ms)
+            self._bucket_cost_ms[b] = cost
+            logger.info(
+                "warmup: compiled bucket B=%d src=%s (host_select=%s) "
+                "step=%.1fms", b, src_hw, selected, cost,
+            )
+        dominated = [
+            b for b in self._bucket_cost_ms
+            if any(
+                o > b and self._bucket_cost_ms[o] < self._bucket_cost_ms[b]
+                for o in self._bucket_cost_ms
+            )
+        ]
+        if dominated:
+            logger.info(
+                "bucket costs %s: bucket(s) %s are dominated by a larger "
+                "cheaper bucket and will be skipped by selection",
+                {k: round(v, 1) for k, v in sorted(self._bucket_cost_ms.items())},
+                sorted(dominated),
+            )
 
     # -- prediction ---------------------------------------------------------
 

@@ -248,3 +248,39 @@ def test_host_select_disabled_for_fractional_ratios():
     frames = np.zeros((1, 100, 150, 3), dtype=np.uint8)
     prepared, selected = eng.host_prepare(frames, (100, 150))
     assert not selected and prepared is frames
+
+
+def test_cost_aware_bucket_selection():
+    """Bucket cost is non-monotonic on TPU (batch rides the lane dim:
+    b=64 measured SLOWER than b=128 on v5e) — with warmup-measured costs
+    the engine picks the cheapest bucket that fits, not the smallest."""
+    cfg = DetectorConfig(
+        model_path="__random__.pt", warmup=False, input_size=[64, 64],
+        max_batch_size=128, batch_buckets=[16, 32, 64, 128], precision="fp32",
+    )
+    eng = JaxYoloEngine(cfg)
+    # no costs -> smallest fitting bucket (unchanged default behavior)
+    assert eng._effective_bucket(40) == 64
+    # v5e-shaped measurements: 64 dominated by 128
+    eng._bucket_cost_ms = {16: 10.6, 32: 16.0, 64: 21.5, 128: 16.5}
+    assert eng._effective_bucket(10) == 16
+    assert eng._effective_bucket(17) == 32   # 32 is cheaper than 64 AND 128
+    assert eng._effective_bucket(40) == 128  # padding to 128 beats b=64
+    assert eng._effective_bucket(100) == 128
+    # ties resolve to the smaller bucket
+    eng._bucket_cost_ms = {64: 16.5, 128: 16.5}
+    assert eng._effective_bucket(40) == 64
+    # partial measurements only redirect among measured buckets
+    eng._bucket_cost_ms = {16: 10.0}
+    assert eng._effective_bucket(40) == 64
+
+
+def test_warmup_records_bucket_costs():
+    cfg = DetectorConfig(
+        model_path="__random__.pt", warmup=False, input_size=[64, 64],
+        max_batch_size=4, batch_buckets=[2, 4], precision="fp32",
+    )
+    eng = JaxYoloEngine(cfg)
+    eng.warmup((96, 128))
+    assert set(eng._bucket_cost_ms) == {2, 4}
+    assert all(v > 0 for v in eng._bucket_cost_ms.values())
