@@ -185,7 +185,9 @@ class EmulatedDeviceEngine:
         frames = np.stack([pick_u8(p.frame, 3, 1, 3, 1) for p in packets])
         del frames
         n = len(packets)
-        bucket = next((b for b in self.buckets if n <= b), self.buckets[-1])
+        # cost-aware, like the production engine: cheapest fitting bucket
+        cands = [b for b in self.buckets if n <= b] or [self.buckets[-1]]
+        bucket = min(cands, key=lambda b: (self.step_ms[b], b))
         # the real engine pads BEFORE device_put, so H2D moves the bucket
         time.sleep((self.step_ms[bucket] + self.pcie_frame * bucket) / 1e3)
         from realtime_analytics_tpu.types import Detection

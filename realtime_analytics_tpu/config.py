@@ -217,6 +217,14 @@ class DetectorConfig:
     compile_cache_dir: Optional[str] = None  # persistent jit cache (≙ .engine files)
     pallas_preprocess: str = "auto"  # auto | on | off: fused MXU letterbox kernel
     pallas_gather: str = "auto"  # auto | on | off: MXU one-hot NMS payload gather
+    # Fused v8 head decode (DFL + class max/argmax in one Pallas kernel,
+    # ops/pallas_decode.py). MEASURED SLOWER on v5e at b=128 (23.5 vs
+    # 16.5 ms): the kernel's operand layout constraint breaks the
+    # batch-minor layout domain XLA uses for the whole head region,
+    # inserting relayouts — so default off. The XLA decode instead uses a
+    # fused num/den DFL formulation (models/yolo.py) that captures most
+    # of the win without layout constraints.
+    pallas_decode: str = "off"  # on | off (+ "auto" alias of off on v5e)
     # Space-to-depth early backbone: run the 16/32-channel P1/P2 stage in
     # s2d layout so activations fill TPU lanes (models/s2d.py). Exact up
     # to accumulation order — but MEASURED SLOWER on v5e (17.8 vs 16.5 ms
@@ -294,6 +302,8 @@ class DetectorConfig:
             raise ConfigError("pallas_gather must be auto|on|off")
         if self.s2d_backbone not in {"auto", "on", "off"}:
             raise ConfigError("s2d_backbone must be auto|on|off")
+        if self.pallas_decode not in {"auto", "on", "off"}:
+            raise ConfigError("pallas_decode must be auto|on|off")
 
     @property
     def resolved_input_size(self) -> Tuple[int, int]:

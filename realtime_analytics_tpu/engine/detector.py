@@ -178,6 +178,11 @@ class JaxYoloEngine(BaseDetector):
         # for the P1/P2 stage. Off by default — measured slower on v5e
         # (config.py knob comment); "on" forces it for study/other gens.
         self.model.s2d_backbone = self.config.s2d_backbone == "on"
+        # fused v8 head decode kernel (ops/pallas_decode.py): off by
+        # default — its operand layout constraint breaks the head region's
+        # batch-minor layout domain on v5e (config.py knob comment)
+        if config.pallas_decode == "on":
+            self.model.pallas_decode = "on"
         self._class_mask = None
         if config.classes:
             mask = np.zeros((nc,), dtype=bool)

@@ -73,7 +73,11 @@ class EventBusBroker:
                     self._subscribers[topic].add(writer)
                 elif op == "pub":
                     await self._fanout(topic, msg.get("payload"))
-        except (ConnectionResetError, asyncio.IncompleteReadError):
+        except (OSError, asyncio.IncompleteReadError):
+            # OSError covers BrokenPipeError/ConnectionResetError — a
+            # subscriber dropping mid-fanout surfaces the transport error
+            # through the reader waiter too (seen as an unhandled
+            # client_connected_cb exception under load)
             pass
         finally:
             for topic in subscribed:
@@ -89,7 +93,7 @@ class EventBusBroker:
                 w.write(data)
                 await w.drain()
                 self.messages_routed += 1
-            except (ConnectionResetError, RuntimeError):
+            except (OSError, RuntimeError):
                 dead.append(w)
         for w in dead:
             self._subscribers[topic].discard(w)
