@@ -100,6 +100,18 @@ def _bucket_for(buckets: Sequence[int], n: int) -> int:
     return buckets[-1]
 
 
+def _cheapest_bucket(buckets: Sequence[int], n: int, costs: Dict[int, float]) -> int:
+    """The cheapest bucket >= n by measured step cost, else the smallest.
+    Bucket cost is non-monotonic on TPU (batch rides the lane dim), so
+    padding further can be strictly faster — see ``_effective_bucket``."""
+    bucket = _bucket_for(buckets, n)
+    if costs:
+        cands = [b for b in buckets if b >= n and b in costs]
+        if cands:
+            bucket = min(cands, key=lambda b: (costs[b], b))
+    return bucket
+
+
 class JaxYoloEngine(BaseDetector):
     """YOLOv5/v8 engine with batched fused inference."""
 
@@ -182,7 +194,9 @@ class JaxYoloEngine(BaseDetector):
         # default — its operand layout constraint breaks the head region's
         # batch-minor layout domain on v5e (config.py knob comment)
         if config.pallas_decode == "on":
-            self.model.pallas_decode = "on"
+            self.model.pallas_decode = (
+                "on" if self.device.platform == "tpu" else "interpret"
+            )
         self._class_mask = None
         if config.classes:
             mask = np.zeros((nc,), dtype=bool)
@@ -298,7 +312,9 @@ class JaxYoloEngine(BaseDetector):
         of the round-2 step); XLA gathers on CPU and under a mesh (pallas
         partitioning under pjit is not exercised by the CPU-mesh tests)."""
         if self.config.pallas_gather == "on":
-            return "pallas"
+            # off-TPU, "on" means the interpreter (tests/dev boxes): the
+            # Mosaic kernel itself only compiles for TPU
+            return "pallas" if self.device.platform == "tpu" else "pallas_interpret"
         if (
             self.config.pallas_gather == "auto"
             and self.device.platform == "tpu"
@@ -401,15 +417,9 @@ class JaxYoloEngine(BaseDetector):
         21.5 ms vs 16.5 ms for the b=128 step on v5e — padding 40 frames
         to 128 beats running them at 64). In mesh mode the batch dim
         shards over dp, so buckets round up to a dp multiple."""
-        bucket = _bucket_for(self.config.resolved_buckets, n)
-        if self._bucket_cost_ms:
-            cands = [
-                b
-                for b in self.config.resolved_buckets
-                if b >= n and b in self._bucket_cost_ms
-            ]
-            if cands:
-                bucket = min(cands, key=lambda b: (self._bucket_cost_ms[b], b))
+        bucket = _cheapest_bucket(
+            self.config.resolved_buckets, n, self._bucket_cost_ms
+        )
         if self.mesh is not None:
             dp = self.mesh.shape.get("dp", 1)
             bucket = ((bucket + dp - 1) // dp) * dp
@@ -585,17 +595,26 @@ class JaxResNetEngine(BaseDetector):
             )
         self.params = jax.device_put(params, self.device)
         self._steps: Dict[Tuple[int, int, int], object] = {}
+        self._bucket_cost_ms: Dict[int, float] = {}
         self.last_infer_ms = 0.0
 
     def warmup(self, src_hw: Tuple[int, int], buckets: Optional[Sequence[int]] = None):
         """Pre-compile classification steps (reference warms every backend,
-        detector.py:938-943)."""
+        detector.py:938-943) and time each bucket for cost-aware selection
+        (same non-monotonic-cost rationale as the YOLO engine)."""
         buckets = buckets or self.config.resolved_buckets
         for b in buckets:
             step = self._get_step(b, src_hw)
-            r = step(self.params, jnp.zeros((b, *src_hw, 3), jnp.uint8))
-            jax.block_until_ready(r)
-            logger.info("resnet warmup: compiled bucket B=%d src=%s", b, src_hw)
+            frames = jnp.zeros((b, *src_hw, 3), jnp.uint8)
+            jax.block_until_ready(step(self.params, frames))
+            cost = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(step(self.params, frames))
+                cost = min(cost, (time.perf_counter() - t0) * 1e3)
+            self._bucket_cost_ms[b] = cost
+            logger.info("resnet warmup: compiled bucket B=%d src=%s step=%.1fms",
+                        b, src_hw, cost)
 
     def _get_step(self, batch: int, src_hw: Tuple[int, int]):
         key = (batch, *src_hw)
@@ -649,7 +668,7 @@ class JaxResNetEngine(BaseDetector):
             frames = np.stack([packets[i].frame for i in idxs])
             n = frames.shape[0]
             buckets = self.config.resolved_buckets
-            bucket = _bucket_for(buckets, n)
+            bucket = _cheapest_bucket(buckets, n, self._bucket_cost_ms)
             if n < bucket:
                 frames = np.concatenate(
                     [frames, np.zeros((bucket - n, *frames.shape[1:]), frames.dtype)]

@@ -70,6 +70,10 @@ def batched_nms(
     k = min(pre_topk, m)
     use_pallas = gather_impl in ("pallas", "pallas_interpret")
     interpret = gather_impl == "pallas_interpret"
+    if use_pallas and m >= (1 << 15):
+        # the class-packed sort key needs idx < 2^15 to fit one s32;
+        # larger anchor counts take the XLA path (trace-time branch)
+        use_pallas = False
 
     # 1. Top-K candidates per image, sorted score-descending.
     if use_pallas:
@@ -85,7 +89,6 @@ def batched_nms(
         # tied scores == lowest-index-first, exactly top_k's tie-break —
         # so no stable-sort iota operand is added (a third [N, M] array
         # through the sort network, profiled at ~0.3 ms/step at b=128).
-        assert m < (1 << 15), "pallas NMS gather supports M < 32768 anchors"
         mrange = jnp.arange(m, dtype=jnp.int32)
         packed = mrange[None, :] * 65536 + (class_ids % 65536)
         neg, packed_top = jax.lax.sort(

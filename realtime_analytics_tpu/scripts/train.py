@@ -94,6 +94,12 @@ def main(argv=None) -> int:
     p.add_argument("--eval", action="store_true",
                    help="report detection IoU before/after training")
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="periodic FULL train-state checkpoints (params + "
+                        "optimizer state + step) for crash-safe resume")
+    p.add_argument("--checkpoint-every", type=int, default=100)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from --checkpoint-dir's latest state")
     args = p.parse_args(argv)
 
     import jax
@@ -137,8 +143,48 @@ def main(argv=None) -> int:
         return JaxYoloEngine(cfg, params=jax.tree_util.tree_map(
             jnp.asarray, host))
 
+    ckpt_path = None
+    if args.checkpoint_dir:
+        import os
+
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        ckpt_path = os.path.join(args.checkpoint_dir, "train_state.npz")
+
+    def save_state(state):
+        """Atomic full-state checkpoint: params + optimizer state + step
+        (the object-array pytree trick used for .npz model checkpoints;
+        optax states are namedtuples of arrays, so they round-trip)."""
+        import os
+
+        host = jax.tree_util.tree_map(
+            np.asarray,
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": int(state.step)},
+        )
+        tmp = ckpt_path + ".tmp.npz"
+        np.savez(tmp, __pytree__=np.array(host, dtype=object))
+        os.replace(tmp, ckpt_path)
+
     with mesh:
         state = init_fn(jax.random.PRNGKey(args.seed))
+        if args.resume and ckpt_path:
+            import os
+
+            if os.path.exists(ckpt_path):
+                tree = np.load(ckpt_path, allow_pickle=True)["__pytree__"].item()
+                # adopt the init state's shardings for the restored leaves
+                state = jax.tree_util.tree_map(
+                    lambda restored, like: jax.device_put(
+                        jnp.asarray(restored), like.sharding
+                    ),
+                    TrainState(params=tree["params"],
+                               opt_state=tree["opt_state"],
+                               step=np.int32(tree["step"])),
+                    state,
+                )
+                print(f"resumed from {ckpt_path} at step {int(state.step)}")
+            else:
+                print(f"--resume: no checkpoint at {ckpt_path}, starting fresh")
         if args.init_from:
             loaded = load_yolo_checkpoint(model, args.init_from)
             if loaded is None:
@@ -165,6 +211,9 @@ def main(argv=None) -> int:
                 "mask": jax.device_put(targets["mask"], batch_sharding(mesh, 2)),
             }
             state, loss = step_fn(state, im, tg)
+            if ckpt_path and (step % args.checkpoint_every == 0
+                              or step == args.steps):
+                save_state(state)
             if step == 1 or step % args.log_every == 0 or step == args.steps:
                 loss_v = float(loss)
                 first = first if first is not None else loss_v

@@ -77,8 +77,13 @@ def test_engine_knob_wiring():
 
     cfg = DetectorConfig(model_path="__random__.pt", warmup=False,
                          input_size=[64, 64], precision="fp32",
-                         pallas_decode="on")
-    assert JaxYoloEngine(cfg).model.pallas_decode == "on"
+                         pallas_decode="on", max_batch_size=1,
+                         batch_buckets=[1], pre_nms_topk=64)
+    eng = JaxYoloEngine(cfg)
+    # "on" off-TPU maps to the interpreter (the kernel is Mosaic-only)
+    assert eng.model.pallas_decode == "interpret"
+    frames = np.zeros((1, 96, 128, 3), np.uint8)
+    assert eng.predict_arrays(frames).boxes_xyxy.shape[0] == 1
     cfg = DetectorConfig(model_path="__random__.pt", warmup=False,
                          input_size=[64, 64], precision="fp32")
     # default off (layout-domain measurement, config.py)

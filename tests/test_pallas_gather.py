@@ -107,6 +107,7 @@ def test_engine_gather_impl_selection():
     eng = JaxYoloEngine(cfg)
     assert eng._nms_gather_impl() == "xla"  # cpu -> xla
     eng.config.pallas_gather = "on"
-    assert eng._nms_gather_impl() == "pallas"
+    # forced on off-TPU maps to the interpreter (Mosaic-only kernel)
+    assert eng._nms_gather_impl() == "pallas_interpret"
     eng.config.pallas_gather = "off"
     assert eng._nms_gather_impl() == "xla"

@@ -62,3 +62,27 @@ def test_pytree_checkpoint_shape_mismatch_rejected(tmp_path):
     assert load_yolo_checkpoint(other, str(path)) is None
     same = build_yolo("yolov8", "n", nc=2)
     assert load_yolo_checkpoint(same, str(path)) is not None
+
+
+def test_train_checkpoint_resume(tmp_path):
+    """Crash-safe training: periodic full-state checkpoints (params +
+    optimizer state + step) and --resume continuing the step count."""
+    import numpy as np
+
+    from realtime_analytics_tpu.scripts.train import main
+
+    ckdir = str(tmp_path / "ck")
+    common = ["--batch", "2", "--nc", "3", "--boxes-per-image", "1",
+              "--input-size", "64", "64", "--log-every", "50",
+              "--checkpoint-dir", ckdir, "--checkpoint-every", "3",
+              "--seed", "2"]
+    assert main(["--steps", "6", *common]) == 0
+    ck = tmp_path / "ck" / "train_state.npz"
+    assert ck.exists()
+    tree = np.load(ck, allow_pickle=True)["__pytree__"].item()
+    assert tree["step"] == 6
+    assert "opt_state" in tree and "params" in tree
+
+    assert main(["--steps", "4", "--resume", *common]) == 0
+    tree = np.load(ck, allow_pickle=True)["__pytree__"].item()
+    assert tree["step"] == 10  # optimizer step count continued
