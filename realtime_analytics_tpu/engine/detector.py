@@ -203,7 +203,9 @@ class JaxYoloEngine(BaseDetector):
             mask[np.asarray(config.classes, dtype=np.int64)] = True
             self._class_mask = jnp.asarray(mask)
         self._steps: Dict[Tuple[int, int, int], object] = {}  # (B, H, W) -> jitted
-        self._bucket_cost_ms: Dict[int, float] = {}  # warmup-measured step ms
+        # warmup-measured step ms, keyed src_hw -> {bucket: ms} (cost is
+        # resolution-dependent; selection must not mix resolutions)
+        self._bucket_cost_ms: Dict[Tuple[int, int], Dict[int, float]] = {}
         self.class_agnostic_nms = True  # reference NMS is class-agnostic
         self.last_infer_ms: float = 0.0
 
@@ -407,23 +409,30 @@ class JaxYoloEngine(BaseDetector):
             return jax.jit(step)  # sharded in/out: no single-device pin
         return jax.jit(step, device=self.device)
 
-    def _effective_bucket(self, n: int) -> int:
-        """Compile bucket for an n-frame batch: the CHEAPEST bucket that
-        fits, by warmup-measured step cost when available, else the
-        smallest. Bucket cost is non-monotonic on TPU — XLA lays the early
-        backbone out batch-minor, so the batch dim rides the 128-wide lane
-        dim: b=128 fills lanes exactly while b=64 pads half of every tile
-        AND thrashes between batch-minor/channel-minor layouts (measured
-        21.5 ms vs 16.5 ms for the b=128 step on v5e — padding 40 frames
-        to 128 beats running them at 64). In mesh mode the batch dim
-        shards over dp, so buckets round up to a dp multiple."""
-        bucket = _cheapest_bucket(
-            self.config.resolved_buckets, n, self._bucket_cost_ms
-        )
+    def _round_mesh(self, bucket: int) -> int:
+        """In mesh mode the batch dim shards over dp, so buckets round up
+        to a dp multiple (device_put requires divisibility)."""
         if self.mesh is not None:
             dp = self.mesh.shape.get("dp", 1)
             bucket = ((bucket + dp - 1) // dp) * dp
         return bucket
+
+    def _effective_bucket(self, n: int, src_hw: Tuple[int, int]) -> int:
+        """Compile bucket for an n-frame batch: the CHEAPEST bucket that
+        fits, by warmup-measured step cost for THIS source resolution when
+        available, else the smallest. Bucket cost is non-monotonic on TPU —
+        XLA lays the early backbone out batch-minor, so the batch dim rides
+        the 128-wide lane dim: b=128 fills lanes exactly while b=64 pads
+        half of every tile AND thrashes between batch-minor/channel-minor
+        layouts (measured 21.5 ms vs 16.5 ms for the b=128 step on v5e —
+        padding 40 frames to 128 beats running them at 64). Costs are
+        per-resolution: the selected bucket must have been warmed for this
+        src_hw, or selection could route to an uncompiled executable."""
+        bucket = _cheapest_bucket(
+            self.config.resolved_buckets, n,
+            self._bucket_cost_ms.get(tuple(src_hw), {}),
+        )
+        return self._round_mesh(bucket)
 
     def warmup(self, src_hw: Tuple[int, int], buckets: Optional[Sequence[int]] = None):
         """Pre-compile buckets (the analog of TensorRT engine build +
@@ -433,43 +442,41 @@ class JaxYoloEngine(BaseDetector):
         configured (an unsharded warmup input would compile a different
         cache entry and the first live batch would recompile).
 
-        After compiling, each bucket's step is timed (min of 3 calls) and
-        the cost feeds cost-aware bucket selection (``_effective_bucket``).
-        The constant per-dispatch overhead cancels in the comparison."""
+        After compiling, each bucket's step is timed (min of 3 calls,
+        direct ``_run_bucket`` calls so cost-aware selection cannot
+        redirect mid-warmup) and recorded per source resolution under the
+        PRE-mesh-rounding bucket key — the key ``_cheapest_bucket``
+        compares against. The constant per-dispatch overhead cancels in
+        the cost comparison."""
         buckets = buckets or self.config.resolved_buckets
         probe = np.zeros((1, *src_hw, 3), dtype=np.uint8)
         _, selected = self.host_prepare(probe, src_hw)
+        costs = self._bucket_cost_ms.setdefault(tuple(src_hw), {})
         for b in buckets:
-            b = _bucket_for(self.config.resolved_buckets, b)
-            if self.mesh is not None:
-                dp = self.mesh.shape.get("dp", 1)
-                b = ((b + dp - 1) // dp) * dp
+            b0 = _bucket_for(self.config.resolved_buckets, b)
+            rb = self._round_mesh(b0)
             prepared, _ = self.host_prepare(
-                np.zeros((b, *src_hw, 3), dtype=np.uint8), src_hw
+                np.zeros((rb, *src_hw, 3), dtype=np.uint8), src_hw
             )
-            self._predict_prepared(prepared, src_hw, selected)
-            cost = self.last_infer_ms
-            for _ in range(2):
-                self._predict_prepared(prepared, src_hw, selected)
+            cost = float("inf")
+            for _ in range(3):
+                self._run_bucket(rb, prepared, src_hw, selected)
                 cost = min(cost, self.last_infer_ms)
-            self._bucket_cost_ms[b] = cost
+            costs[b0] = cost
             logger.info(
                 "warmup: compiled bucket B=%d src=%s (host_select=%s) "
-                "step=%.1fms", b, src_hw, selected, cost,
+                "step=%.1fms", rb, src_hw, selected, cost,
             )
         dominated = [
-            b for b in self._bucket_cost_ms
-            if any(
-                o > b and self._bucket_cost_ms[o] < self._bucket_cost_ms[b]
-                for o in self._bucket_cost_ms
-            )
+            b for b in costs
+            if any(o > b and costs[o] < costs[b] for o in costs)
         ]
         if dominated:
             logger.info(
-                "bucket costs %s: bucket(s) %s are dominated by a larger "
-                "cheaper bucket and will be skipped by selection",
-                {k: round(v, 1) for k, v in sorted(self._bucket_cost_ms.items())},
-                sorted(dominated),
+                "bucket costs %s (src=%s): bucket(s) %s are dominated by a "
+                "larger cheaper bucket and will be skipped by selection",
+                {k: round(v, 1) for k, v in sorted(costs.items())},
+                src_hw, sorted(dominated),
             )
 
     # -- prediction ---------------------------------------------------------
@@ -486,9 +493,19 @@ class JaxYoloEngine(BaseDetector):
         self, frames: np.ndarray, src_hw: Tuple[int, int], selected: bool
     ) -> BatchResult:
         n = frames.shape[0]
-        bucket = self._effective_bucket(n)
+        bucket = self._effective_bucket(n, src_hw)
         if n > bucket:
             raise ValueError(f"batch {n} exceeds max bucket {bucket}")
+        return self._run_bucket(bucket, frames, src_hw, selected)
+
+    def _run_bucket(
+        self, bucket: int, frames: np.ndarray, src_hw: Tuple[int, int],
+        selected: bool,
+    ) -> BatchResult:
+        """Pad to exactly ``bucket`` and run its step — no bucket
+        selection (warmup uses this directly to compile/time a specific
+        bucket)."""
+        n = frames.shape[0]
         if n < bucket:
             pad = np.zeros((bucket - n, *frames.shape[1:]), dtype=frames.dtype)
             frames = np.concatenate([frames, pad], axis=0)
@@ -595,7 +612,8 @@ class JaxResNetEngine(BaseDetector):
             )
         self.params = jax.device_put(params, self.device)
         self._steps: Dict[Tuple[int, int, int], object] = {}
-        self._bucket_cost_ms: Dict[int, float] = {}
+        # warmup-measured step ms, keyed src_hw -> {bucket: ms}
+        self._bucket_cost_ms: Dict[Tuple[int, int], Dict[int, float]] = {}
         self.last_infer_ms = 0.0
 
     def warmup(self, src_hw: Tuple[int, int], buckets: Optional[Sequence[int]] = None):
@@ -603,6 +621,7 @@ class JaxResNetEngine(BaseDetector):
         detector.py:938-943) and time each bucket for cost-aware selection
         (same non-monotonic-cost rationale as the YOLO engine)."""
         buckets = buckets or self.config.resolved_buckets
+        costs = self._bucket_cost_ms.setdefault(tuple(src_hw), {})
         for b in buckets:
             step = self._get_step(b, src_hw)
             frames = jnp.zeros((b, *src_hw, 3), jnp.uint8)
@@ -612,7 +631,7 @@ class JaxResNetEngine(BaseDetector):
                 t0 = time.perf_counter()
                 jax.block_until_ready(step(self.params, frames))
                 cost = min(cost, (time.perf_counter() - t0) * 1e3)
-            self._bucket_cost_ms[b] = cost
+            costs[b] = cost
             logger.info("resnet warmup: compiled bucket B=%d src=%s step=%.1fms",
                         b, src_hw, cost)
 
@@ -668,7 +687,9 @@ class JaxResNetEngine(BaseDetector):
             frames = np.stack([packets[i].frame for i in idxs])
             n = frames.shape[0]
             buckets = self.config.resolved_buckets
-            bucket = _cheapest_bucket(buckets, n, self._bucket_cost_ms)
+            bucket = _cheapest_bucket(
+                buckets, n, self._bucket_cost_ms.get(shape, {})
+            )
             if n < bucket:
                 frames = np.concatenate(
                     [frames, np.zeros((bucket - n, *frames.shape[1:]), frames.dtype)]

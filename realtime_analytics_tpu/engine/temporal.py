@@ -86,6 +86,8 @@ class JaxTemporalEngine(BaseDetector):
         )
         self._buffers: Dict[str, Deque[FramePacket]] = {}
         self._steps: Dict[Tuple[int, int, int], object] = {}
+        # warmup-measured step ms, keyed src_hw -> {bucket: ms}
+        self._bucket_cost_ms: Dict[Tuple[int, int], Dict[int, float]] = {}
         self.last_infer_ms = 0.0
 
     def _try_load(self, path: str) -> Optional[Dict]:
@@ -100,14 +102,26 @@ class JaxTemporalEngine(BaseDetector):
 
     def warmup(self, src_hw: Tuple[int, int], buckets=None) -> None:
         """Pre-compile the clip step for each bucket (reference warms its
-        temporal sessions too, temporal_detector.py:231-249)."""
+        temporal sessions too, temporal_detector.py:231-249) and time it —
+        clip-bucket cost is non-monotonic on TPU for the same batch-minor
+        layout reason as detection buckets (engine/detector.py)."""
+        import time as _time
+
         buckets = buckets or self.config.resolved_buckets
         t_len = self.config.sequence_length
+        costs = self._bucket_cost_ms.setdefault(tuple(src_hw), {})
         for b in buckets:
             step = self._get_step(b, src_hw)
             clips = jnp.zeros((b, t_len, *src_hw, 3), jnp.uint8)
             jax.block_until_ready(step(self.params, clips))
-            logger.info("temporal warmup: compiled bucket B=%d src=%s", b, src_hw)
+            cost = float("inf")
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                jax.block_until_ready(step(self.params, clips))
+                cost = min(cost, (_time.perf_counter() - t0) * 1e3)
+            costs[b] = cost
+            logger.info("temporal warmup: compiled bucket B=%d src=%s step=%.1fms",
+                        b, src_hw, cost)
 
     def _get_step(self, batch: int, src_hw: Tuple[int, int]):
         key = (batch, *src_hw)
@@ -221,7 +235,11 @@ class JaxTemporalEngine(BaseDetector):
                 [np.stack([p.frame for p in sequences[i]]) for i in idxs]
             )  # [B, T, H, W, 3]
             n = clips.shape[0]
-            bucket = next((b for b in buckets if n <= b), buckets[-1])
+            from .detector import _cheapest_bucket
+
+            bucket = _cheapest_bucket(
+                buckets, n, self._bucket_cost_ms.get(shape, {})
+            )
             if n < bucket:  # pad to a compile bucket, slice results below
                 pad = np.repeat(clips[-1:], bucket - n, axis=0)
                 clips = np.concatenate([clips, pad], axis=0)

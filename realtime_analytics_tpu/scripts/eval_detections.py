@@ -130,7 +130,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--config", help="pipeline YAML: uses its detector section")
     ap.add_argument("--model-path", help="checkpoint (overrides --config)")
-    ap.add_argument("--model-type", default="yolov8")
+    # default None so a --config's model_type is not silently overridden
+    ap.add_argument("--model-type", default=None,
+                    help="yolov8|yolov5 (default: from --config, else yolov8)")
     ap.add_argument("--input-size", type=int, nargs=2, default=None,
                     metavar=("H", "W"))
     ap.add_argument("--precision", default=None,

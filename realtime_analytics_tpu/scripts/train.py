@@ -167,10 +167,12 @@ def main(argv=None) -> int:
 
     with mesh:
         state = init_fn(jax.random.PRNGKey(args.seed))
+        resumed = False
         if args.resume and ckpt_path:
             import os
 
             if os.path.exists(ckpt_path):
+                resumed = True
                 tree = np.load(ckpt_path, allow_pickle=True)["__pytree__"].item()
                 # adopt the init state's shardings for the restored leaves
                 state = jax.tree_util.tree_map(
@@ -185,7 +187,11 @@ def main(argv=None) -> int:
                 print(f"resumed from {ckpt_path} at step {int(state.step)}")
             else:
                 print(f"--resume: no checkpoint at {ckpt_path}, starting fresh")
-        if args.init_from:
+        # --init-from seeds a FRESH run only: a resumed checkpoint already
+        # contains the (further-trained) params plus matching optimizer
+        # moments — overwriting the params here would silently discard the
+        # training progress while keeping stale Adam state
+        if args.init_from and not resumed:
             loaded = load_yolo_checkpoint(model, args.init_from)
             if loaded is None:
                 print(f"could not load --init-from {args.init_from}",

@@ -259,20 +259,23 @@ def test_cost_aware_bucket_selection():
         max_batch_size=128, batch_buckets=[16, 32, 64, 128], precision="fp32",
     )
     eng = JaxYoloEngine(cfg)
+    hw = (1080, 1920)
     # no costs -> smallest fitting bucket (unchanged default behavior)
-    assert eng._effective_bucket(40) == 64
+    assert eng._effective_bucket(40, hw) == 64
     # v5e-shaped measurements: 64 dominated by 128
-    eng._bucket_cost_ms = {16: 10.6, 32: 16.0, 64: 21.5, 128: 16.5}
-    assert eng._effective_bucket(10) == 16
-    assert eng._effective_bucket(17) == 32   # 32 is cheaper than 64 AND 128
-    assert eng._effective_bucket(40) == 128  # padding to 128 beats b=64
-    assert eng._effective_bucket(100) == 128
+    eng._bucket_cost_ms = {hw: {16: 10.6, 32: 16.0, 64: 21.5, 128: 16.5}}
+    assert eng._effective_bucket(10, hw) == 16
+    assert eng._effective_bucket(17, hw) == 32  # 32 cheaper than 64 AND 128
+    assert eng._effective_bucket(40, hw) == 128  # padding to 128 beats b=64
+    assert eng._effective_bucket(100, hw) == 128
+    # costs are PER RESOLUTION: another source falls back to smallest-fit
+    assert eng._effective_bucket(40, (720, 1280)) == 64
     # ties resolve to the smaller bucket
-    eng._bucket_cost_ms = {64: 16.5, 128: 16.5}
-    assert eng._effective_bucket(40) == 64
+    eng._bucket_cost_ms = {hw: {64: 16.5, 128: 16.5}}
+    assert eng._effective_bucket(40, hw) == 64
     # partial measurements only redirect among measured buckets
-    eng._bucket_cost_ms = {16: 10.0}
-    assert eng._effective_bucket(40) == 64
+    eng._bucket_cost_ms = {hw: {16: 10.0}}
+    assert eng._effective_bucket(40, hw) == 64
 
 
 def test_warmup_records_bucket_costs():
@@ -282,5 +285,13 @@ def test_warmup_records_bucket_costs():
     )
     eng = JaxYoloEngine(cfg)
     eng.warmup((96, 128))
-    assert set(eng._bucket_cost_ms) == {2, 4}
-    assert all(v > 0 for v in eng._bucket_cost_ms.values())
+    assert set(eng._bucket_cost_ms) == {(96, 128)}
+    costs = eng._bucket_cost_ms[(96, 128)]
+    assert set(costs) == {2, 4}
+    assert all(v > 0 for v in costs.values())
+    # a second warmup at another resolution keeps the first one's costs
+    # AND compiles that resolution's own steps (no cost-aware redirection
+    # mid-warmup)
+    eng.warmup((64, 96))
+    assert set(eng._bucket_cost_ms) == {(96, 128), (64, 96)}
+    assert (2, 64, 96) in eng._steps and (4, 64, 96) in eng._steps

@@ -76,13 +76,16 @@ def test_train_checkpoint_resume(tmp_path):
               "--input-size", "64", "64", "--log-every", "50",
               "--checkpoint-dir", ckdir, "--checkpoint-every", "3",
               "--seed", "2"]
-    assert main(["--steps", "6", *common]) == 0
+    out = str(tmp_path / "seed.npz")
+    assert main(["--steps", "6", "--out", out, *common]) == 0
     ck = tmp_path / "ck" / "train_state.npz"
     assert ck.exists()
     tree = np.load(ck, allow_pickle=True)["__pytree__"].item()
     assert tree["step"] == 6
     assert "opt_state" in tree and "params" in tree
 
-    assert main(["--steps", "4", "--resume", *common]) == 0
+    # --init-from must NOT clobber a resumed checkpoint (crash-recovery
+    # reruns keep the original command line, --init-from included)
+    assert main(["--steps", "4", "--resume", "--init-from", out, *common]) == 0
     tree = np.load(ck, allow_pickle=True)["__pytree__"].item()
     assert tree["step"] == 10  # optimizer step count continued
