@@ -225,6 +225,12 @@ class DetectorConfig:
     # fused num/den DFL formulation (models/yolo.py) that captures most
     # of the win without layout constraints.
     pallas_decode: str = "off"  # on | off (+ "auto" alias of off on v5e)
+    # Host-side cv2 letterbox RESIZE for fractional ratios (the reference
+    # resizes on host too): upload the resized content instead of the full
+    # frame and reuse the lean pad+cast selected step — measured 19.2 ->
+    # ~15.8 ms at b=128 for 854x480 sources, and smaller H2D. auto = on
+    # for TPU (odd-integer ratios still take the exact pixel-pick path).
+    host_resize: str = "auto"  # auto | on | off
     # Space-to-depth early backbone: run the 16/32-channel P1/P2 stage in
     # s2d layout so activations fill TPU lanes (models/s2d.py). Exact up
     # to accumulation order — but MEASURED SLOWER on v5e (17.8 vs 16.5 ms
@@ -304,6 +310,8 @@ class DetectorConfig:
             raise ConfigError("s2d_backbone must be auto|on|off")
         if self.pallas_decode not in {"auto", "on", "off"}:
             raise ConfigError("pallas_decode must be auto|on|off")
+        if self.host_resize not in {"auto", "on", "off"}:
+            raise ConfigError("host_resize must be auto|on|off")
 
     @property
     def resolved_input_size(self) -> Tuple[int, int]:

@@ -295,3 +295,51 @@ def test_warmup_records_bucket_costs():
     eng.warmup((64, 96))
     assert set(eng._bucket_cost_ms) == {(96, 128), (64, 96)}
     assert (2, 64, 96) in eng._steps and (4, 64, 96) in eng._steps
+
+
+def test_host_resize_fractional_path(rng):
+    """host_resize=on: fractional-ratio sources resize on the host (the
+    reference's own cv2 preprocess) and ride the lean selected step;
+    detections match the device-resize path."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")  # noqa: F841
+    frames = rng.integers(0, 256, size=(2, 72, 100, 3), dtype=np.uint8)
+
+    def run(mode):
+        cfg = DetectorConfig(
+            model_path="__random__.pt", model_type="yolov8",
+            input_size=[64, 64], max_batch_size=2, batch_buckets=[2],
+            precision="fp32", confidence_threshold=0.0015, warmup=False,
+            host_resize=mode,
+        )
+        eng = JaxYoloEngine(cfg)
+        prepared, selected = eng.host_prepare(frames, (72, 100))
+        if mode == "on":
+            # scale = 64/100 -> content 46x64, uploaded pre-resized
+            assert selected and prepared.shape == (2, 46, 64, 3)
+        else:
+            assert not selected and prepared.shape == frames.shape
+        return eng.predict_arrays(frames)
+
+    ref, got = run("off"), run("on")
+    # both paths implement the cv2 INTER_LINEAR letterbox contract; allow
+    # interpolation-implementation slack at box edges
+    for i in range(2):
+        k = min(int(ref.num_valid[i]), int(got.num_valid[i]))
+        np.testing.assert_allclose(
+            got.boxes_xyxy[i, :k], ref.boxes_xyxy[i, :k], atol=2.0
+        )
+
+
+def test_host_resize_pick_precedence(rng):
+    """Odd-integer ratios still take the exact pixel-pick path even with
+    host_resize forced on."""
+    frames = rng.integers(0, 256, size=(1, 192, 192, 3), dtype=np.uint8)
+    cfg = DetectorConfig(
+        model_path="__random__.pt", input_size=[64, 64], max_batch_size=1,
+        batch_buckets=[1], precision="fp32", warmup=False, host_resize="on",
+    )
+    eng = JaxYoloEngine(cfg)
+    prepared, selected = eng.host_prepare(frames, (192, 192))
+    assert selected and prepared.shape == (1, 64, 64, 3)  # exact 3x pick
