@@ -215,7 +215,7 @@ def test_engine_mesh_small_batches_round_to_dp(mesh):
         precision="fp32", warmup=False, pre_nms_topk=64, max_detections=16,
         host_select="off", mesh_shape=[4, 2],
     ))
-    assert eng._effective_bucket(1) == 4
+    assert eng._effective_bucket(1, (96, 128)) == 4
     frames = np.random.default_rng(3).integers(
         0, 256, (1, 96, 128, 3), dtype=np.uint8
     )
