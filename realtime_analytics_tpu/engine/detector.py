@@ -244,20 +244,25 @@ class JaxYoloEngine(BaseDetector):
 
                 hr, hoff, wr, woff = geom
                 return pick_u8(frames, hr, hoff, wr, woff), True
-        if self.config.host_resize == "on" or (
-            self.config.host_resize == "auto"
-            and self.device.platform == "tpu"
-        ):
-            resized = self._host_resize(frames, spec)
+        if self._host_resize_active():
+            resized = self._host_resize_packets(frames, spec)
             if resized is not None:
                 return resized, True
         return frames, False
 
+    def _host_resize_active(self) -> bool:
+        return self.config.host_resize == "on" or (
+            self.config.host_resize == "auto"
+            and self.device.platform == "tpu"
+        )
+
     @staticmethod
-    def _host_resize(frames: np.ndarray, spec) -> Optional[np.ndarray]:
-        """cv2 INTER_LINEAR resize to the letterbox content size (the
-        reference contract); None when cv2 is unavailable or it's a no-op
-        geometry (the device path handles those)."""
+    def _host_resize_packets(frames, spec) -> Optional[np.ndarray]:
+        """cv2 INTER_LINEAR resize of each frame to the letterbox content
+        size (the reference contract), straight into one batch buffer.
+        ``frames``: a [N, H, W, 3] array or a sequence of [H, W, 3] frames.
+        None when cv2 is unavailable or it's a no-op geometry (the device
+        path handles those)."""
         if (spec.new_h, spec.new_w) == (spec.src_h, spec.src_w):
             return None
         try:
@@ -265,11 +270,11 @@ class JaxYoloEngine(BaseDetector):
         except ImportError:
             return None
         out = np.empty(
-            (frames.shape[0], spec.new_h, spec.new_w, 3), dtype=np.uint8
+            (len(frames), spec.new_h, spec.new_w, 3), dtype=np.uint8
         )
-        for i in range(frames.shape[0]):
+        for i, frame in enumerate(frames):
             cv2.resize(
-                frames[i], (spec.new_w, spec.new_h),
+                frame, (spec.new_w, spec.new_h),
                 dst=out[i], interpolation=cv2.INTER_LINEAR,
             )
         return out
@@ -574,9 +579,10 @@ class JaxYoloEngine(BaseDetector):
             by_shape.setdefault(tuple(p.frame.shape[:2]), []).append(i)
         results: List[List[Detection]] = [[] for _ in packets]
         for shape, idxs in by_shape.items():
+            spec = letterbox_spec(shape, self.input_hw)
             geom = None
             if self.config.host_select != "off":
-                geom = self._select_geometry(letterbox_spec(shape, self.input_hw))
+                geom = self._select_geometry(spec)
             if geom is not None:
                 from ..native import pick_u8
 
@@ -592,8 +598,19 @@ class JaxYoloEngine(BaseDetector):
                             out=frames[j])
                 br = self._predict_prepared(frames, shape, True)
             else:
-                frames = np.stack([packets[i].frame for i in idxs])
-                br = self._predict_prepared(frames, shape, False)
+                frames = None
+                if self._host_resize_active():
+                    # fractional ratio: host cv2 letterbox resize straight
+                    # into the batch buffer (same lean selected step as the
+                    # pick path; host_prepare docstring)
+                    frames = self._host_resize_packets(
+                        [packets[i].frame for i in idxs], spec
+                    )
+                if frames is not None:
+                    br = self._predict_prepared(frames, shape, True)
+                else:
+                    frames = np.stack([packets[i].frame for i in idxs])
+                    br = self._predict_prepared(frames, shape, False)
             dets = br.to_detections(
                 [packets[i].stream.name for i in idxs],
                 [packets[i].frame_id for i in idxs],

@@ -323,13 +323,39 @@ def test_host_resize_fractional_path(rng):
         return eng.predict_arrays(frames)
 
     ref, got = run("off"), run("on")
+    # not vacuous: random-init at a low threshold always detects something,
+    # and both paths must agree on HOW MANY
+    assert all(int(v) > 0 for v in ref.num_valid)
+    np.testing.assert_array_equal(ref.num_valid, got.num_valid)
     # both paths implement the cv2 INTER_LINEAR letterbox contract; allow
     # interpolation-implementation slack at box edges
     for i in range(2):
-        k = min(int(ref.num_valid[i]), int(got.num_valid[i]))
+        k = int(ref.num_valid[i])
         np.testing.assert_allclose(
             got.boxes_xyxy[i, :k], ref.boxes_xyxy[i, :k], atol=2.0
         )
+
+
+def test_host_resize_production_packet_path(rng):
+    """The batcher's predict_packets path (production serving) must take
+    the host_resize route too — host_prepare alone only covers
+    predict_arrays (bench/eval). Guarded by checking which executable key
+    gets compiled: the 'sel' step, not the device-resize step."""
+    import pytest
+
+    pytest.importorskip("cv2")
+    cfg = DetectorConfig(
+        model_path="__random__.pt", model_type="yolov8",
+        input_size=[64, 64], max_batch_size=2, batch_buckets=[2],
+        precision="fp32", confidence_threshold=0.0015, warmup=False,
+        host_resize="on",
+    )
+    eng = JaxYoloEngine(cfg)
+    pkts = [make_packet("s", i, hw=(72, 100), seed=5) for i in range(2)]
+    dets = eng.predict_packets(pkts)
+    assert len(dets) == 2 and any(len(d) > 0 for d in dets)
+    assert (2, 72, 100, "sel") in eng._steps  # host-resized selected step
+    assert (2, 72, 100) not in eng._steps  # device-resize step NOT used
 
 
 def test_host_resize_pick_precedence(rng):
