@@ -103,22 +103,27 @@ def bench_device_throughput(engine, params) -> tuple:
         np.zeros((1, *SRC_HW, 3), np.uint8), SRC_HW
     )
     h2d_bytes = int(probe[0].nbytes)
-    engine_step = (
-        engine._build_step_selected(SRC_HW) if selected
-        else engine._build_step(SRC_HW)
-    )
 
-    def fused_step(p, f):
-        b, s, c, n = engine_step(p, f)
-        # consume every output so nothing is dead-code-eliminated
+    def build_step(batch: int):
+        # per-batch build: the s2d_backbone policy is PER COMPILE BUCKET
+        # (on for b<128 on v5e), so each batch must get its own executable
+        # exactly like the engine's _get_step* would produce
         return (
-            n.sum()
-            + b.sum().astype(jnp.int32)
-            + s.sum().astype(jnp.int32)
-            + c.sum()
+            engine._build_step_selected(SRC_HW, batch) if selected
+            else engine._build_step(SRC_HW, batch)
         )
 
-    def make_loop(k: int):
+    def make_loop(k: int, engine_step):
+        def fused_step(p, f):
+            b, s, c, n = engine_step(p, f)
+            # consume every output so nothing is dead-code-eliminated
+            return (
+                n.sum()
+                + b.sum().astype(jnp.int32)
+                + s.sum().astype(jnp.int32)
+                + c.sum()
+            )
+
         @jax.jit
         def loop(p, f):
             def body(i, acc):
@@ -142,8 +147,9 @@ def bench_device_throughput(engine, params) -> tuple:
             rng.integers(0, 256, (batch, *SRC_HW, 3), dtype=np.uint8), SRC_HW
         )
         frames = jax.device_put(host_frames)
-        loop1 = make_loop(1)
-        loopk = make_loop(K_ITERS)
+        step = build_step(batch)
+        loop1 = make_loop(1, step)
+        loopk = make_loop(K_ITERS, step)
         int(jax.device_get(loop1(params, frames)))  # compile + warm
         int(jax.device_get(loopk(params, frames)))
         t1 = timed(loop1, frames)

@@ -233,11 +233,13 @@ class DetectorConfig:
     host_resize: str = "auto"  # auto | on | off
     # Space-to-depth early backbone: run the 16/32-channel P1/P2 stage in
     # s2d layout so activations fill TPU lanes (models/s2d.py). Exact up
-    # to accumulation order — but MEASURED SLOWER on v5e (17.8 vs 16.5 ms
-    # at b=128: the 4x tap-scatter FLOP dilution outweighs the lane-density
-    # win for XLA convs), so the default is off. Kept as an option: the
-    # trade flips where HBM bandwidth per FLOP is scarcer.
-    s2d_backbone: str = "off"  # on | off (+ "auto" alias of off on v5e)
+    # to accumulation order. The win is BATCH-DEPENDENT and NON-MONOTONE
+    # (measured per bucket, v5e): b=16 10.5 -> 6.1 ms (-42%), b=32 15.9
+    # -> 10.6 (-33%), b=64 21.0 -> 27.3 (worse), b=128 15.75 -> 17.8
+    # (worse: batch-minor layouts already fill lanes, and the 4x
+    # tap-scatter FLOP dilution dominates). auto enables s2d PER COMPILE
+    # BUCKET: buckets <= 32 on single-chip TPU only.
+    s2d_backbone: str = "auto"  # auto | on | off
     # When the letterbox ratio is an odd integer per axis (1080p->640 is
     # exactly 3x), bilinear resize degenerates to an exact pixel pick — do
     # it on the HOST before upload: H2D bytes drop 8.6x (6 MB -> 0.7 MB per

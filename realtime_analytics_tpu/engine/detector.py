@@ -186,10 +186,11 @@ class JaxYoloEngine(BaseDetector):
             self.params = shard_params(params, self.mesh)
         else:
             self.params = jax.device_put(params, self.device)
-        # s2d early backbone (models/s2d.py): exact lane-density layout
-        # for the P1/P2 stage. Off by default — measured slower on v5e
-        # (config.py knob comment); "on" forces it for study/other gens.
-        self.model.s2d_backbone = self.config.s2d_backbone == "on"
+        # s2d early backbone (models/s2d.py): batch-dependent win, so
+        # "auto" decides PER COMPILE BUCKET in _s2d_for_bucket (config.py
+        # knob comment). model.s2d_backbone stays False — every step
+        # closure passes its own decision explicitly (trace-safe).
+        self.model.s2d_backbone = False
         # fused v8 head decode kernel (ops/pallas_decode.py): off by
         # default — its operand layout constraint breaks the head region's
         # batch-minor layout domain on v5e (config.py knob comment)
@@ -279,7 +280,7 @@ class JaxYoloEngine(BaseDetector):
             )
         return out
 
-    def _build_step_selected(self, src_hw: Tuple[int, int]):
+    def _build_step_selected(self, src_hw: Tuple[int, int], batch: int = 0):
         """Fused step over host-picked input [N, new_h, new_w, 3] uint8 BGR
         (see host_prepare): pad + forward + NMS + un-letterbox. Geometry
         (unletterbox scale/pad) is that of the ORIGINAL src_hw.
@@ -311,6 +312,7 @@ class JaxYoloEngine(BaseDetector):
             return {**params, "layers": layers}
 
         nms_gather = self._nms_gather_impl()
+        use_s2d = self._s2d_for_bucket(batch)
 
         def step(params, sel_u8):
             pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
@@ -321,7 +323,9 @@ class JaxYoloEngine(BaseDetector):
                  (spec.pad_left, pad_right), (0, 0)),
                 constant_values=114,
             ).astype(self.compute_dtype)
-            out = self.model.apply(fold_stem(params), x, reduce_scores=True)
+            out = self.model.apply(
+                fold_stem(params), x, reduce_scores=True, s2d=use_s2d
+            )
             boxes = out["boxes_xyxy"].astype(jnp.float32)
             conf = out["conf"]
             cls = out["cls"]
@@ -345,6 +349,25 @@ class JaxYoloEngine(BaseDetector):
         if self.mesh is not None:
             return jax.jit(step)  # sharded in/out: no single-device pin
         return jax.jit(step, device=self.device)
+
+    def _s2d_for_bucket(self, batch: int) -> bool:
+        """Space-to-depth early backbone per compile bucket — measured on
+        v5e per batch size, and NON-MONOTONE: b=16 10.5 -> 6.1 ms (-42%),
+        b=32 15.9 -> 10.6 (-33%), b=64 21.0 -> 27.3 (WORSE), b=128
+        15.75 -> 17.8 (worse: batch-minor layouts already fill lanes and
+        the tap-scatter FLOP dilution dominates). auto therefore enables
+        s2d only for buckets <= 32 — see config.py `s2d_backbone` and
+        docs/performance.md."""
+        mode = self.config.s2d_backbone
+        if mode == "on":
+            return True
+        return (
+            mode == "auto"
+            and self.device.platform == "tpu"
+            and self.mesh is None
+            and self.config.precision != "int8"
+            and batch <= 32
+        )
 
     def _nms_gather_impl(self) -> str:
         """NMS payload gather impl: the bit-exact Pallas MXU one-hot gather
@@ -371,7 +394,7 @@ class JaxYoloEngine(BaseDetector):
                 "compiling fused detect step (host-select) for batch=%d "
                 "src=%s", batch, src_hw,
             )
-            step = self._build_step_selected(src_hw)
+            step = self._build_step_selected(src_hw, batch)
             self._steps[key] = step
         return step
 
@@ -385,11 +408,11 @@ class JaxYoloEngine(BaseDetector):
                 "persist compilations across restarts)",
                 batch, src_hw,
             )
-            step = self._build_step(src_hw)
+            step = self._build_step(src_hw, batch)
             self._steps[key] = step
         return step
 
-    def _build_step(self, src_hw: Tuple[int, int]):
+    def _build_step(self, src_hw: Tuple[int, int], batch: int = 0):
         spec = letterbox_spec(src_hw, self.input_hw)
         cfg = self.config
         # The Pallas MXU kernel beats the XLA paths for every resize on TPU
@@ -402,6 +425,7 @@ class JaxYoloEngine(BaseDetector):
             and needs_resize
         )
         nms_gather = self._nms_gather_impl()
+        use_s2d = self._s2d_for_bucket(batch)
 
         def step(params, frames_u8):
             if use_pallas:
@@ -418,7 +442,7 @@ class JaxYoloEngine(BaseDetector):
                     out_dtype=self.compute_dtype,
                     layout="NHWC",
                 )
-            out = self.model.apply(params, x, reduce_scores=True)
+            out = self.model.apply(params, x, reduce_scores=True, s2d=use_s2d)
             boxes = out["boxes_xyxy"].astype(jnp.float32)
             conf = out["conf"]
             cls = out["cls"]

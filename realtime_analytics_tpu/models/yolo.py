@@ -149,7 +149,8 @@ class YoloModel:
     # -- forward -----------------------------------------------------------
 
     def apply(
-        self, params: Dict, x: jnp.ndarray, reduce_scores: bool = False
+        self, params: Dict, x: jnp.ndarray, reduce_scores: bool = False,
+        s2d: Optional[bool] = None,
     ) -> Dict[str, jnp.ndarray]:
         """x: [N, H, W, 3] normalized RGB (NHWC). Returns decoded outputs:
         {"boxes_xyxy": [N, A, 4] input-pixel xyxy, "scores": [N, A, nc]}.
@@ -165,8 +166,9 @@ class YoloModel:
         outs: List[Optional[jnp.ndarray]] = [None] * len(self.nodes)
         fus = self._neck_fusions() if self.fuse_neck and not self.act_int8 else {}
         start = 0
+        use_s2d = self.s2d_backbone if s2d is None else s2d
         if (
-            self.s2d_backbone
+            use_s2d
             and not self.act_int8
             and self._s2d_prefix_ok()
             and x.shape[1] % 4 == 0

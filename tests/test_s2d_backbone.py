@@ -110,7 +110,7 @@ def test_engine_s2d_on_matches_off(rng):
             s2d_backbone=mode,
         )
         eng = JaxYoloEngine(cfg)
-        assert eng.model.s2d_backbone == (mode == "on")
+        assert eng._s2d_for_bucket(2) == (mode == "on")
         return eng.predict_arrays(frames)
 
     ref, got = run("off"), run("on")
@@ -122,3 +122,30 @@ def test_engine_s2d_on_matches_off(rng):
             got.boxes_xyxy[i, :k], ref.boxes_xyxy[i, :k], atol=0.5
         )
         np.testing.assert_allclose(got.scores[i, :k], ref.scores[i, :k], atol=5e-3)
+
+
+def test_s2d_bucket_policy():
+    """auto enables s2d PER COMPILE BUCKET: small buckets win (lane waste
+    and relayout thrash at b<128), b=128 loses (batch-minor layouts
+    already fill lanes) — measured on v5e, docs/performance.md."""
+    import types
+
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    eng = JaxYoloEngine(DetectorConfig(
+        model_path="missing.pt", input_size=[64, 64], precision="fp32",
+        warmup=False, s2d_backbone="auto",
+    ))
+    # auto off-TPU (CPU test env): off at any bucket
+    assert not eng._s2d_for_bucket(16)
+    # simulate the single-chip TPU decision without hardware
+    eng.device = types.SimpleNamespace(platform="tpu")
+    assert eng._s2d_for_bucket(16)
+    assert eng._s2d_for_bucket(32)
+    assert not eng._s2d_for_bucket(64)  # measured WORSE with s2d
+    assert not eng._s2d_for_bucket(128)
+    eng.config.s2d_backbone = "on"
+    assert eng._s2d_for_bucket(128)
+    eng.config.s2d_backbone = "off"
+    assert not eng._s2d_for_bucket(16)
