@@ -306,7 +306,13 @@ class InferenceBatcher:
         st = self.stats
         st.frames += len(items)
         for packet, fut, t_sub in items:
-            seq = self.engine.buffer_packet(packet)
+            try:
+                seq = self.engine.buffer_packet(packet)
+            except Exception as exc:  # noqa: BLE001 - malformed frame etc.
+                logger.exception("temporal frame buffering failed: %s", exc)
+                if not fut.done():
+                    fut.set_exception(RuntimeError(f"inference failed: {exc}"))
+                continue
             if seq is None:
                 if not fut.done():
                     fut.set_result([])
@@ -333,32 +339,39 @@ class InferenceBatcher:
         if self._clip_timer is not None:
             self._clip_timer.cancel()
             self._clip_timer = None
-        pending, self._pending_clips = self._pending_clips, []
-        if not pending:
+        all_pending, self._pending_clips = self._pending_clips, []
+        if not all_pending:
             return
-        t0 = time.perf_counter()
-        try:
-            results = await asyncio.to_thread(
-                self.engine.predict_clips, [seq for seq, _, _ in pending]
-            )
-        except Exception as exc:  # noqa: BLE001
-            logger.exception("batched clip inference failed: %s", exc)
-            for _, fut, _ in pending:
+        # chunk to the largest warmed compile bucket: a single oversized
+        # predict_clips call (many streams completing clips at once, or
+        # accumulation during an in-flight flush) would hit an unwarmed
+        # batch shape and JIT-compile mid-serving — a multi-second stall
+        chunk = max(1, self._clip_flush_target())
+        for lo in range(0, len(all_pending), chunk):
+            pending = all_pending[lo:lo + chunk]
+            t0 = time.perf_counter()
+            try:
+                results = await asyncio.to_thread(
+                    self.engine.predict_clips, [seq for seq, _, _ in pending]
+                )
+            except Exception as exc:  # noqa: BLE001
+                logger.exception("batched clip inference failed: %s", exc)
+                for _, fut, _ in pending:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError(f"inference failed: {exc}"))
+                continue
+            infer_ms = (time.perf_counter() - t0) * 1e3
+            st = self.stats
+            st.batches += 1
+            st.clip_batches += 1
+            st.clips += len(pending)
+            st.sum_clip_batch_size += len(pending)
+            st.sum_batch_size += len(pending)
+            st.max_batch_size = max(st.max_batch_size, len(pending))
+            st.sum_infer_ms += infer_ms
+            st.sum_wait_ms += sum((t0 - t) * 1e3 for _, _, t in pending)
+            if self.metrics is not None:
+                self.metrics.observe_batch(len(pending), infer_ms / 1e3)
+            for (_, fut, _), dets in zip(pending, results):
                 if not fut.done():
-                    fut.set_exception(RuntimeError(f"inference failed: {exc}"))
-            return
-        infer_ms = (time.perf_counter() - t0) * 1e3
-        st = self.stats
-        st.batches += 1
-        st.clip_batches += 1
-        st.clips += len(pending)
-        st.sum_clip_batch_size += len(pending)
-        st.sum_batch_size += len(pending)
-        st.max_batch_size = max(st.max_batch_size, len(pending))
-        st.sum_infer_ms += infer_ms
-        st.sum_wait_ms += sum((t0 - t) * 1e3 for _, _, t in pending)
-        if self.metrics is not None:
-            self.metrics.observe_batch(len(pending), infer_ms / 1e3)
-        for (_, fut, _), dets in zip(pending, results):
-            if not fut.done():
-                fut.set_result(dets)
+                    fut.set_result(dets)

@@ -652,6 +652,14 @@ class JaxResNetEngine(BaseDetector):
 
     Resizes without letterbox, ImageNet-normalizes, and emits the top-K
     classes as full-frame Detections — the reference's contract.
+
+    Host pixel path parity with the YOLO engine: with ``host_resize``
+    active (the default on TPU) the stretch resize to ``input_size`` runs
+    on the HOST with cv2 INTER_LINEAR — exactly where the reference
+    classifier resizes (detector.py:980-1001) — so a 1080p classification
+    stream uploads 224*224*3 = 0.15 MB/frame instead of the 6 MB full
+    frame (the YOLO pick path uploads 0.69 MB). The device step is then
+    just cast + BGR->RGB + normalize + forward.
     """
 
     def __init__(self, config: DetectorConfig, params: Optional[Dict] = None):
@@ -690,15 +698,47 @@ class JaxResNetEngine(BaseDetector):
         self._bucket_cost_ms: Dict[Tuple[int, int], Dict[int, float]] = {}
         self.last_infer_ms = 0.0
 
+    def _host_resize_active(self) -> bool:
+        return self.config.host_resize == "on" or (
+            self.config.host_resize == "auto"
+            and self.device.platform == "tpu"
+        )
+
+    def host_prepare(self, frames, src_hw: Tuple[int, int]):
+        """(prepared uint8 array to upload, resized: bool). With
+        ``host_resize`` active, the stretch resize to ``input_size`` runs
+        here on the host (cv2 INTER_LINEAR — the reference classifier's own
+        preprocess) so only input-sized pixels cross the PCIe link."""
+        th, tw = self.input_hw
+        if tuple(src_hw) != (th, tw) and self._host_resize_active():
+            try:
+                import cv2
+            except ImportError:
+                return frames, False
+            out = np.empty((len(frames), th, tw, 3), dtype=np.uint8)
+            for i, frame in enumerate(frames):
+                cv2.resize(frame, (tw, th), dst=out[i],
+                           interpolation=cv2.INTER_LINEAR)
+            return out, True
+        return frames, False
+
     def warmup(self, src_hw: Tuple[int, int], buckets: Optional[Sequence[int]] = None):
         """Pre-compile classification steps (reference warms every backend,
         detector.py:938-943) and time each bucket for cost-aware selection
-        (same non-monotonic-cost rationale as the YOLO engine)."""
+        (same non-monotonic-cost rationale as the YOLO engine). Warms the
+        exact executable predict will use — the host-resized variant when
+        active."""
         buckets = buckets or self.config.resolved_buckets
+        probe, resized = self.host_prepare(
+            np.zeros((1, *src_hw, 3), np.uint8), src_hw
+        )
         costs = self._bucket_cost_ms.setdefault(tuple(src_hw), {})
         for b in buckets:
-            step = self._get_step(b, src_hw)
-            frames = jnp.zeros((b, *src_hw, 3), jnp.uint8)
+            step = (
+                self._get_step_resized(b) if resized
+                else self._get_step(b, src_hw)
+            )
+            frames = jnp.zeros((b, *probe.shape[1:]), jnp.uint8)
             jax.block_until_ready(step(self.params, frames))
             cost = float("inf")
             for _ in range(3):
@@ -706,8 +746,25 @@ class JaxResNetEngine(BaseDetector):
                 jax.block_until_ready(step(self.params, frames))
                 cost = min(cost, (time.perf_counter() - t0) * 1e3)
             costs[b] = cost
-            logger.info("resnet warmup: compiled bucket B=%d src=%s step=%.1fms",
-                        b, src_hw, cost)
+            logger.info(
+                "resnet warmup: compiled bucket B=%d src=%s "
+                "(host_resize=%s) step=%.1fms", b, src_hw, resized, cost,
+            )
+
+    def _classify_head(self, params, x):
+        """Shared tail: x is [B, th, tw, 3] float32 RGB in [0, 1]."""
+        x = normalize_imagenet(x).astype(self.compute_dtype)
+        logits = self.model.apply(params, x).astype(jnp.float32)
+        k = min(self.config.resnet_top_k, logits.shape[-1])
+        # reference parity: threshold/report the raw head output
+        # (reference detector.py:954-978); softmax is opt-in via
+        # resnet_scores: softmax
+        scores = (
+            jax.nn.softmax(logits)
+            if self.config.resnet_scores == "softmax"
+            else logits
+        )
+        return jax.lax.top_k(scores, k)
 
     def _get_step(self, batch: int, src_hw: Tuple[int, int]):
         key = (batch, *src_hw)
@@ -734,19 +791,24 @@ class JaxResNetEngine(BaseDetector):
                         x, (n, th, tw, 3), "linear", antialias=False
                     )
                     x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB, [0,1]
-                x = normalize_imagenet(x).astype(self.compute_dtype)
-                logits = self.model.apply(params, x).astype(jnp.float32)
-                k = min(self.config.resnet_top_k, logits.shape[-1])
-                # reference parity: threshold/report the raw head output
-                # (reference detector.py:954-978); softmax is opt-in via
-                # resnet_scores: softmax
-                scores = (
-                    jax.nn.softmax(logits)
-                    if self.config.resnet_scores == "softmax"
-                    else logits
-                )
-                top_scores, top_idx = jax.lax.top_k(scores, k)
-                return top_scores, top_idx
+                return self._classify_head(params, x)
+
+            step = jax.jit(run, device=self.device)
+            self._steps[key] = step
+        return step
+
+    def _get_step_resized(self, batch: int):
+        """Step over HOST-resized input [B, th, tw, 3] uint8 BGR (see
+        host_prepare): the device does only cast + BGR->RGB + /255 +
+        normalize + forward — all of which XLA fuses into the stem."""
+        key = (batch, "rsz")
+        step = self._steps.get(key)
+        if step is None:
+
+            def run(params, frames_u8):
+                x = frames_u8.astype(jnp.float32)
+                x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB, [0,1]
+                return self._classify_head(params, x)
 
             step = jax.jit(run, device=self.device)
             self._steps[key] = step
@@ -758,7 +820,11 @@ class JaxResNetEngine(BaseDetector):
             by_shape.setdefault(tuple(p.frame.shape[:2]), []).append(i)
         results: List[List[Detection]] = [[] for _ in packets]
         for shape, idxs in by_shape.items():
-            frames = np.stack([packets[i].frame for i in idxs])
+            frames, resized = self.host_prepare(
+                [packets[i].frame for i in idxs], shape
+            )
+            if not resized:
+                frames = np.stack(frames)
             n = frames.shape[0]
             buckets = self.config.resolved_buckets
             bucket = _cheapest_bucket(
@@ -768,7 +834,10 @@ class JaxResNetEngine(BaseDetector):
                 frames = np.concatenate(
                     [frames, np.zeros((bucket - n, *frames.shape[1:]), frames.dtype)]
                 )
-            step = self._get_step(bucket, shape)
+            step = (
+                self._get_step_resized(bucket) if resized
+                else self._get_step(bucket, shape)
+            )
             t0 = time.perf_counter()
             scores, classes = jax.device_get(step(self.params, jnp.asarray(frames)))
             self.last_infer_ms = (time.perf_counter() - t0) * 1e3

@@ -100,19 +100,59 @@ class JaxTemporalEngine(BaseDetector):
 
     # -- clip step -----------------------------------------------------------
 
+    def _host_resize_active(self) -> bool:
+        """Host-side stretch resize of clip frames to ``input_size`` (the
+        reference's own per-frame cv2 resize, temporal_detector.py:330-373):
+        a 1080p 16-frame clip uploads 16 x 0.15 MB instead of 16 x 6 MB —
+        bytes-on-link parity with the YOLO pick path."""
+        if self.config.host_resize == "on":
+            return True
+        return (
+            self.config.host_resize == "auto"
+            and self.device.platform == "tpu"
+        )
+
+    def _host_resize_clips(self, sequences, idxs, src_hw) -> Optional[np.ndarray]:
+        """[B, T, th, tw, 3] uint8 clips, resized frame by frame on the host
+        straight into the batch buffer. None when inactive / no-op / no cv2."""
+        th, tw = self.input_hw
+        if tuple(src_hw) == (th, tw) or not self._host_resize_active():
+            return None
+        try:
+            import cv2
+        except ImportError:
+            return None
+        t_len = self.config.sequence_length
+        out = np.empty((len(idxs), t_len, th, tw, 3), dtype=np.uint8)
+        for j, i in enumerate(idxs):
+            for t, p in enumerate(sequences[i]):
+                cv2.resize(p.frame, (tw, th), dst=out[j, t],
+                           interpolation=cv2.INTER_LINEAR)
+        return out
+
     def warmup(self, src_hw: Tuple[int, int], buckets=None) -> None:
         """Pre-compile the clip step for each bucket (reference warms its
         temporal sessions too, temporal_detector.py:231-249) and time it —
         clip-bucket cost is non-monotonic on TPU for the same batch-minor
-        layout reason as detection buckets (engine/detector.py)."""
+        layout reason as detection buckets (engine/detector.py). Warms the
+        exact executable predict will use — the host-resized variant when
+        active."""
         import time as _time
 
         buckets = buckets or self.config.resolved_buckets
         t_len = self.config.sequence_length
+        th, tw = self.input_hw
+        resized = (
+            self._host_resize_active() and tuple(src_hw) != (th, tw)
+        )
         costs = self._bucket_cost_ms.setdefault(tuple(src_hw), {})
         for b in buckets:
-            step = self._get_step(b, src_hw)
-            clips = jnp.zeros((b, t_len, *src_hw, 3), jnp.uint8)
+            if resized:
+                step = self._get_step_resized(b)
+                clips = jnp.zeros((b, t_len, th, tw, 3), jnp.uint8)
+            else:
+                step = self._get_step(b, src_hw)
+                clips = jnp.zeros((b, t_len, *src_hw, 3), jnp.uint8)
             jax.block_until_ready(step(self.params, clips))
             cost = float("inf")
             for _ in range(3):
@@ -120,16 +160,28 @@ class JaxTemporalEngine(BaseDetector):
                 jax.block_until_ready(step(self.params, clips))
                 cost = min(cost, (_time.perf_counter() - t0) * 1e3)
             costs[b] = cost
-            logger.info("temporal warmup: compiled bucket B=%d src=%s step=%.1fms",
-                        b, src_hw, cost)
+            logger.info(
+                "temporal warmup: compiled bucket B=%d src=%s "
+                "(host_resize=%s) step=%.1fms", b, src_hw, resized, cost,
+            )
+
+    def _clip_head(self, params, x, b):
+        """Shared tail: x is [B*T, th, tw, 3] float32 RGB in [0, 1]."""
+        th, tw = self.input_hw
+        mean = jnp.asarray(self._mean, jnp.float32)
+        std = jnp.asarray(self._std, jnp.float32)
+        x = ((x - mean) / std).astype(self.compute_dtype)
+        x = x.reshape(b, self.config.sequence_length, th, tw, 3)
+        logits = self.model.apply(params, x).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        k = min(TOP_K, probs.shape[-1])
+        return jax.lax.top_k(probs, k)
 
     def _get_step(self, batch: int, src_hw: Tuple[int, int]):
         key = (batch, *src_hw)
         step = self._steps.get(key)
         if step is None:
             th, tw = self.input_hw
-            mean = jnp.asarray(self._mean, jnp.float32)
-            std = jnp.asarray(self._std, jnp.float32)
             t_len = self.config.sequence_length
 
             use_pallas = (
@@ -150,12 +202,27 @@ class JaxTemporalEngine(BaseDetector):
                         "linear", antialias=False,
                     )
                     x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB
-                x = ((x - mean) / std).astype(self.compute_dtype)
-                x = x.reshape(b, t_len, th, tw, 3)
-                logits = self.model.apply(params, x).astype(jnp.float32)
-                probs = jax.nn.softmax(logits, axis=-1)
-                k = min(TOP_K, probs.shape[-1])
-                return jax.lax.top_k(probs, k)
+                return self._clip_head(params, x, b)
+
+            step = jax.jit(run, device=self.device)
+            self._steps[key] = step
+        return step
+
+    def _get_step_resized(self, batch: int):
+        """Clip step over HOST-resized input [B, T, th, tw, 3] uint8 BGR
+        (see _host_resize_clips): cast + flip + /255 + normalize + forward."""
+        key = (batch, "rsz")
+        step = self._steps.get(key)
+        if step is None:
+            th, tw = self.input_hw
+            t_len = self.config.sequence_length
+
+            def run(params, clips_u8):  # [B, T, th, tw, 3] uint8 BGR
+                b = clips_u8.shape[0]
+                flat = clips_u8.reshape(b * t_len, th, tw, 3)
+                x = flat.astype(jnp.float32)
+                x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB
+                return self._clip_head(params, x, b)
 
             step = jax.jit(run, device=self.device)
             self._steps[key] = step
@@ -231,9 +298,12 @@ class JaxTemporalEngine(BaseDetector):
         results: List[List[Detection]] = [[] for _ in sequences]
         buckets = self.config.resolved_buckets
         for shape, idxs in by_shape.items():
-            clips = np.stack(
-                [np.stack([p.frame for p in sequences[i]]) for i in idxs]
-            )  # [B, T, H, W, 3]
+            clips = self._host_resize_clips(sequences, idxs, shape)
+            resized = clips is not None
+            if not resized:
+                clips = np.stack(
+                    [np.stack([p.frame for p in sequences[i]]) for i in idxs]
+                )  # [B, T, H, W, 3]
             n = clips.shape[0]
             from .detector import _cheapest_bucket
 
@@ -243,7 +313,10 @@ class JaxTemporalEngine(BaseDetector):
             if n < bucket:  # pad to a compile bucket, slice results below
                 pad = np.repeat(clips[-1:], bucket - n, axis=0)
                 clips = np.concatenate([clips, pad], axis=0)
-            step = self._get_step(bucket, shape)
+            step = (
+                self._get_step_resized(bucket) if resized
+                else self._get_step(bucket, shape)
+            )
             t0 = time.perf_counter()
             scores, classes = jax.device_get(step(self.params, jnp.asarray(clips)))
             self.last_infer_ms = (time.perf_counter() - t0) * 1e3

@@ -1,7 +1,9 @@
 """Deterministic synthetic video source.
 
-URL scheme: ``synthetic://?width=640&height=480&boxes=2&frames=0``
-(``frames=0`` means endless). Produces BGR uint8 frames with moving bright
+URL scheme: ``synthetic://?width=640&height=480&boxes=2&frames=0&pool=0``
+(``frames=0`` means endless; ``pool=N`` pre-renders N frames at open time
+and cycles them, taking the ~6 MB/frame 1080p render cost out of the read
+path — real cameras pay decode in native ffmpeg code, not Python). Produces BGR uint8 frames with moving bright
 rectangles on a dark background — enough signal for motion filters, trackers
 and end-to-end tests without ffmpeg, files or network (the reference's
 closest analog is its bundled demo.mp4 fixture + the ffmpeg simulator).
@@ -24,6 +26,7 @@ class SyntheticSource:
         max_frames: int = 0,
         seed: int = 0,
         fail_after: Optional[int] = None,
+        pool: int = 0,
     ):
         self.width = width
         self.height = height
@@ -37,6 +40,21 @@ class SyntheticSource:
         self._size = rng.uniform(0.08, 0.2, (boxes, 2))
         self._colors = rng.integers(120, 256, (boxes, 3))
         self._opened = True
+        # pool > 0: pre-render `pool` frames at construction and cycle them
+        # at read() time. A 1080p render is ~6 MB of memset+fill per frame —
+        # real cameras pay that in the ffmpeg/cv2 DECODER, not in Python, so
+        # benchmarks that keep rendering in the timed path measure the bench
+        # host, not the framework. Boxes still move across the pooled frames
+        # (the tracker does real association work); motion wraps at `pool`.
+        self._pool: Optional[list] = None
+        if pool > 0:
+            self._pool = []
+            for _ in range(pool):
+                ok, frame, bx, cl = self._render_labeled()
+                if not ok:
+                    break
+                self._pool.append((frame, bx, cl))
+            self._i = 0
 
     @classmethod
     def from_url(cls, url: str) -> "SyntheticSource":
@@ -52,18 +70,14 @@ class SyntheticSource:
             max_frames=geti("frames", 0),
             seed=geti("seed", 0),
             fail_after=geti("fail_after", 0) or None,
+            pool=geti("pool", 0),
         )
 
     def isOpened(self) -> bool:  # cv2.VideoCapture API shape
         return self._opened
 
-    def read(self) -> Tuple[bool, Optional[np.ndarray]]:
-        if not self._opened:
-            return False, None
-        if self.max_frames and self._i >= self.max_frames:
-            return False, None
-        if self.fail_after is not None and self._i >= self.fail_after:
-            return False, None
+    def _render_labeled(self):
+        """Render one frame and its ground-truth boxes (no frame counting)."""
         frame = np.full((self.height, self.width, 3), 24, dtype=np.uint8)
         self._pos = self._pos + self._vel
         # bounce off edges
@@ -77,17 +91,6 @@ class SyntheticSource:
             x1 = min(self.width, x0 + int(self._size[b, 0] * self.width))
             y1 = min(self.height, y0 + int(self._size[b, 1] * self.height))
             frame[y0:y1, x0:x1] = self._colors[b]
-        self._i += 1
-        return True, frame
-
-    def read_labeled(self):
-        """(ok, frame, boxes_xyxy [n_boxes, 4] float px, class_ids [n_boxes])
-        — ground-truth boxes for the rendered rectangles, enabling supervised
-        training/eval without datasets (see scripts/train.py). Class id = the
-        rectangle's index (stable per source)."""
-        ok, frame = self.read()
-        if not ok:
-            return False, None, None, None
         boxes = np.empty((self.n_boxes, 4), np.float32)
         boxes[:, 0] = self._pos[:, 0] * self.width
         boxes[:, 1] = self._pos[:, 1] * self.height
@@ -95,6 +98,30 @@ class SyntheticSource:
         boxes[:, 3] = boxes[:, 1] + self._size[:, 1] * self.height
         classes = np.arange(self.n_boxes, dtype=np.int32)
         return True, frame, boxes, classes
+
+    def read(self) -> Tuple[bool, Optional[np.ndarray]]:
+        ok, frame, _, _ = self.read_labeled()
+        return ok, frame
+
+    def read_labeled(self):
+        """(ok, frame, boxes_xyxy [n_boxes, 4] float px, class_ids [n_boxes])
+        — ground-truth boxes for the rendered rectangles, enabling supervised
+        training/eval without datasets (see scripts/train.py). Class id = the
+        rectangle's index (stable per source)."""
+        if not self._opened:
+            return False, None, None, None
+        if self.max_frames and self._i >= self.max_frames:
+            return False, None, None, None
+        if self.fail_after is not None and self._i >= self.fail_after:
+            return False, None, None, None
+        if self._pool is not None:
+            if not self._pool:
+                return False, None, None, None
+            frame, boxes, classes = self._pool[self._i % len(self._pool)]
+            self._i += 1
+            return True, frame, boxes, classes
+        self._i += 1
+        return self._render_labeled()
 
     def release(self) -> None:
         self._opened = False

@@ -587,13 +587,17 @@ class AnalyticsPipeline:
         logger.info("Pipeline stopped")
 
     async def run_forever(self) -> None:
-        await self.start()
+        # handlers BEFORE the (slow: model load + warmup) start so a signal
+        # during startup still means graceful stop, not default kill
         self._install_signal_handlers()
+        await self.start()
         try:
             # wait for stop OR all stream workers finishing (finite sources)
             stream_tasks = [t for t in self._tasks if t.get_name().startswith("stream-")]
             stop_wait = asyncio.create_task(self._stop_event.wait())
-            done = asyncio.create_task(
+            # gather() returns a Future, not a coroutine — create_task would
+            # raise TypeError; ensure_future passes it through
+            done = asyncio.ensure_future(
                 asyncio.gather(*stream_tasks, return_exceptions=True)
             )
             await asyncio.wait({stop_wait, done}, return_when=asyncio.FIRST_COMPLETED)
@@ -605,20 +609,33 @@ class AnalyticsPipeline:
             await self.stop()
 
     async def run_for(self, seconds: float) -> None:
-        """Run the pipeline until all stream workers finish (finite sources)
-        or ``seconds`` elapse, whichever comes first (tests/benchmarks)."""
+        """Run the pipeline until all stream workers finish (finite sources),
+        ``seconds`` elapse, or SIGINT/SIGTERM arrives, whichever comes first.
+        Signals stop a bounded run gracefully too — a supervised shard
+        (`--shards` + `--duration`) must exit rc=0 on SIGTERM, exactly like
+        the reference's signal path (reference pipeline.py:553-560)."""
+        self._install_signal_handlers()
         await self.start()
         stream_tasks = [
             t for t in self._tasks if t.get_name().startswith("stream-")
         ]
+        stop_wait = asyncio.create_task(self._stop_event.wait())
+        # gather() returns a Future, not a coroutine — create_task would
+        # raise TypeError; ensure_future passes it through
+        done = asyncio.ensure_future(
+            asyncio.gather(*stream_tasks, return_exceptions=True)
+        )
         try:
-            await asyncio.wait_for(
-                asyncio.gather(*stream_tasks, return_exceptions=True),
+            await asyncio.wait(
+                {stop_wait, done},
                 timeout=seconds,
+                return_when=asyncio.FIRST_COMPLETED,
             )
-        except asyncio.TimeoutError:
-            pass
         finally:
+            stop_wait.cancel()
+            done.cancel()
+            with contextlib.suppress(asyncio.CancelledError):
+                await done
             await self.stop()
 
     # -- internals ------------------------------------------------------------

@@ -206,7 +206,14 @@ def main(argv=None) -> int:
 
         t0 = time.perf_counter()
         first = last = None
-        for step in range(1, args.steps + 1):
+        # resume completes the ORIGINAL step budget: a run restored at step
+        # k performs steps k+1..args.steps, and checkpoint cadence keys to
+        # the global step, not a restarted loop counter
+        start_step = int(state.step) + 1
+        if start_step > args.steps:
+            print(f"checkpoint already at step {start_step - 1} >= "
+                  f"--steps {args.steps}; nothing to do")
+        for step in range(start_step, args.steps + 1):
             images, targets = synthetic_batch(
                 sources, input_hw, args.boxes_per_image
             )
@@ -224,7 +231,8 @@ def main(argv=None) -> int:
                 loss_v = float(loss)
                 first = first if first is not None else loss_v
                 last = loss_v
-                rate = step * args.batch / (time.perf_counter() - t0)
+                rate = ((step - start_step + 1) * args.batch
+                        / (time.perf_counter() - t0))
                 print(f"step {step:5d}  loss {loss_v:8.4f}  "
                       f"({rate:.1f} images/s)")
 

@@ -83,13 +83,22 @@ def test_shard_config_offsets_prometheus_port(tmp_path):
 
 @pytest.mark.slow
 def test_launcher_runs_two_shards_one_bus(tmp_path):
+    """De-flake note (round-3): the streams are ENDLESS and the launcher is
+    SIGTERM'd once the bus has shown all four streams. The earlier variant
+    used 60-frame streams, which publish everything within ~2 s of shard
+    start; the bus has no replay, so on a loaded 1-core host the subscriber
+    could attach after a stream had already finished — a race, not a bug in
+    the launcher. With endless streams events flow until the subscriber has
+    seen everything, whatever the box's load."""
+    import signal as _signal
+
     path = tmp_path / "c.yaml"
-    path.write_text(yaml.safe_dump(_config_dict(4, frames=60)))
+    path.write_text(yaml.safe_dump(_config_dict(4, frames=0)))
 
     proc = subprocess.Popen(
         [sys.executable, "-m", "realtime_analytics_tpu.scripts.run_pipeline",
          "--config", str(path), "--shards", "2", "--broker",
-         "--duration", "75", "--log-level", "INFO"],
+         "--duration", "300", "--log-level", "INFO"],
         cwd=REPO, env=dict(os.environ),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
@@ -99,9 +108,9 @@ def test_launcher_runs_two_shards_one_bus(tmp_path):
     async def consume():
         from realtime_analytics_tpu.sinks.eventbus import EventBusSubscriber
 
-        # broker is inside shard 0; wait for it
+        # broker is inside shard 0; wait for it (generous: loaded 1-core box)
         sub = EventBusSubscriber("127.0.0.1", BUS_PORT, "analytics.events")
-        for _ in range(150):
+        for _ in range(300):
             try:
                 await sub.connect()
                 break
@@ -110,7 +119,7 @@ def test_launcher_runs_two_shards_one_bus(tmp_path):
         else:
             return
         try:
-            async with asyncio.timeout(90):
+            async with asyncio.timeout(120):
                 async for payload in sub.messages():
                     if payload and "stream" in payload:
                         streams_seen.add(payload["stream"])
@@ -124,6 +133,8 @@ def test_launcher_runs_two_shards_one_bus(tmp_path):
     try:
         asyncio.run(consume())
     finally:
+        # graceful stop: the supervisor forwards SIGTERM to both shards
+        proc.send_signal(_signal.SIGTERM)
         out, _ = proc.communicate(timeout=120)
 
     assert streams_seen == {"cam-0", "cam-1", "cam-2", "cam-3"}, (
@@ -152,9 +163,12 @@ def test_shard_restart_revives_crashed_shard(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     def shard1_pids():
+        # scoped to DIRECT CHILDREN of the launcher (-P): a bare pattern
+        # match could catch unrelated processes on a shared box
         # note: pattern must not start with "--" (pgrep option parsing)
         out = subprocess.run(
-            ["pgrep", "-f", "shard-index 1"], capture_output=True, text=True
+            ["pgrep", "-P", str(proc.pid), "-f", "shard-index 1"],
+            capture_output=True, text=True,
         )
         return [int(p) for p in out.stdout.split() if p.strip()]
 

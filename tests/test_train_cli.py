@@ -84,8 +84,15 @@ def test_train_checkpoint_resume(tmp_path):
     assert tree["step"] == 6
     assert "opt_state" in tree and "params" in tree
 
+    # --steps is the TOTAL budget: a crash-recovery rerun of the original
+    # command line (--steps 10) completes steps 7..10, not 10 more. Also:
     # --init-from must NOT clobber a resumed checkpoint (crash-recovery
     # reruns keep the original command line, --init-from included)
-    assert main(["--steps", "4", "--resume", "--init-from", out, *common]) == 0
+    assert main(["--steps", "10", "--resume", "--init-from", out, *common]) == 0
     tree = np.load(ck, allow_pickle=True)["__pytree__"].item()
-    assert tree["step"] == 10  # optimizer step count continued
+    assert tree["step"] == 10  # original budget completed, not restarted
+
+    # resuming at or past the budget performs no extra steps
+    assert main(["--steps", "10", "--resume", *common]) == 0
+    tree = np.load(ck, allow_pickle=True)["__pytree__"].item()
+    assert tree["step"] == 10
