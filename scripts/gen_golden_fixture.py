@@ -29,9 +29,15 @@ import sys
 import numpy as np
 
 # hard override: the TPU image PRESETS JAX_PLATFORMS=axon, and the golden
-# must be computed on the same backend the test suite uses (forced CPU)
+# must be computed on the same backend the test suite uses (forced CPU).
+# Env vars alone are too late (the axon plugin registers at interpreter
+# startup, and jax.devices() would then handshake the tunnel — minutes
+# when another process holds the chip); the config knob actually gates it.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -113,21 +119,38 @@ def render_scene(h: int = 1080, w: int = 1920) -> np.ndarray:
         img += canopy[..., None] * np.array([20, 90, 20], np.float32)
 
     # box blur (separable, pure numpy) for natural edge softness
-    k = 3
-    pad = np.pad(img, ((k, k), (k, k), (0, 0)), mode="edge")
-    csum = np.cumsum(pad, axis=0)
-    img = (csum[2 * k + 1:] - csum[:-2 * k - 1]) / (2 * k + 1)
-    csum = np.cumsum(np.pad(img, ((0, 0), (k, k), (0, 0)), mode="edge"), axis=1)
-    img = (csum[:, 2 * k + 1:] - csum[:, :-2 * k - 1]) / (2 * k + 1)
+    def box_blur_axis(a: np.ndarray, axis: int, k: int) -> np.ndarray:
+        win = 2 * k + 1
+        pad_width = [(0, 0)] * a.ndim
+        pad_width[axis] = (k, k)
+        p = np.pad(a, pad_width, mode="edge")
+        c = np.cumsum(p, axis=axis, dtype=np.float64)
+        zshape = list(c.shape)
+        zshape[axis] = 1
+        c = np.concatenate([np.zeros(zshape, c.dtype), c], axis=axis)
+        lo = [slice(None)] * a.ndim
+        hi = [slice(None)] * a.ndim
+        lo[axis] = slice(win, None)
+        hi[axis] = slice(0, c.shape[axis] - win)
+        return ((c[tuple(lo)] - c[tuple(hi)]) / win).astype(np.float32)
+
+    img = box_blur_axis(box_blur_axis(img, 0, 3), 1, 3)
 
     # film grain
     img += rng.normal(0, 2.0, img.shape).astype(np.float32)
+    assert img.shape == (h, w, 3), img.shape  # exact 1080p: select-path gate
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
 def synthetic_weights() -> dict:
-    """Seeded state dict in the published Ultralytics yolov8n layout —
-    identical recipe to bench.py's manifest-synthetic checkpoint."""
+    """Seeded state dict in the published Ultralytics yolov8n layout.
+
+    Unlike bench.py's throughput checkpoint (everything ~N(0, 0.05), under
+    which deep activations die and the head output collapses to its bias —
+    input-INDEPENDENT detections), this uses He-scaled conv weights and
+    ~identity BN statistics so activations survive all 22 layers and the
+    pinned outputs genuinely depend on the committed image (the test
+    asserts that)."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -141,8 +164,22 @@ def synthetic_weights() -> dict:
     for key, shape in manifest.items():
         if key.endswith("num_batches_tracked"):
             continue  # ONNX initializers never carry these
-        if key.endswith("running_var"):
-            sd[key] = rng.uniform(0.5, 2.0, shape).astype(np.float32)
+        if key == "model.22.dfl.conv.weight":
+            # the published DFL projection is exactly arange(16)
+            sd[key] = np.arange(16, dtype=np.float32).reshape(shape)
+        elif key.endswith("running_var"):
+            sd[key] = rng.uniform(0.8, 1.2, shape).astype(np.float32)
+        elif key.endswith("running_mean"):
+            sd[key] = rng.normal(0, 0.1, shape).astype(np.float32)
+        elif key.endswith("bn.weight") or (".bn." in key and key.endswith("weight")):
+            sd[key] = rng.uniform(0.9, 1.1, shape).astype(np.float32)
+        elif key.endswith("bias"):
+            sd[key] = rng.normal(0, 0.05, shape).astype(np.float32)
+        elif len(shape) == 4:  # conv kernels [co, ci, kh, kw]: He init
+            fan_in = int(np.prod(shape[1:]))
+            sd[key] = rng.normal(
+                0, np.sqrt(2.0 / fan_in), shape
+            ).astype(np.float32)
         else:
             sd[key] = rng.normal(0, 0.05, shape).astype(np.float32)
     return sd
@@ -196,7 +233,14 @@ def main() -> int:
     weights_onnx = "/tmp/golden_yolov8n_weights.onnx"
     write_onnx_initializers(weights_onnx, synthetic_weights())
     engine = build_engine(weights_onnx)
-    payload = detections_payload(engine, cv2.imread(SCENE_PNG, cv2.IMREAD_COLOR))
+    scene = cv2.imread(SCENE_PNG, cv2.IMREAD_COLOR)
+    payload = detections_payload(engine, scene)
+    # the pinned outputs must be IMAGE-DEPENDENT (a bias-collapsed net
+    # produces the same detections for any input — useless as a gate)
+    other = detections_payload(engine, scene[::-1].copy())
+    assert payload["scores"] != other["scores"], (
+        "detections are input-independent — synthetic weights collapsed"
+    )
     payload["weights"] = "manifest-synthetic seed=0 (scripts/gen_golden_fixture.py)"
     payload["engine"] = "fp32 cpu, conf=0.25 iou=0.45 input=640"
     with open(GOLDEN_JSON, "w") as f:

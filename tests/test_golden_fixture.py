@@ -78,6 +78,11 @@ def test_golden_synthetic_weights_pinned_outputs(tmp_path):
         atol=1.0,  # px, fp32 CPU: generous for XLA version drift
     )
 
+    # the gate is only meaningful if outputs are image-dependent (He-scaled
+    # synthetic weights — a bias-collapsed net detects the same everywhere)
+    flipped = mod.detections_payload(engine, frame[::-1].copy())
+    assert flipped["scores"] != got["scores"]
+
 
 def _real_checkpoint():
     for cand in ("yolov8n.pt", "models/yolov8n.pt"):
