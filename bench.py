@@ -330,7 +330,7 @@ def _pipeline_config(n_streams: int, buckets, max_batch: int,
             name=f"cam-{i:02d}",
             url=(
                 f"synthetic://?width={SRC_HW[1]}&height={SRC_HW[0]}"
-                f"&boxes=4&seed={i}&pool=64"
+                f"&boxes=4&seed={i}&pool=24"
             ),
             target_fps=25,
             warmup_seconds=0.0,

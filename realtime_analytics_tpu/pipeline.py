@@ -211,6 +211,17 @@ class StreamWorker:
         self.pconfig = pipeline_config
         self._stop = asyncio.Event()
         self._pending: Deque = deque()  # (packet, t_start, inference task)
+        # eager completion (round 3): a dedicated completer coroutine
+        # finishes frames the moment their batcher future resolves, in
+        # strict frame order. The previous design completed lazily from the
+        # NEXT frame's _process_packet call, which deferred every
+        # completion (tracker update, kafka publish, latency stamp) by one
+        # frame interval — at 25 FPS that put a constant +40 ms on every
+        # frame's end-to-end latency (measured: p50 43 ms of which ~31 ms
+        # was pure deferral; the SLO is 40).
+        self._pending_event = asyncio.Event()
+        self._completer: Optional[asyncio.Task] = None
+        self._slots = asyncio.Semaphore(max(1, stream.batch_size))
         self._roi_mask: Optional[np.ndarray] = None
         self._motion = (
             MotionFilter(
@@ -236,35 +247,73 @@ class StreamWorker:
 
     async def run(self) -> None:
         cfg = self.stream
-        while not self._stop.is_set():
-            try:
-                async with VideoStream(cfg) as vs:
-                    async for packet in vs.frames():
-                        if self._stop.is_set():
-                            await self._drain_pending()
-                            return
-                        await self._process_packet(packet)
-                    await self._drain_pending()
-                # generator ended: source exhausted (file) or gave up
-                logger.info("Stream '%s': source ended", cfg.name)
-                if cfg.max_retries is not None:
+        self._completer = asyncio.create_task(
+            self._completion_loop(), name=f"complete-{cfg.name}"
+        )
+        try:
+            while not self._stop.is_set():
+                try:
+                    async with VideoStream(cfg) as vs:
+                        async for packet in vs.frames():
+                            if self._stop.is_set():
+                                await self._drain_pending()
+                                return
+                            await self._process_packet(packet)
+                        await self._drain_pending()
+                    # generator ended: source exhausted (file) or gave up
+                    logger.info("Stream '%s': source ended", cfg.name)
+                    if cfg.max_retries is not None:
+                        return
+                except StreamSourceError as exc:
+                    logger.warning("Stream '%s': %s", cfg.name, exc)
+                    self.health.update_error()
+                except asyncio.CancelledError:
                     return
-            except StreamSourceError as exc:
-                logger.warning("Stream '%s': %s", cfg.name, exc)
-                self.health.update_error()
+                except Exception:  # noqa: BLE001
+                    logger.exception("Stream '%s': worker error", cfg.name)
+                    self.health.update_error()
+                if self._stop.is_set():
+                    return
+                # stream state must not straddle a reconnect
+                if isinstance(self.detector, JaxTemporalEngine):
+                    self.detector.reset_stream(cfg.name)
+                if self._motion is not None:
+                    self._motion.reset()
+                await asyncio.sleep(cfg.reconnect_backoff)
+        finally:
+            # drain may itself be interrupted by cancellation (pipeline
+            # stop) — the completer must still be reaped or it leaks past
+            # pipeline.stop() (it is not in pipeline._tasks)
+            try:
+                await self._drain_pending()
+            finally:
+                if self._completer is not None:
+                    self._completer.cancel()
+                    with contextlib.suppress(asyncio.CancelledError):
+                        await self._completer
+                    self._completer = None
+
+    async def _completion_loop(self) -> None:
+        """Consume pending frames FIFO, finishing each the instant its
+        inference future resolves — never waiting for the next frame tick.
+        A single consumer per stream preserves the tracker's frame-order
+        requirement; the semaphore it releases paces the read loop."""
+        while True:
+            if not self._pending:
+                self._pending_event.clear()
+                await self._pending_event.wait()
+                continue
+            try:
+                await self._complete_oldest()
             except asyncio.CancelledError:
-                return
-            except Exception:  # noqa: BLE001
-                logger.exception("Stream '%s': worker error", cfg.name)
-                self.health.update_error()
-            if self._stop.is_set():
-                return
-            # stream state must not straddle a reconnect
-            if isinstance(self.detector, JaxTemporalEngine):
-                self.detector.reset_stream(cfg.name)
-            if self._motion is not None:
-                self._motion.reset()
-            await asyncio.sleep(cfg.reconnect_backoff)
+                raise
+            except Exception:  # noqa: BLE001 — a sink/tracker crash must
+                # not silently wedge the stream (slots would leak)
+                logger.exception(
+                    "Stream '%s': completion failed", self.stream.name
+                )
+            finally:
+                self._slots.release()
 
     async def _process_packet(self, packet: FramePacket) -> None:
         """Host-side filters, then *pipelined* submit: up to
@@ -288,10 +337,10 @@ class StreamWorker:
             frame = downsample(frame, ratio)
 
         if self._motion is not None and not self._motion.should_process(frame):
-            # skips join the ordered pending queue: a skipped frame must not
-            # age tracks before an earlier in-flight frame's detections land
-            self._pending.append((packet, t_start, None))
-            await self._complete_ready()
+            # skips join the ordered pending queue (marker: no infer packet):
+            # a skipped frame must not age tracks before an earlier
+            # in-flight frame's detections land
+            await self._enqueue(packet, t_start, None)
             return
 
         # adaptive frame skipping
@@ -299,8 +348,7 @@ class StreamWorker:
         if self._process_every > 1 and (
             self._frame_counter % self._process_every != 0
         ):
-            self._pending.append((packet, t_start, None))
-            await self._complete_ready()
+            await self._enqueue(packet, t_start, None)
             return
 
         infer_packet = (
@@ -309,22 +357,29 @@ class StreamWorker:
             else FramePacket(cfg, np.ascontiguousarray(frame), packet.frame_id,
                              packet.timestamp)
         )
-        task = asyncio.ensure_future(self.batcher.submit(infer_packet))
-        self._pending.append((packet, t_start, task))
-        max_inflight = max(1, cfg.batch_size)
-        while len(self._pending) >= max_inflight:
-            await self._complete_oldest()
-        await self._complete_ready()
+        await self._enqueue(packet, t_start, infer_packet)
 
-    async def _complete_ready(self) -> None:
-        while self._pending and (
-            self._pending[0][2] is None or self._pending[0][2].done()
-        ):
-            await self._complete_oldest()
+    async def _enqueue(self, packet: FramePacket, t_start: float,
+                       infer_packet: Optional[FramePacket]) -> None:
+        """Hand a frame (or an ordered skip marker, infer_packet=None) to
+        the completer. The semaphore bounds this stream's in-flight frames
+        at ``batch_size`` — acquiring it is what paces the read loop when
+        the device falls behind (the pre-round-3 ``while len(pending) >=
+        max_inflight`` loop, without the completion-deferral side effect).
+        The slot is taken BEFORE the batcher submit: the batcher's own
+        per-stream cap counts live submits, and an early submit from a
+        blocked worker would be shed as overflow."""
+        await self._slots.acquire()
+        task = (
+            asyncio.ensure_future(self.batcher.submit(infer_packet))
+            if infer_packet is not None else None
+        )
+        self._pending.append((packet, t_start, task))
+        self._pending_event.set()
 
     async def _drain_pending(self) -> None:
         while self._pending:
-            await self._complete_oldest()
+            await asyncio.sleep(0.005)
 
     async def _complete_oldest(self) -> None:
         packet, t_start, task = self._pending.popleft()
