@@ -484,10 +484,24 @@ def resnet_params_from_state_dict(
 
 
 def load_resnet_checkpoint(model: ResNetModel, path: str) -> Optional[Dict]:
+    """torchvision-named state dict (.pt / flat .npz / weights-.onnx) or a
+    native params-pytree .npz (e.g. saved from model.init_params or a
+    training run) — same checkpoint families as the YOLO loader."""
     try:
         sd = _read_state_dict(path)
         if sd is None:
             return None
+        if "__pytree__" in sd:
+            params = sd["__pytree__"].item()
+            want = jax.tree_util.tree_map(lambda a: tuple(np.shape(a)),
+                                          model.init_params(_shape_key()))
+            got = jax.tree_util.tree_map(lambda a: tuple(np.shape(a)), params)
+            if want != got:
+                logger.warning(
+                    "pytree checkpoint %s does not match the model", path
+                )
+                return None
+            return jax.tree_util.tree_map(jnp.asarray, params)
         return resnet_params_from_state_dict(model, sd)
     except Exception as exc:  # noqa: BLE001
         logger.warning("Could not load ResNet checkpoint %s: %s", path, exc)

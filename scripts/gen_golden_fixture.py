@@ -45,7 +45,17 @@ sys.path.insert(0, REPO)
 DATA_DIR = os.path.join(REPO, "tests", "data")
 SCENE_PNG = os.path.join(DATA_DIR, "golden_scene.png")
 GOLDEN_JSON = os.path.join(DATA_DIR, "golden_yolov8n_synthetic.json")
+GOLDEN_V5_JSON = os.path.join(DATA_DIR, "golden_yolov5n_synthetic.json")
+GOLDEN_RESNET_JSON = os.path.join(DATA_DIR, "golden_resnet18_synthetic.json")
+GOLDEN_TEMPORAL_JSON = os.path.join(DATA_DIR, "golden_cnnlstm_synthetic.json")
 TOP_N = 25  # pinned detections per image
+
+# published Ultralytics YOLOv5 P3/P4/P5 anchors (model constants)
+V5_ANCHORS = np.array(
+    [[[10, 13], [16, 30], [33, 23]],
+     [[30, 61], [62, 45], [59, 119]],
+     [[116, 90], [156, 198], [373, 326]]], np.float32,
+)
 
 
 def render_scene(h: int = 1080, w: int = 1920) -> np.ndarray:
@@ -185,6 +195,50 @@ def synthetic_weights() -> dict:
     return sd
 
 
+def _he_state_dict(manifest: dict, seed: int = 0) -> dict:
+    """He-scaled weights over any torch-named key->shape manifest (shared
+    recipe — see synthetic_weights docstring for why not N(0, 0.05))."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+    for key, shape in manifest.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        if key.endswith(".anchors"):
+            sd[key] = V5_ANCHORS.reshape(shape).astype(np.float32)
+        elif key == "model.22.dfl.conv.weight":
+            sd[key] = np.arange(16, dtype=np.float32).reshape(shape)
+        elif key.endswith("running_var"):
+            sd[key] = rng.uniform(0.8, 1.2, shape).astype(np.float32)
+        elif key.endswith("running_mean"):
+            sd[key] = rng.normal(0, 0.1, shape).astype(np.float32)
+        elif key.endswith("bn.weight"):
+            sd[key] = rng.uniform(0.9, 1.1, shape).astype(np.float32)
+        elif key.endswith("bias"):
+            sd[key] = rng.normal(0, 0.05, shape).astype(np.float32)
+        elif len(shape) == 4:  # conv kernels [co, ci, kh, kw]: He init
+            fan_in = int(np.prod(shape[1:]))
+            sd[key] = rng.normal(
+                0, np.sqrt(2.0 / fan_in), shape
+            ).astype(np.float32)
+        else:
+            sd[key] = rng.normal(0, 0.05, shape).astype(np.float32)
+    return sd
+
+
+def synthetic_weights_v5() -> dict:
+    """He-scaled state dict in the published Ultralytics yolov5n layout,
+    anchors pinned to the published P3/P4/P5 values (the loader ingests
+    anchors from the checkpoint — exercised by this fixture)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_yolo_manifest", os.path.join(REPO, "scripts", "gen_yolo_manifest.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    return _he_state_dict(gen.yolov5_manifest("n"))
+
+
 def build_engine(weights_onnx: str):
     from realtime_analytics_tpu.config import DetectorConfig
     from realtime_analytics_tpu.engine.detector import JaxYoloEngine
@@ -204,6 +258,107 @@ def build_engine(weights_onnx: str):
         warmup=False,
     )
     return JaxYoloEngine(cfg)
+
+
+def build_engine_v5(weights_onnx: str):
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    cfg = DetectorConfig(
+        model_path=weights_onnx,
+        model_type="yolov5",
+        device="cpu",
+        confidence_threshold=0.25,
+        iou_threshold=0.45,
+        input_size=[640, 640],
+        max_batch_size=1,
+        batch_buckets=[1],
+        max_detections=300,
+        pre_nms_topk=512,
+        precision="fp32",
+        warmup=False,
+    )
+    return JaxYoloEngine(cfg)
+
+
+def build_resnet_engine(ckpt_npz: str):
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxResNetEngine
+
+    cfg = DetectorConfig(
+        model_path=ckpt_npz,
+        model_type="resnet",
+        device="cpu",
+        confidence_threshold=1e-6,
+        resnet_num_classes=1000,
+        resnet_top_k=5,
+        resnet_scores="softmax",
+        input_size=[224, 224],
+        max_batch_size=1,
+        batch_buckets=[1],
+        precision="fp32",
+        warmup=False,
+        host_resize="off",  # tests run on CPU; pin the device-resize path
+    )
+    return JaxResNetEngine(cfg)
+
+
+def build_temporal_engine(ckpt_npz: str):
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.temporal import JaxTemporalEngine
+
+    cfg = DetectorConfig(
+        model_path=ckpt_npz,
+        model_type="cnn_lstm",
+        device="cpu",
+        confidence_threshold=1e-6,
+        sequence_length=4,
+        sequence_stride=1,
+        num_action_classes=12,
+        input_size=[112, 112],
+        max_batch_size=1,
+        batch_buckets=[1],
+        precision="fp32",
+        warmup=False,
+        host_resize="off",
+    )
+    return JaxTemporalEngine(cfg)
+
+
+def resnet_payload(engine, frame: np.ndarray) -> dict:
+    from realtime_analytics_tpu.config import StreamConfig
+    from realtime_analytics_tpu.types import FramePacket
+
+    stream = StreamConfig(name="golden", url="synthetic://", target_fps=25)
+    dets = engine.predict_packets([FramePacket(stream, frame, 0, 0.0)])[0]
+    return {
+        "classes": [d.class_id for d in dets],
+        "scores": [round(d.confidence, 5) for d in dets],
+    }
+
+
+def temporal_payload(engine, frame: np.ndarray) -> dict:
+    """Clip = four shifted crops of the scene (deterministic motion)."""
+    from realtime_analytics_tpu.config import StreamConfig
+    from realtime_analytics_tpu.types import FramePacket
+
+    stream = StreamConfig(name="golden", url="synthetic://", target_fps=25)
+    seq = [
+        FramePacket(
+            stream,
+            np.ascontiguousarray(frame[t * 8: t * 8 + 512, t * 8: t * 8 + 512]),
+            t, float(t),
+        )
+        for t in range(4)
+    ]
+    dets = engine.predict_clips([seq])[0]
+    return {
+        "classes": [d.class_id for d in dets],
+        "scores": [round(d.confidence, 5) for d in dets],
+        "labels": [d.action_label for d in dets],
+        "span": [dets[0].sequence_start_frame, dets[0].sequence_end_frame]
+        if dets else None,
+    }
 
 
 def detections_payload(engine, frame: np.ndarray) -> dict:
@@ -247,6 +402,56 @@ def main() -> int:
         json.dump(payload, f, indent=1)
     print(f"wrote {GOLDEN_JSON}: num_valid={payload['num_valid']}, "
           f"top score={payload['scores'][0] if payload['scores'] else None}")
+
+    # --- YOLOv5 (anchor-decode path; anchors ingested from checkpoint) ---
+    v5_onnx = "/tmp/golden_yolov5n_weights.onnx"
+    write_onnx_initializers(v5_onnx, synthetic_weights_v5())
+    eng5 = build_engine_v5(v5_onnx)
+    p5 = detections_payload(eng5, scene)
+    assert p5["scores"] != detections_payload(eng5, scene[::-1].copy())["scores"]
+    p5["weights"] = "yolov5n manifest-synthetic seed=0, published anchors"
+    with open(GOLDEN_V5_JSON, "w") as f:
+        json.dump(p5, f, indent=1)
+    print(f"wrote {GOLDEN_V5_JSON}: num_valid={p5['num_valid']}")
+
+    # --- ResNet classification (native pytree checkpoint path) ---
+    # seed 7 ON PURPOSE: the engine's load-failure fallback is random init
+    # from PRNGKey(0) — a silently-failed load would produce different
+    # params and the pinned outputs would catch it
+    import jax
+
+    # NB: the engine infers the ResNet variant from the checkpoint FILENAME
+    # (detector.py: "18"/"34"/"50" substring) — skeleton and checkpoint
+    # paths must agree or the shape gate rejects the load.
+    skel = build_resnet_engine("/tmp/resnet18-definitely-missing.npz")
+    rparams = jax.tree_util.tree_map(
+        np.asarray, skel.model.init_params(jax.random.PRNGKey(7))
+    )
+    np.savez("/tmp/golden_resnet18.npz",
+             __pytree__=np.array(rparams, dtype=object))
+    reng = build_resnet_engine("/tmp/golden_resnet18.npz")
+    rp = resnet_payload(reng, scene)
+    # silently-failed load would fall back to PRNGKey(0) init == skel's
+    assert rp["scores"] != resnet_payload(skel, scene)["scores"]
+    assert rp["scores"] != resnet_payload(reng, scene[::-1].copy())["scores"]
+    with open(GOLDEN_RESNET_JSON, "w") as f:
+        json.dump(rp, f, indent=1)
+    print(f"wrote {GOLDEN_RESNET_JSON}: top1={rp['classes'][0]}")
+
+    # --- temporal CNN-LSTM (clip pipeline + pytree checkpoint path) ---
+    tskel = build_temporal_engine("/tmp/cnnlstm-definitely-missing.npz")
+    tparams = jax.tree_util.tree_map(
+        np.asarray, tskel.model.init_params(jax.random.PRNGKey(9))
+    )
+    np.savez("/tmp/golden_cnnlstm.npz",
+             __pytree__=np.array(tparams, dtype=object))
+    teng = build_temporal_engine("/tmp/golden_cnnlstm.npz")
+    tp = temporal_payload(teng, scene)
+    assert tp["scores"] != temporal_payload(tskel, scene)["scores"]
+    assert tp["scores"] != temporal_payload(teng, scene[::-1].copy())["scores"]
+    with open(GOLDEN_TEMPORAL_JSON, "w") as f:
+        json.dump(tp, f, indent=1)
+    print(f"wrote {GOLDEN_TEMPORAL_JSON}: top1={tp['classes'][0]}")
     return 0
 
 

@@ -84,6 +84,80 @@ def test_golden_synthetic_weights_pinned_outputs(tmp_path):
     assert flipped["scores"] != got["scores"]
 
 
+def test_golden_v5_pinned_outputs(tmp_path):
+    """Anchor-decode path: v5 weights (published anchors ingested from the
+    checkpoint) through the same full chain."""
+    from realtime_analytics_tpu.models.onnx_lite import write_onnx_initializers
+
+    mod = _fixture_mod()
+    weights_onnx = str(tmp_path / "w5.onnx")
+    write_onnx_initializers(weights_onnx, mod.synthetic_weights_v5())
+    engine = mod.build_engine_v5(weights_onnx)
+    frame = cv2.imread(SCENE, cv2.IMREAD_COLOR)
+    got = mod.detections_payload(engine, frame)
+    with open(os.path.join(DATA, "golden_yolov5n_synthetic.json")) as f:
+        want = json.load(f)
+    assert got["num_valid"] == want["num_valid"]
+    assert got["classes"] == want["classes"]
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), np.asarray(want["scores"]), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["boxes_xyxy"]), np.asarray(want["boxes_xyxy"]), atol=1.0
+    )
+
+
+def test_golden_resnet_pinned_outputs(tmp_path):
+    """Classification path through the native-pytree checkpoint loader.
+    Seed 7 deliberately differs from the engine's PRNGKey(0) load-failure
+    fallback, so a silently-failed load changes the pinned outputs."""
+    import jax
+
+    mod = _fixture_mod()
+    # skeleton path must resolve to the same filename-inferred variant
+    # (resnet18) as the checkpoint path, see detector.py variant sniffing
+    skel = mod.build_resnet_engine(str(tmp_path / "resnet18-missing.npz"))
+    params = jax.tree_util.tree_map(
+        np.asarray, skel.model.init_params(jax.random.PRNGKey(7))
+    )
+    ckpt = tmp_path / "r18.npz"
+    np.savez(ckpt, __pytree__=np.array(params, dtype=object))
+    engine = mod.build_resnet_engine(str(ckpt))
+    frame = cv2.imread(SCENE, cv2.IMREAD_COLOR)
+    got = mod.resnet_payload(engine, frame)
+    with open(os.path.join(DATA, "golden_resnet18_synthetic.json")) as f:
+        want = json.load(f)
+    assert got["classes"] == want["classes"]
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), np.asarray(want["scores"]), atol=2e-3
+    )
+
+
+def test_golden_temporal_pinned_outputs(tmp_path):
+    """Clip pipeline (buffer -> strided clip -> scan forward -> top-5)
+    through the native-pytree checkpoint loader."""
+    import jax
+
+    mod = _fixture_mod()
+    skel = mod.build_temporal_engine(str(tmp_path / "missing.npz"))
+    params = jax.tree_util.tree_map(
+        np.asarray, skel.model.init_params(jax.random.PRNGKey(9))
+    )
+    ckpt = tmp_path / "lstm.npz"
+    np.savez(ckpt, __pytree__=np.array(params, dtype=object))
+    engine = mod.build_temporal_engine(str(ckpt))
+    frame = cv2.imread(SCENE, cv2.IMREAD_COLOR)
+    got = mod.temporal_payload(engine, frame)
+    with open(os.path.join(DATA, "golden_cnnlstm_synthetic.json")) as f:
+        want = json.load(f)
+    assert got["classes"] == want["classes"]
+    assert got["labels"] == want["labels"]
+    assert got["span"] == want["span"]
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), np.asarray(want["scores"]), atol=2e-3
+    )
+
+
 def _real_checkpoint():
     for cand in ("yolov8n.pt", "models/yolov8n.pt"):
         p = os.path.join(REPO, cand)
