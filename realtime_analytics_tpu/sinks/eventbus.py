@@ -32,6 +32,7 @@ class EventBusBroker:
         self.port = port
         self._server: Optional[asyncio.AbstractServer] = None
         self._subscribers: Dict[str, Set[asyncio.StreamWriter]] = defaultdict(set)
+        self._connections: Set[asyncio.StreamWriter] = set()
         self.messages_routed = 0
 
     async def start(self) -> None:
@@ -45,17 +46,30 @@ class EventBusBroker:
     async def stop(self) -> None:
         if self._server is not None:
             self._server.close()
-            await self._server.wait_closed()
-            self._server = None
-        for subs in self._subscribers.values():
-            for w in list(subs):
+            # Close every live connection BEFORE wait_closed(): since
+            # py3.12 wait_closed() waits for handler coroutines too, and a
+            # connected client parked in readline() would otherwise block
+            # broker (and pipeline SIGTERM) shutdown until the CLIENT went
+            # away. Closing the transport EOFs the reader and the handler
+            # winds down on its own.
+            for w in list(self._connections):
                 w.close()
+            try:
+                await asyncio.wait_for(self._server.wait_closed(), timeout=3)
+            except asyncio.TimeoutError:
+                logger.warning(
+                    "EventBus broker: connection handlers did not wind "
+                    "down within 3 s; abandoning them"
+                )
+            self._server = None
         self._subscribers.clear()
+        self._connections.clear()
 
     async def _handle(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
         subscribed: Set[str] = set()
+        self._connections.add(writer)
         try:
             while True:
                 line = await reader.readline()
@@ -82,6 +96,7 @@ class EventBusBroker:
         finally:
             for topic in subscribed:
                 self._subscribers[topic].discard(writer)
+            self._connections.discard(writer)
             writer.close()
 
     async def _fanout(self, topic: str, payload) -> None:

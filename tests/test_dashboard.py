@@ -121,6 +121,30 @@ def test_eventbus_end_to_end(bus_config):
     asyncio.run(scenario())
 
 
+def test_broker_stop_with_connected_subscriber_is_prompt(bus_config):
+    """Regression: SIGTERM'ing the pipeline while a dashboard consumer is
+    still attached must not hang. Since py3.12 Server.wait_closed() waits
+    for handler coroutines, and an idle subscriber parked in readline()
+    kept the broker (and the whole run_pipeline process) alive until the
+    CLIENT disconnected — observed as a pipeline that logged "Pipeline
+    stopped" but never exited."""
+
+    async def scenario():
+        broker = EventBusBroker("127.0.0.1", 0)
+        await broker.start()
+        reader, writer = await asyncio.open_connection("127.0.0.1", broker.port)
+        writer.write(b'{"op": "sub", "topic": "analytics.events"}\n')
+        await writer.drain()
+        await asyncio.sleep(0.1)  # handler registers the subscription
+        # the client stays connected and silent; stop() must still return
+        await asyncio.wait_for(broker.stop(), timeout=2.0)
+        # client observes EOF (broker closed the transport)
+        assert await asyncio.wait_for(reader.read(), 2.0) == b""
+        writer.close()
+
+    asyncio.run(scenario())
+
+
 def test_jsonl_sink_and_consumer(tmp_path):
     async def scenario():
         path = tmp_path / "events.jsonl"
