@@ -250,6 +250,18 @@ class DetectorConfig:
     # resolution can't be inferred from its URL (synthetic:// encodes it);
     # [H, W], default 1080p
     warmup_source_hw: Optional[List[int]] = None
+    # ---- tiled small-object inference (beyond-reference capability) ----
+    # SAHI-style slicing: frames larger than the model input are cut into
+    # input-sized tiles (pure memcpy, never a resize) that ride the SAME
+    # fixed-shape compiled step as whole frames, then per-tile detections
+    # merge with a host intersection-over-smaller dedup across tile seams
+    # (ops/tiling.py). 8 tiles per 1080p frame at 640² detect at NATIVE
+    # resolution; 32 streams x 25 FPS x 8 tiles still fits one chip.
+    tiling: bool = False
+    tiling_overlap: float = 0.2  # fraction of tile shared between neighbors
+    # also run the normal whole-frame letterboxed pass and merge it in, so
+    # objects larger than one tile are still detected whole
+    tiling_full_frame: bool = True
 
     def validate(self) -> None:
         if not self.model_path:
@@ -297,6 +309,8 @@ class DetectorConfig:
             raise ConfigError("max_detections must be >= 1")
         if self.host_select not in {"auto", "off"}:
             raise ConfigError("host_select must be 'auto' or 'off'")
+        if not (0.0 <= self.tiling_overlap <= 0.8):
+            raise ConfigError("tiling_overlap must be in [0, 0.8]")
         if self.precision not in {"bf16", "fp32", "int8"}:
             raise ConfigError("precision must be one of: bf16, fp32, int8")
         if self.batch_buckets is not None:

@@ -540,6 +540,10 @@ class JaxYoloEngine(BaseDetector):
                 {k: round(v, 1) for k, v in sorted(costs.items())},
                 src_hw, sorted(dominated),
             )
+        if self._tiling_active(src_hw) and tuple(src_hw) != self.input_hw:
+            # tiled serving runs the INPUT-sized step on the tile crops —
+            # pre-compile it too or the first tiled batch stalls on a jit
+            self.warmup(self.input_hw, buckets)
 
     # -- prediction ---------------------------------------------------------
 
@@ -594,6 +598,108 @@ class JaxYoloEngine(BaseDetector):
             num_valid=np.asarray(nv[:n]),
         )
 
+    def _predict_group(
+        self, frames_list: Sequence[np.ndarray], shape: Tuple[int, int]
+    ) -> BatchResult:
+        """Batch-predict same-resolution frames through the cheapest path
+        (host pixel-pick > host letterbox resize > device letterbox)."""
+        spec = letterbox_spec(shape, self.input_hw)
+        geom = None
+        if self.config.host_select != "off":
+            geom = self._select_geometry(spec)
+        if geom is not None:
+            from ..native import pick_u8
+
+            hr, hoff, wr, woff = geom
+            h, w = shape
+            oh = (h - hoff + hr - 1) // hr
+            ow = (w - woff + wr - 1) // wr
+            # pick each frame straight into the batch buffer: one copy
+            # total (pick-then-stack would copy the picked data twice)
+            frames = np.empty((len(frames_list), oh, ow, 3), np.uint8)
+            for j, f in enumerate(frames_list):
+                pick_u8(f, hr, hoff, wr, woff, out=frames[j])
+            return self._predict_prepared(frames, shape, True)
+        if self._host_resize_active():
+            # fractional ratio: host cv2 letterbox resize straight into the
+            # batch buffer (same lean selected step as the pick path;
+            # host_prepare docstring)
+            frames = self._host_resize_packets(list(frames_list), spec)
+            if frames is not None:
+                return self._predict_prepared(frames, shape, True)
+        frames = np.stack(frames_list)
+        return self._predict_prepared(frames, shape, False)
+
+    def _tiling_active(self, shape: Tuple[int, int]) -> bool:
+        return bool(self.config.tiling) and (
+            shape[0] > self.input_hw[0] or shape[1] > self.input_hw[1]
+        )
+
+    def _predict_tiled_group(
+        self, frames_list: Sequence[np.ndarray], shape: Tuple[int, int]
+    ) -> BatchResult:
+        """SAHI-style sliced inference (ops/tiling.py): input-sized tile
+        crops (pure memcpy — detection at NATIVE resolution) ride the same
+        compiled 640² step; optional whole-frame pass merges back in so
+        objects larger than a tile are still seen whole."""
+        from ..ops.tiling import crop_tile, merge_frame, tile_grid
+
+        th, tw = self.input_hw
+        grid = tile_grid(shape, self.input_hw, self.config.tiling_overlap)
+        T = len(grid)
+        nf = len(frames_list)
+        tiles = np.empty((nf * T, th, tw, 3), np.uint8)
+        for j, f in enumerate(frames_list):
+            for t, (y0, x0) in enumerate(grid):
+                crop_tile(f, y0, x0, (th, tw), out=tiles[j * T + t])
+        # tiles are already model-input-sized: the identity pixel-pick
+        # geometry means the lean selected step applies with no host copy
+        spec = letterbox_spec((th, tw), self.input_hw)
+        geom = (
+            self._select_geometry(spec)
+            if self.config.host_select != "off" else None
+        )
+        selected = geom == (1, 0, 1, 0)
+        # chunk to the largest compile bucket (nf*T can exceed it)
+        cap = max(self.config.resolved_buckets)
+        parts = [
+            self._predict_prepared(tiles[lo: lo + cap], (th, tw), selected)
+            for lo in range(0, nf * T, cap)
+        ]
+        tb = np.concatenate([p.boxes_xyxy for p in parts])
+        ts = np.concatenate([p.scores for p in parts])
+        tc = np.concatenate([p.class_ids for p in parts])
+        tn = np.concatenate([p.num_valid for p in parts])
+        full = (
+            self._predict_group(frames_list, shape)
+            if self.config.tiling_full_frame else None
+        )
+        md = self.config.max_detections
+        ob = np.zeros((nf, md, 4), np.float32)
+        osc = np.zeros((nf, md), np.float32)
+        oc = np.zeros((nf, md), np.int32)
+        on = np.zeros((nf,), np.int32)
+        for j in range(nf):
+            per_tile = [
+                (tb[j * T + t], ts[j * T + t], tc[j * T + t],
+                 int(tn[j * T + t]))
+                for t in range(T)
+            ]
+            if full is not None:
+                # appended past len(grid): already in frame coordinates
+                per_tile.append(
+                    (full.boxes_xyxy[j], full.scores[j], full.class_ids[j],
+                     int(full.num_valid[j]))
+                )
+            b, s, c, n = merge_frame(
+                per_tile, grid, shape, self.config.iou_threshold, md,
+                self.class_agnostic_nms,
+            )
+            ob[j], osc[j], oc[j], on[j] = b, s, c, n
+        return BatchResult(
+            boxes_xyxy=ob, scores=osc, class_ids=oc, num_valid=on
+        )
+
     def predict_packets(self, packets: Sequence[FramePacket]) -> List[List[Detection]]:
         """Batch-predict frame packets; groups by source resolution. With
         host_select the pixel pick happens per frame BEFORE stacking, so the
@@ -603,38 +709,11 @@ class JaxYoloEngine(BaseDetector):
             by_shape.setdefault(tuple(p.frame.shape[:2]), []).append(i)
         results: List[List[Detection]] = [[] for _ in packets]
         for shape, idxs in by_shape.items():
-            spec = letterbox_spec(shape, self.input_hw)
-            geom = None
-            if self.config.host_select != "off":
-                geom = self._select_geometry(spec)
-            if geom is not None:
-                from ..native import pick_u8
-
-                hr, hoff, wr, woff = geom
-                h, w = shape
-                oh = (h - hoff + hr - 1) // hr
-                ow = (w - woff + wr - 1) // wr
-                # pick each frame straight into the batch buffer: one copy
-                # total (pick-then-stack would copy the picked data twice)
-                frames = np.empty((len(idxs), oh, ow, 3), np.uint8)
-                for j, i in enumerate(idxs):
-                    pick_u8(packets[i].frame, hr, hoff, wr, woff,
-                            out=frames[j])
-                br = self._predict_prepared(frames, shape, True)
+            frames_list = [packets[i].frame for i in idxs]
+            if self._tiling_active(shape):
+                br = self._predict_tiled_group(frames_list, shape)
             else:
-                frames = None
-                if self._host_resize_active():
-                    # fractional ratio: host cv2 letterbox resize straight
-                    # into the batch buffer (same lean selected step as the
-                    # pick path; host_prepare docstring)
-                    frames = self._host_resize_packets(
-                        [packets[i].frame for i in idxs], spec
-                    )
-                if frames is not None:
-                    br = self._predict_prepared(frames, shape, True)
-                else:
-                    frames = np.stack([packets[i].frame for i in idxs])
-                    br = self._predict_prepared(frames, shape, False)
+                br = self._predict_group(frames_list, shape)
             dets = br.to_detections(
                 [packets[i].stream.name for i in idxs],
                 [packets[i].frame_id for i in idxs],
