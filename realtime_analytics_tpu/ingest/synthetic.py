@@ -1,6 +1,7 @@
 """Deterministic synthetic video source.
 
 URL scheme: ``synthetic://?width=640&height=480&boxes=2&frames=0&pool=0``
+(plus ``min_size``/``max_size`` — box size as a fraction of the frame)
 (``frames=0`` means endless; ``pool=N`` pre-renders N frames at open time
 and cycles them, taking the ~6 MB/frame 1080p render cost out of the read
 path — real cameras pay decode in native ffmpeg code, not Python). Produces BGR uint8 frames with moving bright
@@ -27,6 +28,8 @@ class SyntheticSource:
         seed: int = 0,
         fail_after: Optional[int] = None,
         pool: int = 0,
+        min_size: float = 0.08,
+        max_size: float = 0.2,
     ):
         self.width = width
         self.height = height
@@ -37,7 +40,9 @@ class SyntheticSource:
         rng = np.random.default_rng(seed)
         self._pos = rng.uniform(0.1, 0.7, (boxes, 2))
         self._vel = rng.uniform(-0.01, 0.01, (boxes, 2)) + 0.003
-        self._size = rng.uniform(0.08, 0.2, (boxes, 2))
+        # size range as a fraction of the frame dimension; small values
+        # (e.g. 0.02-0.05) make small-object scenes for tiling tests
+        self._size = rng.uniform(min_size, max_size, (boxes, 2))
         self._colors = rng.integers(120, 256, (boxes, 3))
         self._opened = True
         # pool > 0: pre-render `pool` frames at construction and cycle them
@@ -63,6 +68,9 @@ class SyntheticSource:
         def geti(name, default):
             return int(q[name][0]) if name in q else default
 
+        def getf(name, default):
+            return float(q[name][0]) if name in q else default
+
         return cls(
             width=geti("width", 640),
             height=geti("height", 480),
@@ -71,6 +79,8 @@ class SyntheticSource:
             seed=geti("seed", 0),
             fail_after=geti("fail_after", 0) or None,
             pool=geti("pool", 0),
+            min_size=getf("min_size", 0.08),
+            max_size=getf("max_size", 0.2),
         )
 
     def isOpened(self) -> bool:  # cv2.VideoCapture API shape

@@ -9,14 +9,31 @@ whole loop the TPU build added.
 """
 
 import numpy as np
+import pytest
 
-from realtime_analytics_tpu.config import DetectorConfig
+from realtime_analytics_tpu.config import DetectorConfig, StreamConfig
 from realtime_analytics_tpu.engine.detector import JaxYoloEngine
 from realtime_analytics_tpu.eval.detection_metrics import (
     DetectionSample,
     evaluate_detections,
 )
 from realtime_analytics_tpu.ingest.synthetic import SyntheticSource
+from realtime_analytics_tpu.types import FramePacket
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    """One 400-step synthetic training run shared by the tests below."""
+    from realtime_analytics_tpu.scripts.train import main
+
+    out = tmp_path_factory.mktemp("train") / "trained.npz"
+    rc = main([
+        "--steps", "400", "--batch", "4", "--nc", "4",
+        "--boxes-per-image", "2", "--input-size", "64", "64",
+        "--log-every", "100", "--out", str(out), "--seed", "1",
+    ])
+    assert rc == 0
+    return str(out)
 
 
 def _engine(path: str) -> JaxYoloEngine:
@@ -46,20 +63,58 @@ def _eval_map(eng: JaxYoloEngine, seed: int = 7, frames: int = 12) -> dict:
     return evaluate_detections(samples)
 
 
-def test_training_lifts_map_over_random_init(tmp_path):
-    from realtime_analytics_tpu.scripts.train import main
-
-    out = tmp_path / "trained.npz"
-    rc = main([
-        "--steps", "400", "--batch", "4", "--nc", "4",
-        "--boxes-per-image", "2", "--input-size", "64", "64",
-        "--log-every", "100", "--out", str(out), "--seed", "1",
-    ])
-    assert rc == 0
-
-    trained = _eval_map(_engine(str(out)))
+def test_training_lifts_map_over_random_init(trained_ckpt):
+    trained = _eval_map(_engine(trained_ckpt))
     random_init = _eval_map(_engine("__random__.pt"))
     # 400 synthetic steps reach mAP50 ~0.1+; random init detects nothing
     assert trained["map50"] >= 0.05, trained
     assert random_init["map50"] <= 0.01, random_init
     assert trained["map50"] > random_init["map50"] + 0.04
+
+
+def _serving_engine(path: str, tiling: bool) -> JaxYoloEngine:
+    return JaxYoloEngine(DetectorConfig(
+        model_path=path, model_type="yolov8", num_classes=4,
+        input_size=[64, 64], warmup=False, precision="fp32",
+        max_batch_size=32, batch_buckets=[32], pre_nms_topk=64,
+        max_detections=16, confidence_threshold=0.05,
+        tiling=tiling, tiling_overlap=0.2, tiling_full_frame=False,
+        host_resize="off",
+    ))
+
+
+def _eval_small_objects(eng: JaxYoloEngine, frames: int = 12) -> dict:
+    """256² scenes whose boxes are 5–13 px NATIVE — the size the model was
+    trained on (sources render at 2× input and downscale, so training boxes
+    land at 5–13 px in the 64² input). The whole-frame path letterboxes
+    256→64 (4×), shrinking them to 1–3 px."""
+    src = SyntheticSource(width=256, height=256, boxes=2, seed=7,
+                          min_size=0.02, max_size=0.05)
+    stream = StreamConfig(name="e", url="synthetic://", target_fps=25)
+    samples = []
+    for _ in range(frames):
+        ok, frame, gt, cls = src.read_labeled()
+        assert ok
+        dets = eng.predict_packets([FramePacket(stream, frame, 0, 0.0)])[0]
+        db = np.array([d.bbox_xyxy for d in dets], np.float32).reshape(-1, 4)
+        samples.append(DetectionSample(
+            det_boxes=db,
+            det_scores=np.array([d.confidence for d in dets], np.float32),
+            det_classes=np.array([d.class_id for d in dets], np.int32),
+            gt_boxes=np.asarray(gt),
+            gt_classes=np.asarray(cls),
+        ))
+    return evaluate_detections(samples)
+
+
+def test_tiling_lifts_small_object_map(trained_ckpt):
+    """Quantitative proof of detector.tiling: on scenes whose objects sit
+    at the model's trained pixel scale NATIVELY, the whole-frame letterbox
+    (4× downscale) destroys them while the tiled path detects at native
+    resolution. Measured at calibration: whole mAP50 = 0.0, tiled ≈ 0.13
+    (same-seed deterministic run)."""
+    whole = _eval_small_objects(_serving_engine(trained_ckpt, tiling=False))
+    tiled = _eval_small_objects(_serving_engine(trained_ckpt, tiling=True))
+    assert whole["map50"] <= 0.02, whole
+    assert tiled["map50"] >= 0.05, tiled
+    assert tiled["map50"] > whole["map50"] + 0.04
