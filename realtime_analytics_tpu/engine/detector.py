@@ -217,11 +217,20 @@ class JaxYoloEngine(BaseDetector):
         """(hr, hoff, wr, woff) when both axis ratios are odd integers —
         the resize is then an exact pixel pick (1080p->640 letterbox is
         exactly 3x on both axes; geometry rule:
-        ``ops.preprocess.integer_axis_reduction``). None otherwise."""
+        ``ops.preprocess.integer_axis_reduction``). Ratio 1 is the
+        degenerate pick (identity): input-sized sources — and every TILE
+        crop of the tiled path — then ride the same lean stem-folded
+        selected step instead of paying a separate device normalize pass
+        (measured b=128: 21.2 -> 15.7 ms). None otherwise."""
         from ..ops.preprocess import integer_axis_reduction
 
-        h = integer_axis_reduction(spec.src_h, spec.new_h)
-        w = integer_axis_reduction(spec.src_w, spec.new_w)
+        def axis(src: int, new: int):
+            if src == new:
+                return ("select", 1, 0)
+            return integer_axis_reduction(src, new)
+
+        h = axis(spec.src_h, spec.new_h)
+        w = axis(spec.src_w, spec.new_w)
         if h is not None and w is not None and h[0] == w[0] == "select":
             return (h[1], h[2], w[1], w[2])
         return None
