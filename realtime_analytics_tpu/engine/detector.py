@@ -348,6 +348,7 @@ class JaxYoloEngine(BaseDetector):
                 pre_topk=min(cfg.pre_nms_topk, boxes.shape[1]),
                 class_agnostic=self.class_agnostic_nms,
                 gather_impl=nms_gather,
+                mesh=self.mesh,
             )
             b = unletterbox_boxes(
                 b, spec.scale, spec.pad_left, spec.pad_top, spec.src_h,
@@ -380,9 +381,10 @@ class JaxYoloEngine(BaseDetector):
 
     def _nms_gather_impl(self) -> str:
         """NMS payload gather impl: the bit-exact Pallas MXU one-hot gather
-        on a single TPU (take_along_axis is element-serial there — ~1.9 ms
-        of the round-2 step); XLA gathers on CPU and under a mesh (pallas
-        partitioning under pjit is not exercised by the CPU-mesh tests)."""
+        on TPU (take_along_axis is element-serial there — ~1.9 ms of the
+        round-2 step); XLA gathers on CPU. Under a mesh the gather is
+        shard_map'd over dp (each chip gathers its local batch shard —
+        ops/pallas_gather.py), so mesh serving keeps the MXU gather too."""
         if self.config.pallas_gather == "on":
             # off-TPU, "on" means the interpreter (tests/dev boxes): the
             # Mosaic kernel itself only compiles for TPU
@@ -390,7 +392,6 @@ class JaxYoloEngine(BaseDetector):
         if (
             self.config.pallas_gather == "auto"
             and self.device.platform == "tpu"
-            and self.mesh is None
         ):
             return "pallas"
         return "xla"
@@ -467,6 +468,7 @@ class JaxYoloEngine(BaseDetector):
                 pre_topk=min(cfg.pre_nms_topk, boxes.shape[1]),
                 class_agnostic=self.class_agnostic_nms,
                 gather_impl=nms_gather,
+                mesh=self.mesh,
             )
             b = unletterbox_boxes(
                 b, spec.scale, spec.pad_left, spec.pad_top, spec.src_h, spec.src_w

@@ -35,7 +35,8 @@ _CLASS_OFFSET = 8192.0  # > any letterboxed input size
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "iou_threshold", "max_det", "pre_topk", "class_agnostic", "gather_impl"
+        "iou_threshold", "max_det", "pre_topk", "class_agnostic",
+        "gather_impl", "mesh",
     ),
 )
 def batched_nms(
@@ -48,6 +49,7 @@ def batched_nms(
     pre_topk: int = 1024,
     class_agnostic: bool = True,
     gather_impl: str = "xla",
+    mesh=None,
 ):
     """Batched NMS with static output shapes.
 
@@ -61,6 +63,9 @@ def batched_nms(
                  "pallas" (bit-exact MXU one-hot gather, ~10x faster on
                  TPU — see ops/pallas_gather.py), or "pallas_interpret"
                  (tests). Results are bit-identical across impls.
+      mesh: device mesh for sharded serving — the Pallas gathers are then
+                 shard_map'd over the mesh's ``dp`` axis so each device
+                 gathers its local batch shard (ops/pallas_gather.py).
 
     Returns:
       (boxes [N, max_det, 4], scores [N, max_det], class_ids [N, max_det],
@@ -100,7 +105,8 @@ def batched_nms(
         top_idx = packed_top // 65536
         top_classes = (packed_top % 65536).astype(jnp.int32)
         g = pallas_row_gather(
-            boxes.astype(jnp.float32), top_idx, interpret=interpret
+            boxes.astype(jnp.float32), top_idx, interpret=interpret,
+            mesh=mesh,
         )
         top_boxes = g  # [N, K, 4]
     else:
@@ -153,7 +159,8 @@ def batched_nms(
             [top_boxes.astype(jnp.float32), top_scores[..., None],
              top_classes.astype(jnp.float32)[..., None]], axis=-1,
         )  # [N, K, 6]
-        g2 = pallas_row_gather(payload2, order_d, interpret=interpret)
+        g2 = pallas_row_gather(payload2, order_d, interpret=interpret,
+                                mesh=mesh)
         out_boxes = g2[..., :4]
         out_scores = g2[..., 4]
         out_classes = g2[..., 5].astype(jnp.int32)

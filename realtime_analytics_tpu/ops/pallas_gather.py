@@ -73,15 +73,37 @@ def _gather_kernel(idx_ref, bytes_ref, out_ref, *, m_tiles: int, bpr: int):
     out_ref[0] = masked.astype(jnp.int8)  # low byte == the gathered byte
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mesh", "batch_axis"))
 def pallas_row_gather(
-    payload: jnp.ndarray, idx: jnp.ndarray, *, interpret: bool = False
+    payload: jnp.ndarray,
+    idx: jnp.ndarray,
+    *,
+    interpret: bool = False,
+    mesh=None,
+    batch_axis: str = "dp",
 ) -> jnp.ndarray:
     """out[n, j, q] = payload[n, idx[n, j], q] — bit-exact, MXU-based.
 
     payload: [N, M, P] float32; idx: [N, K] int32 with 0 <= idx < M.
     Returns [N, K, P] float32.
+
+    The grid is the batch dim, so the kernel is embarrassingly parallel
+    along N. Under a device mesh (``mesh`` given) the call is wrapped in
+    ``jax.shard_map`` over ``batch_axis``: each device runs the single-chip
+    Mosaic kernel on its local batch shard (N must be a multiple of the
+    axis size — the engine's mesh bucket rounding guarantees it), and the
+    mesh serving path keeps the MXU gather instead of falling back to
+    XLA's element-serial one.
     """
+    if mesh is not None and batch_axis in mesh.shape:
+        from jax.sharding import PartitionSpec as P
+
+        inner = functools.partial(pallas_row_gather, interpret=interpret)
+        spec = P(batch_axis)
+        return jax.shard_map(
+            inner, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+            check_vma=False,
+        )(payload, idx)
     n, m, p = payload.shape
     k = idx.shape[1]
     payload = payload.astype(jnp.float32)

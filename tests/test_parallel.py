@@ -245,3 +245,36 @@ def test_engine_mesh_warmup_compiles_the_serving_executable(mesh):
     assert step._cache_size() == n_before, (
         "predict compiled a second executable after warmup"
     )
+
+
+def test_engine_mesh_keeps_pallas_gather(mesh):
+    """Under a mesh the NMS payload gather must stay on the Pallas MXU
+    kernel (shard_map'd over dp — each chip gathers its local batch shard)
+    instead of falling back to XLA's element-serial gather, with identical
+    results. Round-2 disabled pallas under pjit; shard_map restores it."""
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    base = dict(
+        model_path="__random__.pt", input_size=[64, 64],
+        confidence_threshold=0.01, max_batch_size=8, batch_buckets=[8],
+        precision="fp32", warmup=False, pre_nms_topk=64, max_detections=16,
+        host_select="off", mesh_shape=[4, 2],
+    )
+    xla = JaxYoloEngine(DetectorConfig(pallas_gather="off", **base))
+    pal = JaxYoloEngine(DetectorConfig(pallas_gather="on", **base),
+                        params=jax.device_get(xla.params))
+    assert pal.mesh is not None
+    assert pal._nms_gather_impl() == "pallas_interpret"  # CPU mesh -> interp
+
+    frames = np.random.default_rng(5).integers(
+        0, 256, (8, 96, 128, 3), dtype=np.uint8
+    )
+    ref = xla.predict_arrays(frames)
+    got = pal.predict_arrays(frames)
+    assert int(ref.num_valid.sum()) > 0
+    np.testing.assert_array_equal(got.num_valid, ref.num_valid)
+    np.testing.assert_array_equal(got.class_ids, ref.class_ids)
+    np.testing.assert_allclose(got.boxes_xyxy, ref.boxes_xyxy,
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(got.scores, ref.scores, rtol=1e-5, atol=1e-6)
