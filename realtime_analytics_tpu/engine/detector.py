@@ -444,6 +444,7 @@ class JaxYoloEngine(BaseDetector):
                 x = pallas_letterbox(
                     frames_u8, spec=spec, out_dtype=self.compute_dtype,
                     interpret=self.device.platform != "tpu",
+                    mesh=self.mesh,
                 )
             else:
                 x = preprocess_batch(

@@ -103,7 +103,10 @@ def _kernel(img_ref, ah_ref, awt_ref, out_ref, *, spec: LetterboxSpec,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "out_dtype", "round_uint8", "interpret")
+    jax.jit,
+    static_argnames=(
+        "spec", "out_dtype", "round_uint8", "interpret", "mesh", "batch_axis"
+    ),
 )
 def pallas_letterbox(
     frames: jnp.ndarray,
@@ -112,8 +115,28 @@ def pallas_letterbox(
     out_dtype: jnp.dtype = jnp.bfloat16,
     round_uint8: bool = True,
     interpret: bool = False,
+    mesh=None,
+    batch_axis: str = "dp",
 ) -> jnp.ndarray:
-    """uint8 NHWC BGR [N, Hs, Ws, 3] -> letterboxed NHWC RGB [N, Ht, Wt, 3]."""
+    """uint8 NHWC BGR [N, Hs, Ws, 3] -> letterboxed NHWC RGB [N, Ht, Wt, 3].
+
+    The grid is one plane per (image, channel), so the kernel is
+    embarrassingly parallel along N. Under a device mesh the call is
+    shard_map'd over ``batch_axis`` — each chip resizes its local batch
+    shard (the engine's mesh bucket rounding guarantees N divides dp);
+    without this a Mosaic call would reach pjit unpartitioned.
+    """
+    if mesh is not None and batch_axis in mesh.shape:
+        from jax.sharding import PartitionSpec as P
+
+        inner = functools.partial(
+            pallas_letterbox, spec=spec, out_dtype=out_dtype,
+            round_uint8=round_uint8, interpret=interpret,
+        )
+        p = P(batch_axis)
+        return jax.shard_map(
+            inner, mesh=mesh, in_specs=(p,), out_specs=p, check_vma=False,
+        )(frames)
     n = frames.shape[0]
     ah = jnp.asarray(bilinear_matrix(spec.src_h, spec.new_h), jnp.bfloat16)
     awt = jnp.asarray(bilinear_matrix(spec.src_w, spec.new_w).T, jnp.bfloat16)

@@ -278,3 +278,33 @@ def test_engine_mesh_keeps_pallas_gather(mesh):
     np.testing.assert_allclose(got.boxes_xyxy, ref.boxes_xyxy,
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(got.scores, ref.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_engine_mesh_pallas_letterbox_shard_mapped(mesh):
+    """The Mosaic letterbox grid is batch-parallel; under a mesh it must be
+    shard_map'd over dp (round 2 would have handed pjit an unpartitioned
+    pallas_call on fractional-ratio sources). Results equal the XLA path."""
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    base = dict(
+        model_path="__random__.pt", input_size=[64, 64],
+        confidence_threshold=0.01, max_batch_size=8, batch_buckets=[8],
+        precision="fp32", warmup=False, pre_nms_topk=64, max_detections=16,
+        host_select="off", host_resize="off", mesh_shape=[4, 2],
+    )
+    xla = JaxYoloEngine(DetectorConfig(pallas_preprocess="off", **base))
+    pal = JaxYoloEngine(DetectorConfig(pallas_preprocess="on", **base),
+                        params=jax.device_get(xla.params))
+    # 100x150 -> 64x64 is a fractional ratio: the resize path, not a pick
+    frames = np.random.default_rng(6).integers(
+        0, 256, (8, 100, 150, 3), dtype=np.uint8
+    )
+    ref = xla.predict_arrays(frames)
+    got = pal.predict_arrays(frames)
+    assert int(ref.num_valid.sum()) > 0
+    np.testing.assert_array_equal(got.num_valid, ref.num_valid)
+    # bilinear taps differ in accumulation order between the two kernels
+    np.testing.assert_allclose(got.boxes_xyxy, ref.boxes_xyxy,
+                               rtol=1e-2, atol=1.0)
+    np.testing.assert_allclose(got.scores, ref.scores, rtol=5e-2, atol=5e-3)
