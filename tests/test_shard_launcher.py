@@ -83,34 +83,55 @@ def test_shard_config_offsets_prometheus_port(tmp_path):
 
 @pytest.mark.slow
 def test_launcher_runs_two_shards_one_bus(tmp_path):
-    """De-flake note (round-3): the streams are ENDLESS and the launcher is
-    SIGTERM'd once the bus has shown all four streams. The earlier variant
-    used 60-frame streams, which publish everything within ~2 s of shard
-    start; the bus has no replay, so on a loaded 1-core host the subscriber
-    could attach after a stream had already finished — a race, not a bug in
-    the launcher. With endless streams events flow until the subscriber has
-    seen everything, whatever the box's load."""
+    """De-flake notes: the streams are ENDLESS and the launcher is SIGTERM'd
+    once the bus has shown all four streams (60-frame streams raced the
+    subscriber against the bus's no-replay semantics). Round-3 second flake:
+    the message window was a fixed budget from subscriber-connect, but on a
+    loaded 1-core box the two shard processes can spend minutes in
+    import+engine init before "Pipeline started" — the old 120 s window
+    expired exactly as events began to flow. The window now opens only
+    after BOTH shards log "Pipeline started" (readiness-gated, not
+    sleep-gated), so host load shifts the deadline instead of eating it."""
     import signal as _signal
+    import time as _time
 
     path = tmp_path / "c.yaml"
     path.write_text(yaml.safe_dump(_config_dict(4, frames=0)))
 
-    proc = subprocess.Popen(
-        [sys.executable, "-m", "realtime_analytics_tpu.scripts.run_pipeline",
-         "--config", str(path), "--shards", "2", "--broker",
-         "--duration", "300", "--log-level", "INFO"],
-        cwd=REPO, env=dict(os.environ),
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
+    out_path = tmp_path / "launcher.log"
+    with open(out_path, "w") as out_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-m",
+             "realtime_analytics_tpu.scripts.run_pipeline",
+             "--config", str(path), "--shards", "2", "--broker",
+             "--duration", "600", "--log-level", "INFO"],
+            cwd=REPO, env=dict(os.environ),
+            stdout=out_f, stderr=subprocess.STDOUT, text=True,
+        )
+
+    def log_text():
+        return out_path.read_text(errors="replace")
+
+    # readiness gate: both shard pipelines up (slow on a loaded box:
+    # two python imports + engine builds; generous cap, normally seconds)
+    deadline = _time.monotonic() + 600
+    while log_text().count("Pipeline started") < 2:
+        if proc.poll() is not None:
+            pytest.fail(f"launcher exited rc={proc.returncode} before both "
+                        f"shards started:\n{log_text()[-2000:]}")
+        if _time.monotonic() > deadline:
+            proc.send_signal(_signal.SIGTERM)
+            proc.communicate(timeout=120)
+            pytest.fail(f"shards not up in 600s:\n{log_text()[-2000:]}")
+        _time.sleep(0.5)
 
     streams_seen = set()
 
     async def consume():
         from realtime_analytics_tpu.sinks.eventbus import EventBusSubscriber
 
-        # broker is inside shard 0; wait for it (generous: loaded 1-core box)
         sub = EventBusSubscriber("127.0.0.1", BUS_PORT, "analytics.events")
-        for _ in range(300):
+        for _ in range(300):  # broker lives inside shard 0 and is up by now
             try:
                 await sub.connect()
                 break
@@ -119,6 +140,8 @@ def test_launcher_runs_two_shards_one_bus(tmp_path):
         else:
             return
         try:
+            # both pipelines are live and the streams are endless: events
+            # flow continuously, this window only covers bus latency
             async with asyncio.timeout(120):
                 async for payload in sub.messages():
                     if payload and "stream" in payload:
@@ -135,8 +158,9 @@ def test_launcher_runs_two_shards_one_bus(tmp_path):
     finally:
         # graceful stop: the supervisor forwards SIGTERM to both shards
         proc.send_signal(_signal.SIGTERM)
-        out, _ = proc.communicate(timeout=120)
+        proc.communicate(timeout=120)
 
+    out = log_text()
     assert streams_seen == {"cam-0", "cam-1", "cam-2", "cam-3"}, (
         f"bus saw {streams_seen}; launcher output tail:\n{out[-2000:]}"
     )
