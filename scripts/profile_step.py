@@ -68,35 +68,74 @@ def main():
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     if not paths:
         raise SystemExit("no xplane.pb produced")
+    # xprof conversion MUST run in a child process: it needs
+    # PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python, which breaks the axon
+    # TPU plugin if set in THIS process (and the pure-C++ protobuf in this
+    # process silently yields empty tables).
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
+    env["JAX_PLATFORMS"] = "cpu"
+    code = subprocess.call(
+        [sys.executable, __file__, "--convert", logdir,
+         "--top", str(args.top)],
+        env=env,
+    )
+    raise SystemExit(code)
+
+
+def convert(logdir: str, top: int) -> None:
+    """Child-process half: xplane -> hlo_stats table -> top ops."""
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     from xprof.convert import raw_to_tool_data as rtd
 
-    data, _ = rtd.xspace_to_tool_data(paths, "framework_op_stats", {})
+    data, _ = rtd.xspace_to_tool_data(paths, "hlo_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
-    rows = json.loads(data)
-    # framework_op_stats: list of dicts with occurrences/self time
-    if isinstance(rows, dict):
-        rows = rows.get("data") or next(iter(rows.values()))
+    d = json.loads(data)
+    cols = [c["label"] if isinstance(c, dict) else c for c in d["cols"]]
+    i_cat, i_name, i_text, i_occ, i_self = (
+        cols.index("HLO op category"), cols.index("HLO op name"),
+        cols.index("HLO op text"), cols.index("#Occurrences"),
+        cols.index("Total self time (us)"),
+    )
+
+    def cell(r, i):
+        v = r["c"][i]
+        return v.get("v") if isinstance(v, dict) else v
+
     ops = []
-    for r in rows:
+    for r in d["rows"]:
         try:
-            ops.append(
-                (
-                    float(r.get("total_self_time_in_us")
-                          or r.get("self_time_us") or 0.0),
-                    int(r.get("occurrences") or 1),
-                    r.get("operation") or r.get("op_name") or "?",
-                )
-            )
+            ops.append((float(cell(r, i_self)), str(cell(r, i_cat)),
+                        str(cell(r, i_name)), int(cell(r, i_occ)),
+                        str(cell(r, i_text))))
         except (TypeError, ValueError):
             continue
     ops.sort(reverse=True)
-    total = sum(t for t, _, _ in ops)
+    total = sum(t for t, *_ in ops)
     print(f"total self time: {total / 1e3:.2f} ms over 5 steps "
-          f"({total / 5e3:.2f} ms/step)")
-    for t, occ, name in ops[: args.top]:
-        print(f"{t / 5e3:7.3f} ms/step  x{occ:<4d} {name[:110]}")
+          f"({total / 5e3:.2f} ms/step; tracing adds overhead vs the "
+          f"differential bench timing)")
+    for t, cat, name, occ, text in ops[:top]:
+        print(f"{t / 5e3:7.3f} ms/step  {cat:<20} x{occ:<4d} {name}")
+        print(f"         {text[:140]}")
+    agg = {}
+    for t, cat, *_ in ops:
+        agg[cat] = agg.get(cat, 0.0) + t
+    print("\nby category (ms/step):")
+    for c, t in sorted(agg.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"  {t / 5e3:7.3f}  {c}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--convert" in sys.argv:
+        i = sys.argv.index("--convert")
+        t = int(sys.argv[sys.argv.index("--top") + 1]) if "--top" in sys.argv else 25
+        convert(sys.argv[i + 1], t)
+    else:
+        main()
