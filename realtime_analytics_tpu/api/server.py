@@ -144,6 +144,13 @@ class DashboardServer:
             return self._static("index.html")
         if path == "/wall":
             return self._static("wall.html")
+        if path == "/showcase":
+            # static showcase pages (≙ reference modern-dashboard.html /
+            # enterprise-dashboard.html): self-animating synthetic views,
+            # no backend dependency
+            return self._static("showcase.html")
+        if path == "/command":
+            return self._static("command.html")
         if path.startswith("/static/"):
             return self._static(path[len("/static/"):])
         if path == "/favicon.ico":

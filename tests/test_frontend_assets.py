@@ -193,3 +193,34 @@ def test_frame_previews_are_sanitized():
         assert "frame_jpeg" in js  # the preview field is actually consumed
         # no direct interpolation of frame_jpeg into markup
         assert "${evt.frame_jpeg}" not in js, f"{src_name}: raw interpolation"
+
+
+def test_showcase_pages_assets():
+    """Static showcase pages (≙ reference modern/enterprise dashboards):
+    assets exist, script order correct, ids referenced by the page glue
+    exist in the HTML, and the server routes /showcase and /command."""
+    for page, glue in (("showcase.html", "showcase-main.js"),
+                       ("command.html", "command-main.js")):
+        html = read(page)
+        scripts = re.findall(r'<script src="/static/([^"]+)"', html)
+        assert scripts == ["showcase.js", glue], page
+        for s in scripts:
+            assert (STATIC / s).exists(), f"{s} referenced but missing"
+        ids = set(re.findall(r'id="([^"]+)"', html))
+        js = read(glue)
+        for ident in re.findall(r'\$\("([^"]+)"\)', js):
+            assert ident in ids, f"{glue} references #{ident}, not in {page}"
+        # every chart helper the glue calls is exported by showcase.js
+        lib = read("showcase.js")
+        for name in set(re.findall(r"\b(sc[A-Z]\w+)\(", js)):
+            assert f"window.{name}" in lib, f"{name} not exported"
+        assert '"/static/showcase.css"' in html
+    server = (STATIC.parent / "server.py").read_text()
+    assert '"/showcase"' in server and '"/command"' in server
+
+
+def test_showcase_js_braces_balanced():
+    for name in ("showcase.js", "showcase-main.js", "command-main.js"):
+        js = _strip_js(read(name))
+        for a, b in ("{}", "()", "[]"):
+            assert js.count(a) == js.count(b), f"{name}: unbalanced {a}{b}"
