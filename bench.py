@@ -389,7 +389,9 @@ def _run_pipeline_window(cfg, detector_factory, seconds: float) -> dict:
         "p50_frame_ms": round(pct(50), 1),
         "p90_frame_ms": round(pct(90), 1),
         "p99_frame_ms": round(pct(99), 1),
-        "meets_40ms_slo": bool(pct(50) <= LATENCY_SLO_MS),
+        # empty window (e.g. a saturated bench host) must NOT read as a
+        # vacuous pass
+        "meets_40ms_slo": bool(lat_ms) and pct(50) <= LATENCY_SLO_MS,
         "avg_device_batch": round(st.avg_batch_size, 2),
         "avg_batch_service_ms": round(st.avg_infer_ms, 1),
         "avg_queue_wait_ms": round(st.sum_wait_ms / max(st.frames, 1), 1),

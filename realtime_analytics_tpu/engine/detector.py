@@ -959,6 +959,17 @@ def create_detector(config: DetectorConfig) -> BaseDetector:
     else -> YOLO detection. All backend labels resolve to the JAX engine."""
     from .temporal import create_temporal_detector  # local: avoid cycle
 
+    if str(config.model_path).endswith(".rvae"):
+        # AOT-exported serving artifact (engine/export.py) — the TensorRT
+        # .engine analog: programs + weights in one file, no model tracing
+        if config.model_type not in ("yolov5", "yolov8"):
+            raise ValueError(
+                ".rvae artifacts carry YOLO serving programs; model_type "
+                f"'{config.model_type}' is not exportable"
+            )
+        from .export import ExportedYoloEngine  # local: avoid cycle
+
+        return ExportedYoloEngine(config)
     if config.model_type in ("cnn_lstm", "3d_cnn", "conv_gru", "slow_fast"):
         return create_temporal_detector(config)
     if config.model_type == "resnet":

@@ -1,0 +1,197 @@
+"""AOT serving artifacts (engine/export.py) — the TensorRT .engine analog
+(reference detector.py:382-466 serves from prebuilt engine files).
+
+The acceptance bar: an ExportedYoloEngine serving from a .rvae file is
+bit-identical to the live JaxYoloEngine it was exported from, on every
+exported (resolution x bucket) program, and fails loudly (with the
+available-program list) on anything not exported.
+"""
+
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from realtime_analytics_tpu.config import ConfigError, DetectorConfig
+from realtime_analytics_tpu.engine.detector import JaxYoloEngine, create_detector
+from realtime_analytics_tpu.engine.export import (
+    ExportedYoloEngine,
+    _flatten_params,
+    _unflatten_params,
+    export_serving_artifact,
+)
+
+INPUT = 64
+SRC_PICK = (192, 192)  # 3x on both axes: host pixel-pick path ("sel")
+SRC_FRAC = (100, 160)  # fractional ratio
+
+
+def _det_cfg(model_path: str, **kw) -> DetectorConfig:
+    base = dict(
+        model_path=model_path,
+        model_type="yolov8",
+        input_size=[INPUT, INPUT],
+        batch_buckets=[1, 2],
+        max_batch_size=2,
+        confidence_threshold=0.01,  # random init: keep real detections
+        warmup=False,
+    )
+    base.update(kw)
+    return DetectorConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def live_engine():
+    return JaxYoloEngine(_det_cfg("missing_yolov8n.pt"))
+
+
+@pytest.fixture(scope="module")
+def artifact(live_engine, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rvae") / "test.rvae")
+    meta = export_serving_artifact(
+        live_engine, path, src_hws=[SRC_PICK, SRC_FRAC]
+    )
+    return path, meta
+
+
+@pytest.fixture(scope="module")
+def exported_engine(artifact):
+    path, _ = artifact
+    return ExportedYoloEngine(_det_cfg(path))
+
+
+def test_flatten_roundtrip_with_list_nodes():
+    params = {
+        "layers": {
+            "0": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "2": {"m": [{"w": np.ones(2, np.float32)},
+                        {"w": np.zeros(3, np.float32)}]},
+        }
+    }
+    flat = _flatten_params(params)
+    assert set(flat) == {"layers/0/w", "layers/2/m/#0/w", "layers/2/m/#1/w"}
+    back = _unflatten_params(flat)
+    assert isinstance(back["layers"]["2"]["m"], list)
+    np.testing.assert_array_equal(
+        back["layers"]["0"]["w"], params["layers"]["0"]["w"]
+    )
+    np.testing.assert_array_equal(
+        back["layers"]["2"]["m"][1]["w"], params["layers"]["2"]["m"][1]["w"]
+    )
+
+
+def test_artifact_contents(artifact):
+    path, meta = artifact
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+    assert "meta.json" in names
+    assert {f"programs/{p['name']}" for p in meta["programs"]} <= names
+    # both resolutions x both buckets
+    assert len(meta["programs"]) == 4
+    assert meta["input_size"] == [INPUT, INPUT]
+
+
+def test_roundtrip_bit_identical(live_engine, exported_engine):
+    rng = np.random.default_rng(7)
+    for hw in (SRC_PICK, SRC_FRAC):
+        for n in (1, 2):
+            frames = rng.integers(0, 256, (n, *hw, 3), dtype=np.uint8)
+            a = live_engine.predict_arrays(frames.copy())
+            b = exported_engine.predict_arrays(frames.copy())
+            np.testing.assert_array_equal(a.num_valid, b.num_valid)
+            assert int(a.num_valid.sum()) > 0, (
+                "trivial comparison: no detections survived — lower the "
+                "confidence threshold"
+            )
+            np.testing.assert_array_equal(a.boxes_xyxy, b.boxes_xyxy)
+            np.testing.assert_array_equal(a.scores, b.scores)
+            np.testing.assert_array_equal(a.class_ids, b.class_ids)
+
+
+def test_factory_routes_rvae(artifact):
+    path, _ = artifact
+    eng = create_detector(_det_cfg(path))
+    assert isinstance(eng, ExportedYoloEngine)
+
+
+def test_factory_rejects_non_yolo_rvae(artifact):
+    path, _ = artifact
+    with pytest.raises(ValueError, match="not exportable"):
+        create_detector(_det_cfg(path, model_type="resnet"))
+
+
+def test_unexported_resolution_raises(exported_engine):
+    frames = np.zeros((1, 480, 640, 3), np.uint8)
+    with pytest.raises(ConfigError, match="480x640") as ei:
+        exported_engine.predict_arrays(frames)
+    # the error carries the available-program list
+    assert "192x192_b1" in str(ei.value)
+
+
+def test_oversized_batch_raises(exported_engine):
+    frames = np.zeros((3, *SRC_PICK, 3), np.uint8)
+    with pytest.raises(ValueError, match="largest exported bucket 2"):
+        exported_engine.predict_arrays(frames)
+
+
+def test_warmup_times_exported_buckets(artifact):
+    path, _ = artifact
+    eng = ExportedYoloEngine(_det_cfg(path))
+    eng.warmup(SRC_PICK)
+    costs = eng._bucket_cost_ms[SRC_PICK]
+    assert set(costs) == {1, 2}
+    assert all(c > 0 for c in costs.values())
+    # selection stays inside the artifact's buckets
+    assert eng._effective_bucket(1, SRC_PICK) in (1, 2)
+
+
+def test_platform_mismatch_rejected(artifact, tmp_path):
+    path, _ = artifact
+    victim = str(tmp_path / "wrongplat.rvae")
+    with zipfile.ZipFile(path) as zin, zipfile.ZipFile(victim, "w") as zout:
+        for item in zin.infolist():
+            data = zin.read(item.filename)
+            if item.filename == "meta.json":
+                meta = json.loads(data)
+                meta["platforms"] = ["nonexistent-hw"]
+                data = json.dumps(meta)
+            zout.writestr(item, data)
+    with pytest.raises(ConfigError, match="re-export on this platform"):
+        ExportedYoloEngine(_det_cfg(victim))
+
+
+def test_export_cli(tmp_path):
+    from realtime_analytics_tpu.scripts.export_engine import main
+
+    out = str(tmp_path / "cli.rvae")
+    rc = main([
+        "--model", "missing_yolov8n.pt",
+        "--model-type", "yolov8",
+        "--output", out,
+        "--src", "192x192",
+        "--input-size", "64x64",
+        "--buckets", "1",
+    ])
+    assert rc == 0
+    assert os.path.exists(out)
+    with zipfile.ZipFile(out) as zf:
+        meta = json.loads(zf.read("meta.json"))
+    names = [p["name"] for p in meta["programs"]]
+    assert len(names) == 1 and names[0].startswith("192x192_b1")
+    assert meta["input_size"] == [64, 64]
+
+
+def test_mesh_engine_refuses_export(live_engine, tmp_path):
+    class FakeMesh:  # engine.mesh is truthy -> must refuse
+        pass
+
+    mesh, live_engine.mesh = live_engine.mesh, FakeMesh()
+    try:
+        with pytest.raises(ValueError, match="single-device"):
+            export_serving_artifact(
+                live_engine, str(tmp_path / "x.rvae"), src_hws=[SRC_PICK]
+            )
+    finally:
+        live_engine.mesh = mesh
