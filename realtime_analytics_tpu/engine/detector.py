@@ -962,13 +962,16 @@ def create_detector(config: DetectorConfig) -> BaseDetector:
     if str(config.model_path).endswith(".rvae"):
         # AOT-exported serving artifact (engine/export.py) — the TensorRT
         # .engine analog: programs + weights in one file, no model tracing
-        if config.model_type not in ("yolov5", "yolov8"):
-            raise ValueError(
-                ".rvae artifacts carry YOLO serving programs; model_type "
-                f"'{config.model_type}' is not exportable"
-            )
-        from .export import ExportedYoloEngine  # local: avoid cycle
+        from .export import (  # local: avoid cycle
+            ExportedResNetEngine,
+            ExportedTemporalEngine,
+            ExportedYoloEngine,
+        )
 
+        if config.model_type in ("cnn_lstm", "3d_cnn", "conv_gru", "slow_fast"):
+            return ExportedTemporalEngine(config)
+        if config.model_type == "resnet":
+            return ExportedResNetEngine(config)
         return ExportedYoloEngine(config)
     if config.model_type in ("cnn_lstm", "3d_cnn", "conv_gru", "slow_fast"):
         return create_temporal_detector(config)

@@ -1,15 +1,27 @@
 """AOT-exported serving artifacts — the TPU-native analog of TensorRT
 ``.engine`` files (reference detector.py:382-466 deserializes prebuilt
-engines at startup).
+engines at startup; the same applies to its OpenVINO/RKNN compiled model
+files).
 
-``export_serving_artifact`` AOT-lowers the engine's PRODUCTION fused
-serving step (host-prep contract -> pad/letterbox -> forward -> NMS ->
-un-letterbox) for an explicit set of (source resolution x batch bucket)
-programs via ``jax.export`` and packs them — together with the weights —
-into a single self-contained ``.rvae`` zip. ``ExportedYoloEngine`` serves
-from that artifact alone: no torch/ONNX checkpoint parsing, no flax graph
-construction, no Python model code in the serve path — the deserialized
-StableHLO programs are handed straight to XLA.
+``export_serving_artifact`` AOT-lowers an engine's PRODUCTION serving
+step for an explicit set of (source resolution x batch bucket) programs
+via ``jax.export`` and packs them — together with the weights — into a
+single self-contained ``.rvae`` zip. Every engine family exports:
+
+* YOLO (``JaxYoloEngine``): host-prep contract -> pad/letterbox ->
+  forward -> NMS -> un-letterbox, per (resolution x bucket), in the
+  host-select ("sel") or device-letterbox ("full") variant;
+* ResNet classification (``JaxResNetEngine``): host-resized ("rsz") or
+  device-resize ("full") classify step -> top-K;
+* temporal clip models (``JaxTemporalEngine``): the clip step over
+  [B, T, H, W, 3] windows ("rsz"/"full").
+
+The ``Exported*Engine`` classes serve from the artifact alone: no
+torch/ONNX checkpoint parsing, no model-graph construction, no Python
+model code in the serve path — deserialized StableHLO goes straight to
+XLA. Each inherits the corresponding live engine's ENTIRE host path
+(pixel pick, host resize, grouping, bucket selection, tiling merge, clip
+buffering), overriding only where compiled steps come from.
 
 What this buys over the persistent jit cache (the other TensorRT analog,
 ``compile_cache_dir``):
@@ -24,13 +36,14 @@ What this buys over the persistent jit cache (the other TensorRT analog,
 
 Artifact layout (zip):
 
-    meta.json                      format/version/config echo + program index
+    meta.json                      format/engine/config echo + program index
     params/<flat-key>.bin          raw little-endian weight bytes
     programs/<H>x<W>_b<B>_<kind>   serialized jax.export.Exported
 
-Wire-in: ``detector.model_path: something.rvae`` routes ``create_detector``
-to ``ExportedYoloEngine``; export with the ``realtime-analytics-export``
-CLI (scripts/export_engine.py).
+Wire-in: ``detector.model_path: something.rvae`` routes
+``create_detector`` to the Exported engine matching ``model_type``;
+export with the ``realtime-analytics-export`` CLI
+(scripts/export_engine.py).
 """
 
 from __future__ import annotations
@@ -46,7 +59,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ConfigError, DetectorConfig
-from .detector import JaxYoloEngine, _pick_device
+from .detector import JaxResNetEngine, JaxYoloEngine, _pick_device
+from .temporal import JaxTemporalEngine
 
 logger = logging.getLogger(__name__)
 
@@ -58,7 +72,7 @@ ARTIFACT_SUFFIX = ".rvae"
 
 
 def _flatten_params(params, prefix: str = "") -> Dict[str, np.ndarray]:
-    """Nested dict/list-of-arrays -> {'a/b/0/c': array}. List nodes use
+    """Nested dict/list-of-arrays -> {'a/b/#0/c': array}. List nodes use
     '#<i>' segment keys so unflatten can rebuild them as lists (dict keys
     in YOLO param trees are layer-index strings, which would collide with
     bare integer segments). '/' and '#' never appear in checkpoint keys."""
@@ -105,13 +119,72 @@ def _unflatten_params(flat: Dict[str, np.ndarray]) -> Dict:
 # -- export -------------------------------------------------------------------
 
 
-def _program_name(src_hw: Tuple[int, int], batch: int, selected: bool) -> str:
-    kind = "sel" if selected else "full"
+def _program_name(src_hw: Tuple[int, int], batch: int, kind: str) -> str:
     return f"{src_hw[0]}x{src_hw[1]}_b{batch}_{kind}"
 
 
+def _engine_kind(engine) -> str:
+    # isinstance order matters: Exported engines subclass the live ones
+    # (re-export of an exported engine is blocked — it has no model code)
+    if isinstance(engine, _ArtifactMixin):
+        raise ValueError("cannot re-export an artifact-served engine")
+    if isinstance(engine, JaxYoloEngine):
+        return "yolo"
+    if isinstance(engine, JaxResNetEngine):
+        return "resnet"
+    if isinstance(engine, JaxTemporalEngine):
+        return "temporal"
+    raise ValueError(f"unsupported engine type {type(engine).__name__}")
+
+
+def _programs_for(engine, kind: str, src_hw: Tuple[int, int], batch: int):
+    """(step fn, input ShapeDtypeStruct, kind tag) for one program."""
+    if kind == "yolo":
+        probe, selected = engine.host_prepare(
+            np.zeros((1, *src_hw, 3), np.uint8), src_hw
+        )
+        in_hw = tuple(int(d) for d in probe.shape[1:3])
+        step = (
+            engine._build_step_selected(src_hw, batch)
+            if selected
+            else engine._build_step(src_hw, batch)
+        )
+        shape = (batch, *in_hw, 3)
+        return step, jax.ShapeDtypeStruct(shape, jnp.uint8), (
+            "sel" if selected else "full"
+        )
+    if kind == "resnet":
+        probe, resized = engine.host_prepare(
+            np.zeros((1, *src_hw, 3), np.uint8), src_hw
+        )
+        in_hw = tuple(int(d) for d in probe.shape[1:3])
+        step = (
+            engine._get_step_resized(batch)
+            if resized
+            else engine._get_step(batch, src_hw)
+        )
+        shape = (batch, *in_hw, 3)
+        return step, jax.ShapeDtypeStruct(shape, jnp.uint8), (
+            "rsz" if resized else "full"
+        )
+    # temporal: clip step over [B, T, H, W, 3]
+    th, tw = engine.input_hw
+    t_len = engine.config.sequence_length
+    resized = engine._host_resize_active() and tuple(src_hw) != (th, tw)
+    step = (
+        engine._get_step_resized(batch)
+        if resized
+        else engine._get_step(batch, src_hw)
+    )
+    hw = (th, tw) if resized else tuple(src_hw)
+    shape = (batch, t_len, *hw, 3)
+    return step, jax.ShapeDtypeStruct(shape, jnp.uint8), (
+        "rsz" if resized else "full"
+    )
+
+
 def export_serving_artifact(
-    engine: JaxYoloEngine,
+    engine,
     path: str,
     src_hws: Sequence[Tuple[int, int]],
     buckets: Optional[Sequence[int]] = None,
@@ -119,14 +192,16 @@ def export_serving_artifact(
 ) -> Dict:
     """AOT-export ``engine``'s serving step for every (src_hw x bucket)
     and write the self-contained artifact to ``path``. Returns the meta
-    dict (also embedded in the artifact).
+    dict (also embedded in the artifact). Works for all three engine
+    families (module docstring).
 
     ``platforms`` defaults to the engine's current device platform — the
     artifact then serves only on that platform family (exactly like a
     TensorRT engine is bound to its GPU architecture). Multi-platform
     export works only for programs without TPU-only Pallas kernels.
     """
-    if engine.mesh is not None:
+    kind = _engine_kind(engine)
+    if getattr(engine, "mesh", None) is not None:
         raise ValueError(
             "export_serving_artifact supports single-device engines; "
             "mesh serving compiles per-topology and should keep using the "
@@ -147,41 +222,31 @@ def export_serving_artifact(
             zf.writestr(f"params/{key}.bin", np.ascontiguousarray(arr).tobytes())
         for src_hw in src_hws:
             src_hw = (int(src_hw[0]), int(src_hw[1]))
-            # the SAME host-prep decision serving will make (pick/resize
-            # geometry is a pure function of resolution + config)
-            probe, selected = engine.host_prepare(
-                np.zeros((1, *src_hw, 3), np.uint8), src_hw
-            )
-            in_hw = tuple(int(d) for d in probe.shape[1:3])
             for b in buckets:
-                step = (
-                    engine._build_step_selected(src_hw, b)
-                    if selected
-                    else engine._build_step(src_hw, b)
-                )
+                step, in_spec, tag = _programs_for(engine, kind, src_hw, b)
                 args = (
                     jax.tree_util.tree_map(
                         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params
                     ),
-                    jax.ShapeDtypeStruct((b, *in_hw, 3), jnp.uint8),
+                    in_spec,
                 )
                 exported = jax.export.export(step, platforms=platforms)(*args)
-                name = _program_name(src_hw, b, selected)
+                name = _program_name(src_hw, b, tag)
                 zf.writestr(f"programs/{name}", exported.serialize())
                 programs.append(
                     {
                         "src_h": src_hw[0],
                         "src_w": src_hw[1],
                         "batch": b,
-                        "selected": bool(selected),
-                        "in_h": in_hw[0],
-                        "in_w": in_hw[1],
+                        "kind": tag,
+                        "in_shape": list(in_spec.shape),
                         "name": name,
                     }
                 )
                 logger.info("exported %s (platforms=%s)", name, platforms)
         meta = {
             "format_version": FORMAT_VERSION,
+            "engine": kind,
             "jax_version": jax.__version__,
             "platforms": platforms,
             "model_type": cfg.model_type,
@@ -193,6 +258,7 @@ def export_serving_artifact(
             "host_select": cfg.host_select,
             "host_resize": cfg.host_resize,
             "classes": list(cfg.classes) if cfg.classes else None,
+            "sequence_length": cfg.sequence_length,
             "params": {
                 k: {"dtype": str(jnp.dtype(a.dtype)), "shape": list(a.shape)}
                 for k, a in flat.items()
@@ -210,29 +276,25 @@ def export_serving_artifact(
 # -- serving ------------------------------------------------------------------
 
 
-class ExportedYoloEngine(JaxYoloEngine):
-    """Serve from an ``.rvae`` artifact: the host path (pixel pick / host
-    resize / grouping / bucket selection / tiling merge) is inherited from
-    ``JaxYoloEngine`` unchanged; the device step comes from the artifact's
-    serialized programs instead of tracing model code.
+class _ArtifactMixin:
+    """Shared .rvae loading/program plumbing for the Exported engines."""
 
-    Only the (resolution x bucket) programs present in the artifact can
-    run — an unexported shape raises with the available list (a TensorRT
-    engine has the same contract: shapes are pinned at build time).
-    """
-
-    def __init__(self, config: DetectorConfig):
-        config.validate()
+    def _init_artifact(self, config: DetectorConfig, expected_engine: str):
         self.config = config
         self.device = _pick_device(config)
         self.mesh = None
-
         with zipfile.ZipFile(config.model_path) as zf:
             meta = json.loads(zf.read("meta.json"))
             if meta.get("format_version") != FORMAT_VERSION:
                 raise ConfigError(
                     f"{config.model_path}: unsupported artifact format "
                     f"{meta.get('format_version')!r} (expected {FORMAT_VERSION})"
+                )
+            if meta.get("engine") != expected_engine:
+                raise ConfigError(
+                    f"{config.model_path}: artifact serves a "
+                    f"'{meta.get('engine')}' engine, but model_type "
+                    f"'{config.model_type}' needs '{expected_engine}'"
                 )
             if self.device.platform not in meta["platforms"]:
                 raise ConfigError(
@@ -252,7 +314,7 @@ class ExportedYoloEngine(JaxYoloEngine):
             }
         self.meta = meta
         self._programs = {
-            (p["src_h"], p["src_w"], p["batch"], bool(p["selected"])): p
+            (p["src_h"], p["src_w"], p["batch"], p["kind"]): p
             for p in meta["programs"]
         }
         self.input_hw = (int(meta["input_size"][0]), int(meta["input_size"][1]))
@@ -274,24 +336,55 @@ class ExportedYoloEngine(JaxYoloEngine):
         self.compute_dtype = (
             jnp.float32 if meta["precision"] == "fp32" else jnp.bfloat16
         )
-        self._class_mask = None  # baked into the programs at export time
         self._steps: Dict[Tuple, object] = {}
         self._bucket_cost_ms: Dict[Tuple[int, int], Dict[int, float]] = {}
-        self.class_agnostic_nms = True
         self.last_infer_ms = 0.0
+        # bucket machinery everywhere (batcher max_batch, clip flush
+        # target, warmup) must track the ARTIFACT's buckets, not whatever
+        # the config says — align a private config copy
+        import dataclasses
 
-    # the exported bucket set for a resolution replaces config buckets:
-    # selection must never route to a program that is not in the artifact
-    def _effective_bucket(self, n: int, src_hw: Tuple[int, int]) -> int:
-        from .detector import _cheapest_bucket
+        arr_buckets = sorted({p["batch"] for p in meta["programs"]})
+        self.config = dataclasses.replace(
+            config,
+            batch_buckets=arr_buckets,
+            max_batch_size=arr_buckets[-1],
+        )
 
-        avail = sorted(
+    def _artifact_buckets(self, src_hw: Tuple[int, int]) -> List[int]:
+        return sorted(
             {
                 b
-                for (h, w, b, _sel) in self._programs
+                for (h, w, b, _kind) in self._programs
                 if (h, w) == tuple(src_hw)
             }
         )
+
+    def _missing(self, src_hw, batch=None, kind=None) -> str:
+        have = ", ".join(sorted(p["name"] for p in self.meta["programs"]))
+        want = (
+            _program_name(tuple(src_hw), batch, kind)
+            if batch is not None
+            else f"{src_hw[0]}x{src_hw[1]}"
+        )
+        return (
+            f"{self.config.model_path} has no program for {want} "
+            f"(exported: {have}) — re-export with this resolution/bucket"
+        )
+
+    def _load_program(self, src_hw: Tuple[int, int], batch: int, kind: str):
+        key = (int(src_hw[0]), int(src_hw[1]), int(batch), kind)
+        if key not in self._programs:
+            raise ConfigError(self._missing(src_hw, batch, kind))
+        exported = jax.export.deserialize(
+            self._exported_bytes[self._programs[key]["name"]]
+        )
+        return jax.jit(exported.call, device=self.device)
+
+    def _effective_bucket(self, n: int, src_hw: Tuple[int, int]) -> int:
+        from .detector import _cheapest_bucket
+
+        avail = self._artifact_buckets(src_hw)
         if not avail:
             raise ConfigError(self._missing(src_hw))
         if n > avail[-1]:
@@ -303,33 +396,30 @@ class ExportedYoloEngine(JaxYoloEngine):
             avail, n, self._bucket_cost_ms.get(tuple(src_hw), {})
         )
 
-    def _missing(self, src_hw, batch=None, selected=None) -> str:
-        have = ", ".join(sorted(p["name"] for p in self.meta["programs"]))
-        want = (
-            _program_name(tuple(src_hw), batch, selected)
-            if batch is not None
-            else f"{src_hw[0]}x{src_hw[1]}"
-        )
-        return (
-            f"{self.config.model_path} has no program for {want} "
-            f"(exported: {have}) — re-export with this resolution/bucket"
-        )
 
-    def _load_program(self, src_hw: Tuple[int, int], batch: int,
-                      selected: bool):
-        key = (int(src_hw[0]), int(src_hw[1]), int(batch), bool(selected))
-        if key not in self._programs:
-            raise ConfigError(self._missing(src_hw, batch, selected))
-        exported = jax.export.deserialize(
-            self._exported_bytes[self._programs[key]["name"]]
-        )
-        return jax.jit(exported.call, device=self.device)
+class ExportedYoloEngine(_ArtifactMixin, JaxYoloEngine):
+    """Serve YOLO detection from an ``.rvae`` artifact: the host path
+    (pixel pick / host resize / grouping / bucket selection / tiling
+    merge) is inherited from ``JaxYoloEngine`` unchanged; the device step
+    comes from the artifact's serialized programs instead of tracing
+    model code.
+
+    Only the (resolution x bucket) programs present in the artifact can
+    run — an unexported shape raises with the available list (a TensorRT
+    engine has the same contract: shapes are pinned at build time).
+    """
+
+    def __init__(self, config: DetectorConfig):
+        config.validate()
+        self._init_artifact(config, "yolo")
+        self._class_mask = None  # baked into the programs at export time
+        self.class_agnostic_nms = True
 
     def _get_step_selected(self, batch: int, src_hw: Tuple[int, int]):
         key = (batch, *src_hw, "sel")
         step = self._steps.get(key)
         if step is None:
-            step = self._load_program(src_hw, batch, True)
+            step = self._load_program(src_hw, batch, "sel")
             self._steps[key] = step
         return step
 
@@ -337,15 +427,15 @@ class ExportedYoloEngine(JaxYoloEngine):
         key = (batch, *src_hw)
         step = self._steps.get(key)
         if step is None:
-            step = self._load_program(src_hw, batch, False)
+            step = self._load_program(src_hw, batch, "full")
             self._steps[key] = step
         return step
 
     def _build_step(self, src_hw, batch: int = 0):  # pragma: no cover
-        raise ConfigError(self._missing(src_hw, batch, False))
+        raise ConfigError(self._missing(src_hw, batch, "full"))
 
     def _build_step_selected(self, src_hw, batch: int = 0):  # pragma: no cover
-        raise ConfigError(self._missing(src_hw, batch, True))
+        raise ConfigError(self._missing(src_hw, batch, "sel"))
 
     def warmup(self, src_hw: Tuple[int, int],
                buckets: Optional[Sequence[int]] = None) -> None:
@@ -354,14 +444,14 @@ class ExportedYoloEngine(JaxYoloEngine):
         engine's warmup, restricted to the artifact's programs."""
         src_hw = (int(src_hw[0]), int(src_hw[1]))
         rows = [
-            (b, sel) for (h, w, b, sel) in sorted(self._programs)
+            (b, kind) for (h, w, b, kind) in sorted(self._programs)
             if (h, w) == src_hw
         ]
         if not rows:
             raise ConfigError(self._missing(src_hw))
         costs = self._bucket_cost_ms.setdefault(src_hw, {})
         wanted = set(buckets) if buckets else None
-        for b, selected in rows:
+        for b, kind in rows:
             if wanted is not None and b not in wanted:
                 continue
             prepared, _ = self.host_prepare(
@@ -369,10 +459,96 @@ class ExportedYoloEngine(JaxYoloEngine):
             )
             cost = float("inf")
             for _ in range(3):
-                self._run_bucket(b, prepared, src_hw, selected)
+                self._run_bucket(b, prepared, src_hw, kind == "sel")
                 cost = min(cost, self.last_infer_ms)
             costs[b] = cost
             logger.info(
-                "exported warmup: bucket B=%d src=%s (selected=%s) "
-                "step=%.1fms", b, src_hw, selected, cost,
+                "exported warmup: bucket B=%d src=%s (%s) step=%.1fms",
+                b, src_hw, kind, cost,
             )
+
+
+class ExportedResNetEngine(_ArtifactMixin, JaxResNetEngine):
+    """Serve ResNet classification from an ``.rvae`` artifact (host
+    resize, grouping and bucket selection inherited from the live
+    engine)."""
+
+    def __init__(self, config: DetectorConfig):
+        config.validate()
+        self._init_artifact(config, "resnet")
+
+    def _get_step_resized(self, batch: int):
+        key = (batch, "rsz")
+        step = self._steps.get(key)
+        if step is None:
+            step = self._load_program(self._rsz_src(batch), batch, "rsz")
+            self._steps[key] = step
+        return step
+
+    def _rsz_src(self, batch: int) -> Tuple[int, int]:
+        """The resized step is shared across source resolutions (input is
+        already input_hw) — any exported 'rsz' program of this bucket fits."""
+        for (h, w, b, kind) in sorted(self._programs):
+            if b == batch and kind == "rsz":
+                return (h, w)
+        raise ConfigError(self._missing(("any", "any"), batch, "rsz"))
+
+    def _get_step(self, batch: int, src_hw: Tuple[int, int]):
+        key = (batch, *src_hw)
+        step = self._steps.get(key)
+        if step is None:
+            step = self._load_program(src_hw, batch, "full")
+            self._steps[key] = step
+        return step
+
+
+class ExportedTemporalEngine(_ArtifactMixin, JaxTemporalEngine):
+    """Serve temporal clip models from an ``.rvae`` artifact — the clip
+    buffering / stride / overlap contract is inherited from
+    ``JaxTemporalEngine`` verbatim; only the compiled clip step comes from
+    the artifact."""
+
+    def __init__(self, config: DetectorConfig):
+        config.validate()
+        self._init_artifact(config, "temporal")
+        if self.meta["sequence_length"] != self.config.sequence_length:
+            logger.warning(
+                "detector.sequence_length=%s differs from the artifact's "
+                "%s — the artifact wins (clip length is baked into the "
+                "programs)", self.config.sequence_length,
+                self.meta["sequence_length"],
+            )
+            import dataclasses
+
+            self.config = dataclasses.replace(
+                self.config, sequence_length=self.meta["sequence_length"]
+            )
+        self.sequence_step = max(
+            1,
+            int(
+                self.config.sequence_length
+                * (1.0 - self.config.temporal_overlap)
+            ),
+        )
+        self._buffers = {}
+
+    def _get_step_resized(self, batch: int):
+        key = (batch, "rsz")
+        step = self._steps.get(key)
+        if step is None:
+            for (h, w, b, kind) in sorted(self._programs):
+                if b == batch and kind == "rsz":
+                    step = self._load_program((h, w), batch, "rsz")
+                    break
+            else:
+                raise ConfigError(self._missing(("any", "any"), batch, "rsz"))
+            self._steps[key] = step
+        return step
+
+    def _get_step(self, batch: int, src_hw):
+        key = (batch, *src_hw)
+        step = self._steps.get(key)
+        if step is None:
+            step = self._load_program(src_hw, batch, "full")
+            self._steps[key] = step
+        return step

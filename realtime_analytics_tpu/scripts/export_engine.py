@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", help="pipeline YAML; its detector section is used")
     p.add_argument("--model", help="checkpoint path (overrides --config)")
     p.add_argument("--model-type", default=None,
-                   help="yolov5|yolov8 (default: from config, else yolov8)")
+                   help="yolov5|yolov8|resnet|cnn_lstm|3d_cnn|conv_gru|"
+                        "slow_fast (default: from config, else yolov8)")
     p.add_argument("--output", required=True, help="artifact path (.rvae)")
     p.add_argument(
         "--input-size", type=_parse_src, default=None, metavar="HxW",
@@ -70,7 +71,7 @@ def main(argv: List[str] | None = None) -> int:
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
     from ..config import DetectorConfig, load_config
-    from ..engine.detector import JaxYoloEngine
+    from ..engine.detector import create_detector
     from ..engine.export import export_serving_artifact
 
     if args.config:
@@ -91,7 +92,7 @@ def main(argv: List[str] | None = None) -> int:
         det_cfg.input_size = list(args.input_size)
     det_cfg.warmup = False
 
-    engine = JaxYoloEngine(det_cfg)
+    engine = create_detector(det_cfg)  # any family: yolo/resnet/temporal
     meta = export_serving_artifact(
         engine,
         args.output,

@@ -116,10 +116,12 @@ def test_factory_routes_rvae(artifact):
     assert isinstance(eng, ExportedYoloEngine)
 
 
-def test_factory_rejects_non_yolo_rvae(artifact):
+def test_engine_family_mismatch_rejected(artifact):
+    # a YOLO artifact served under model_type resnet must refuse loudly
     path, _ = artifact
-    with pytest.raises(ValueError, match="not exportable"):
-        create_detector(_det_cfg(path, model_type="resnet"))
+    with pytest.raises(ConfigError, match="artifact serves a 'yolo' engine"):
+        create_detector(_det_cfg(path, model_type="resnet",
+                                 resnet_num_classes=10))
 
 
 def test_unexported_resolution_raises(exported_engine):
@@ -181,6 +183,94 @@ def test_export_cli(tmp_path):
     names = [p["name"] for p in meta["programs"]]
     assert len(names) == 1 and names[0].startswith("192x192_b1")
     assert meta["input_size"] == [64, 64]
+
+
+def _packets(frames, name="cam"):
+    from realtime_analytics_tpu.config import StreamConfig
+    from realtime_analytics_tpu.types import FramePacket
+
+    stream = StreamConfig(name=name, url="synthetic://", target_fps=25)
+    return [
+        FramePacket(stream, f, i, float(i)) for i, f in enumerate(frames)
+    ]
+
+
+def _dets_equal(a, b):
+    assert len(a) == len(b)
+    for da, db in zip(a, b):
+        assert da.class_id == db.class_id
+        assert da.confidence == db.confidence
+        assert da.bbox_xyxy == db.bbox_xyxy
+
+
+def test_resnet_export_roundtrip(tmp_path):
+    from realtime_analytics_tpu.engine.detector import JaxResNetEngine
+    from realtime_analytics_tpu.engine.export import ExportedResNetEngine
+
+    cfg = DetectorConfig(
+        model_path="resnet18-missing.npz", model_type="resnet",
+        input_size=[32, 32], resnet_num_classes=10,
+        resnet_scores="softmax", confidence_threshold=1e-6,
+        batch_buckets=[2], max_batch_size=2, warmup=False,
+    )
+    live = JaxResNetEngine(cfg)
+    path = str(tmp_path / "resnet.rvae")
+    meta = export_serving_artifact(live, path, src_hws=[(64, 96)])
+    assert meta["engine"] == "resnet"
+
+    served = create_detector(
+        DetectorConfig(
+            model_path=path, model_type="resnet", input_size=[32, 32],
+            resnet_num_classes=10, resnet_scores="softmax",
+            confidence_threshold=1e-6, warmup=False,
+        )
+    )
+    assert isinstance(served, ExportedResNetEngine)
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (64, 96, 3), np.uint8) for _ in range(2)]
+    a = live.predict_packets(_packets(frames))
+    b = served.predict_packets(_packets(frames))
+    for ra, rb in zip(a, b):
+        assert len(ra) > 0  # top-k classifications actually emitted
+        _dets_equal(ra, rb)
+
+
+def test_temporal_export_roundtrip(tmp_path):
+    from realtime_analytics_tpu.engine.export import ExportedTemporalEngine
+    from realtime_analytics_tpu.engine.temporal import JaxTemporalEngine
+
+    cfg = DetectorConfig(
+        model_path="cnnlstm-missing.npz", model_type="cnn_lstm",
+        input_size=[32, 32], sequence_length=4, sequence_stride=1,
+        num_action_classes=8, confidence_threshold=1e-6,
+        batch_buckets=[1], max_batch_size=1, warmup=False,
+    )
+    live = JaxTemporalEngine(cfg)
+    path = str(tmp_path / "temporal.rvae")
+    meta = export_serving_artifact(live, path, src_hws=[(32, 32)])
+    assert meta["engine"] == "temporal"
+    assert meta["sequence_length"] == 4
+
+    served = create_detector(
+        DetectorConfig(
+            model_path=path, model_type="cnn_lstm", input_size=[32, 32],
+            sequence_length=4, sequence_stride=1, num_action_classes=8,
+            confidence_threshold=1e-6, warmup=False,
+        )
+    )
+    assert isinstance(served, ExportedTemporalEngine)
+    rng = np.random.default_rng(5)
+    clip = _packets(
+        [rng.integers(0, 256, (32, 32, 3), np.uint8) for _ in range(4)]
+    )
+    a = live.predict_clips([clip])
+    b = served.predict_clips([clip])
+    assert len(a) == len(b) == 1
+    assert len(a[0]) > 0  # top-5 actions emitted
+    for da, db in zip(a[0], b[0]):
+        assert da.class_id == db.class_id
+        assert da.confidence == db.confidence
+        assert da.action_label == db.action_label
 
 
 def test_mesh_engine_refuses_export(live_engine, tmp_path):
