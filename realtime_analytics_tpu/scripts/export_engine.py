@@ -50,7 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--src", action="append", type=_parse_src, metavar="HxW",
-        help="source resolution to export (repeatable; default 1080x1920)",
+        help="source resolution to export (repeatable; default: the "
+             "resolutions of the --config streams when statically "
+             "knowable, else 1080x1920)",
     )
     p.add_argument(
         "--buckets", default=None,
@@ -74,8 +76,23 @@ def main(argv: List[str] | None = None) -> int:
     from ..engine.detector import create_detector
     from ..engine.export import export_serving_artifact
 
+    src_hws = args.src
     if args.config:
-        det_cfg = load_config(args.config).detector
+        pipe_cfg = load_config(args.config)
+        det_cfg = pipe_cfg.detector
+        if not src_hws:
+            # the resolutions the pipeline would warm for this detector
+            # (synthetic:// encodes its size; RTSP/file sources don't)
+            from ..pipeline import _stream_source_hw
+
+            hws = {
+                _stream_source_hw(s.url)
+                for s in pipe_cfg.streams
+                if s.enabled and _stream_source_hw(s.url) is not None
+            }
+            if det_cfg.warmup_source_hw:
+                hws.add(tuple(det_cfg.warmup_source_hw))
+            src_hws = sorted(hws) or None
     else:
         det_cfg = DetectorConfig()
     if args.model:
@@ -96,7 +113,7 @@ def main(argv: List[str] | None = None) -> int:
     meta = export_serving_artifact(
         engine,
         args.output,
-        src_hws=args.src or [(1080, 1920)],
+        src_hws=src_hws or [(1080, 1920)],
         platforms=args.platforms.split(",") if args.platforms else None,
     )
     print(

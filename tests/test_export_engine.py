@@ -273,6 +273,54 @@ def test_temporal_export_roundtrip(tmp_path):
         assert da.action_label == db.action_label
 
 
+def test_int8_export_roundtrip(tmp_path):
+    # int8 params mix int8 quantized weights with float scales — the
+    # artifact must carry them all and serve bit-identically
+    cfg = _det_cfg("missing_yolov8n.pt", precision="int8")
+    live = JaxYoloEngine(cfg)
+    path = str(tmp_path / "int8.rvae")
+    meta = export_serving_artifact(live, path, src_hws=[SRC_PICK])
+    assert meta["precision"] == "int8"
+    served = ExportedYoloEngine(_det_cfg(path, precision="int8"))
+    frames = np.random.default_rng(11).integers(
+        0, 256, (2, *SRC_PICK, 3), np.uint8
+    )
+    a = live.predict_arrays(frames.copy())
+    b = served.predict_arrays(frames.copy())
+    np.testing.assert_array_equal(a.num_valid, b.num_valid)
+    np.testing.assert_array_equal(a.boxes_xyxy, b.boxes_xyxy)
+    np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_export_cli_derives_src_from_config(tmp_path):
+    from realtime_analytics_tpu.scripts.export_engine import main
+
+    yaml_path = tmp_path / "p.yaml"
+    yaml_path.write_text(
+        """
+streams:
+  - name: a
+    url: "synthetic://?width=128&height=96"
+  - name: b
+    url: "synthetic://?width=64&height=64"
+detector:
+  model_path: missing_yolov8n.pt
+  model_type: yolov8
+  input_size: [64, 64]
+  batch_buckets: [1]
+  max_batch_size: 1
+  warmup: false
+"""
+    )
+    out = str(tmp_path / "auto.rvae")
+    rc = main(["--config", str(yaml_path), "--output", out])
+    assert rc == 0
+    with zipfile.ZipFile(out) as zf:
+        meta = json.loads(zf.read("meta.json"))
+    srcs = {(p["src_h"], p["src_w"]) for p in meta["programs"]}
+    assert srcs == {(96, 128), (64, 64)}
+
+
 def test_mesh_engine_refuses_export(live_engine, tmp_path):
     class FakeMesh:  # engine.mesh is truthy -> must refuse
         pass
