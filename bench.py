@@ -221,6 +221,29 @@ def bench_device_throughput(engine, params) -> tuple:
     return results, h2d_bytes
 
 
+def _flops_of_batch(engine, batch: int) -> float:
+    """Cost-analysis FLOPs of one production step at ``batch`` (used when
+    the selected bucket was not a crosscheck bucket, so no loop program's
+    analysis exists to reuse)."""
+    import jax
+
+    try:
+        host, selected = engine.host_prepare(
+            np.zeros((batch, *SRC_HW, 3), np.uint8), SRC_HW
+        )
+        step = (
+            engine._build_step_selected(SRC_HW, batch) if selected
+            else engine._build_step(SRC_HW, batch)
+        )
+        compiled = step.lower(engine.params, jax.device_put(host)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+    except Exception:  # noqa: BLE001
+        return 0.0
+
+
 def bench_host_cost() -> dict:
     """Measured per-frame HOST work around the device call: the pixel pick
     (native C kernel), the batch stack, and one tracker association — the
@@ -491,6 +514,11 @@ def main() -> None:
     # cost analysis of the compiled program; 0 -> unavailable)
     mfu = 0.0
     flops_per_batch = best.get("flops", 0.0)
+    if flops_per_batch == 0.0 and platform == "tpu":
+        # best bucket wasn't a crosscheck bucket (custom RVA_BENCH_BATCHES)
+        # — pay one extra AOT compile rather than reporting mfu=0 as if
+        # cost analysis were unavailable
+        flops_per_batch = _flops_of_batch(engine, best["device_batch"])
     if flops_per_batch > 0 and platform == "tpu":
         achieved = flops_per_batch / (best["batch_ms"] / 1e3)
         mfu = achieved / (V5E_BF16_PEAK_TFLOPS * 1e12)

@@ -660,10 +660,6 @@ class JaxYoloEngine(BaseDetector):
         grid = tile_grid(shape, self.input_hw, self.config.tiling_overlap)
         T = len(grid)
         nf = len(frames_list)
-        tiles = np.empty((nf * T, th, tw, 3), np.uint8)
-        for j, f in enumerate(frames_list):
-            for t, (y0, x0) in enumerate(grid):
-                crop_tile(f, y0, x0, (th, tw), out=tiles[j * T + t])
         # tiles are already model-input-sized: the identity pixel-pick
         # geometry means the lean selected step applies with no host copy
         spec = letterbox_spec((th, tw), self.input_hw)
@@ -672,12 +668,29 @@ class JaxYoloEngine(BaseDetector):
             if self.config.host_select != "off" else None
         )
         selected = geom == (1, 0, 1, 0)
-        # chunk to the largest compile bucket (nf*T can exceed it)
+        # crop + predict in compile-bucket-sized chunks: materializing all
+        # nf*T tiles up front would transiently hold ~315 MB for a 32-frame
+        # 1080p group (32 x 8 tiles x 1.23 MB) — one cap-sized buffer
+        # bounds the host transient to cap tiles per chunk
         cap = max(self.config.resolved_buckets)
-        parts = [
-            self._predict_prepared(tiles[lo: lo + cap], (th, tw), selected)
-            for lo in range(0, nf * T, cap)
-        ]
+        tiles = np.empty((min(cap, nf * T), th, tw, 3), np.uint8)
+        parts = []
+        filled = 0
+        for j, f in enumerate(frames_list):
+            for t, (y0, x0) in enumerate(grid):
+                crop_tile(f, y0, x0, (th, tw), out=tiles[filled])
+                filled += 1
+                if filled == tiles.shape[0]:
+                    parts.append(
+                        self._predict_prepared(
+                            tiles[:filled], (th, tw), selected
+                        )
+                    )
+                    filled = 0
+        if filled:
+            parts.append(
+                self._predict_prepared(tiles[:filled], (th, tw), selected)
+            )
         tb = np.concatenate([p.boxes_xyxy for p in parts])
         ts = np.concatenate([p.scores for p in parts])
         tc = np.concatenate([p.class_ids for p in parts])

@@ -280,7 +280,13 @@ class _ArtifactMixin:
     """Shared .rvae loading/program plumbing for the Exported engines."""
 
     def _init_artifact(self, config: DetectorConfig, expected_engine: str):
+        from .detector import _maybe_enable_compile_cache
+
         self.config = config
+        # same restart-speed story as the live engine: deserialized
+        # programs still XLA-compile once, and the persistent cache is
+        # what makes the second start fast
+        _maybe_enable_compile_cache(config)
         self.device = _pick_device(config)
         self.mesh = None
         with zipfile.ZipFile(config.model_path) as zf:
@@ -341,7 +347,10 @@ class _ArtifactMixin:
         self.last_infer_ms = 0.0
         # bucket machinery everywhere (batcher max_batch, clip flush
         # target, warmup) must track the ARTIFACT's buckets, not whatever
-        # the config says — align a private config copy
+        # the config says — align a private config copy. host_select /
+        # host_resize likewise: the host-prep decision is baked into each
+        # program's input shape, so serve-time config must not diverge
+        # from what export recorded.
         import dataclasses
 
         arr_buckets = sorted({p["batch"] for p in meta["programs"]})
@@ -349,6 +358,8 @@ class _ArtifactMixin:
             config,
             batch_buckets=arr_buckets,
             max_batch_size=arr_buckets[-1],
+            host_select=meta["host_select"],
+            host_resize=meta["host_resize"],
         )
 
     def _artifact_buckets(self, src_hw: Tuple[int, int]) -> List[int]:
@@ -380,6 +391,26 @@ class _ArtifactMixin:
             self._exported_bytes[self._programs[key]["name"]]
         )
         return jax.jit(exported.call, device=self.device)
+
+    def _rsz_program_src(self, batch: int) -> Tuple[int, int]:
+        """Source resolution of any exported 'rsz' program of this bucket
+        — the resized step's input is already input_hw, so it is shared
+        across source resolutions."""
+        for (h, w, b, kind) in sorted(self._programs):
+            if b == batch and kind == "rsz":
+                return (h, w)
+        raise ConfigError(self._missing(("any", "any"), batch, "rsz"))
+
+    def _guard_group_size(self, n: int) -> None:
+        """The live engines trace a fresh graph for an oversized batch;
+        an artifact cannot — fail with the designed message instead of a
+        jax.export calling-convention error."""
+        cap = self.config.max_batch_size  # aligned to the artifact
+        if n > cap:
+            raise ValueError(
+                f"batch {n} exceeds the largest exported bucket {cap} "
+                f"in {self.config.model_path}"
+            )
 
     def _effective_bucket(self, n: int, src_hw: Tuple[int, int]) -> int:
         from .detector import _cheapest_bucket
@@ -441,25 +472,32 @@ class ExportedYoloEngine(_ArtifactMixin, JaxYoloEngine):
                buckets: Optional[Sequence[int]] = None) -> None:
         """Compile (cache-warm) every exported bucket for ``src_hw`` and
         time it for cost-aware selection — same contract as the live
-        engine's warmup, restricted to the artifact's programs."""
+        engine's warmup, restricted to the artifact's programs.
+
+        The program kind comes from the SAME serve-time ``host_prepare``
+        decision prediction will make (not from the artifact's recorded
+        tag): if the host path drifted since export (cv2 missing,
+        host_select/host_resize overridden), the mismatch surfaces as the
+        designed missing-program ConfigError, never as a shape crash
+        inside the exported program."""
         src_hw = (int(src_hw[0]), int(src_hw[1]))
-        rows = [
-            (b, kind) for (h, w, b, kind) in sorted(self._programs)
-            if (h, w) == src_hw
-        ]
-        if not rows:
+        avail = self._artifact_buckets(src_hw)
+        if not avail:
             raise ConfigError(self._missing(src_hw))
         costs = self._bucket_cost_ms.setdefault(src_hw, {})
         wanted = set(buckets) if buckets else None
-        for b, kind in rows:
+        for b in avail:
             if wanted is not None and b not in wanted:
                 continue
-            prepared, _ = self.host_prepare(
+            prepared, selected = self.host_prepare(
                 np.zeros((b, *src_hw, 3), dtype=np.uint8), src_hw
             )
+            kind = "sel" if selected else "full"
+            if (src_hw[0], src_hw[1], b, kind) not in self._programs:
+                raise ConfigError(self._missing(src_hw, b, kind))
             cost = float("inf")
             for _ in range(3):
-                self._run_bucket(b, prepared, src_hw, kind == "sel")
+                self._run_bucket(b, prepared, src_hw, selected)
                 cost = min(cost, self.last_infer_ms)
             costs[b] = cost
             logger.info(
@@ -477,21 +515,24 @@ class ExportedResNetEngine(_ArtifactMixin, JaxResNetEngine):
         config.validate()
         self._init_artifact(config, "resnet")
 
+    def predict_packets(self, packets):
+        from collections import Counter
+
+        for _shape, n in Counter(
+            tuple(p.frame.shape[:2]) for p in packets
+        ).items():
+            self._guard_group_size(n)
+        return super().predict_packets(packets)
+
     def _get_step_resized(self, batch: int):
         key = (batch, "rsz")
         step = self._steps.get(key)
         if step is None:
-            step = self._load_program(self._rsz_src(batch), batch, "rsz")
+            step = self._load_program(
+                self._rsz_program_src(batch), batch, "rsz"
+            )
             self._steps[key] = step
         return step
-
-    def _rsz_src(self, batch: int) -> Tuple[int, int]:
-        """The resized step is shared across source resolutions (input is
-        already input_hw) — any exported 'rsz' program of this bucket fits."""
-        for (h, w, b, kind) in sorted(self._programs):
-            if b == batch and kind == "rsz":
-                return (h, w)
-        raise ConfigError(self._missing(("any", "any"), batch, "rsz"))
 
     def _get_step(self, batch: int, src_hw: Tuple[int, int]):
         key = (batch, *src_hw)
@@ -532,16 +573,22 @@ class ExportedTemporalEngine(_ArtifactMixin, JaxTemporalEngine):
         )
         self._buffers = {}
 
+    def predict_clips(self, sequences):
+        from collections import Counter
+
+        for _shape, n in Counter(
+            tuple(seq[0].frame.shape[:2]) for seq in sequences
+        ).items():
+            self._guard_group_size(n)
+        return super().predict_clips(sequences)
+
     def _get_step_resized(self, batch: int):
         key = (batch, "rsz")
         step = self._steps.get(key)
         if step is None:
-            for (h, w, b, kind) in sorted(self._programs):
-                if b == batch and kind == "rsz":
-                    step = self._load_program((h, w), batch, "rsz")
-                    break
-            else:
-                raise ConfigError(self._missing(("any", "any"), batch, "rsz"))
+            step = self._load_program(
+                self._rsz_program_src(batch), batch, "rsz"
+            )
             self._steps[key] = step
         return step
 

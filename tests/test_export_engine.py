@@ -321,6 +321,55 @@ detector:
     assert srcs == {(96, 128), (64, 64)}
 
 
+def test_resnet_oversized_batch_raises(tmp_path):
+    from realtime_analytics_tpu.engine.detector import JaxResNetEngine
+    from realtime_analytics_tpu.engine.export import ExportedResNetEngine
+
+    cfg = DetectorConfig(
+        model_path="resnet18-missing.npz", model_type="resnet",
+        input_size=[32, 32], resnet_num_classes=10,
+        batch_buckets=[1], max_batch_size=1, warmup=False,
+    )
+    path = str(tmp_path / "r.rvae")
+    export_serving_artifact(JaxResNetEngine(cfg), path, src_hws=[(32, 32)])
+    served = ExportedResNetEngine(
+        DetectorConfig(model_path=path, model_type="resnet",
+                       input_size=[32, 32], resnet_num_classes=10,
+                       warmup=False)
+    )
+    frames = [np.zeros((32, 32, 3), np.uint8)] * 2
+    with pytest.raises(ValueError, match="largest exported bucket 1"):
+        served.predict_packets(_packets(frames))
+
+
+def test_warmup_host_drift_raises_config_error(artifact):
+    # if the serve-time host path diverges from export time (e.g. cv2
+    # gone), warmup must fail with the designed missing-program error,
+    # never feed a wrong-shaped input into the exported program
+    path, _ = artifact
+    eng = ExportedYoloEngine(_det_cfg(path))
+    orig = eng.host_prepare
+    eng.host_prepare = lambda frames, src_hw: (frames, False)  # drifted
+    try:
+        with pytest.raises(ConfigError, match="no program for"):
+            eng.warmup(SRC_PICK)
+    finally:
+        eng.host_prepare = orig
+
+
+def test_exported_engine_enables_compile_cache(artifact, tmp_path):
+    import jax
+
+    path, _ = artifact
+    cache = str(tmp_path / "cache")
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        ExportedYoloEngine(_det_cfg(path, compile_cache_dir=cache))
+        assert jax.config.jax_compilation_cache_dir == cache
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+
+
 def test_mesh_engine_refuses_export(live_engine, tmp_path):
     class FakeMesh:  # engine.mesh is truthy -> must refuse
         pass
