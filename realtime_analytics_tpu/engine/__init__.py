@@ -8,6 +8,8 @@ detector.py:54-96). Submodules:
     ``create_detector`` factory (reference-compatible routing)
   * ``temporal``  — clip-model engines with sliding-window buffering
   * ``batcher``   — the cross-stream dynamic batcher (asyncio)
+  * ``export``    — AOT ``.rvae`` serving artifacts (TensorRT-.engine
+    analog) and the Exported*Engine classes that serve from them
 """
 
 from .detector import (  # noqa: F401
