@@ -77,3 +77,53 @@ def test_pipeline_serves_from_artifact(artifact):
     assert st.frames == 20 and st.batches > 0
     # every processed frame published a payload through the memory sink
     assert pipeline.kafka.messages_sent == 20
+
+
+def test_pipeline_serves_temporal_artifact(tmp_path):
+    # the batcher routes temporal engines through the clip-coalescing path
+    # (buffer_packet/predict_clips) — distinct from the frame path above
+    from realtime_analytics_tpu.engine.export import ExportedTemporalEngine
+    from realtime_analytics_tpu.engine.temporal import JaxTemporalEngine
+
+    det = DetectorConfig(
+        model_path="cnnlstm-missing.npz", model_type="cnn_lstm",
+        input_size=[32, 32], sequence_length=4, sequence_stride=1,
+        temporal_overlap=0.0, num_action_classes=8,
+        confidence_threshold=1e-6,
+        batch_buckets=[1], max_batch_size=1, warmup=False,
+    )
+    path = str(tmp_path / "t.rvae")
+    export_serving_artifact(JaxTemporalEngine(det), path, src_hws=[(32, 32)])
+
+    cfg = PipelineConfig(
+        streams=[
+            StreamConfig(
+                name="cam-0",
+                url="synthetic://?width=32&height=32&boxes=1&frames=9",
+                target_fps=30,
+                warmup_seconds=0.0,
+            )
+        ],
+        detector=DetectorConfig(
+            model_path=path, model_type="cnn_lstm", input_size=[32, 32],
+            sequence_length=4, sequence_stride=1, temporal_overlap=0.0,
+            num_action_classes=8, confidence_threshold=1e-6, warmup=True,
+            warmup_source_hw=[32, 32],
+        ),
+        tracker=TrackerConfig(),
+        kafka=KafkaSinkConfig(enabled=True, transport="memory"),
+        prometheus=PrometheusConfig(enabled=False),
+        snapshots=SnapshotConfig(enabled=False),
+        stats_interval_seconds=3600,
+        # route through the batcher's clip-coalescing path (window 0 buffers
+        # inline via predict_packets and does not tick the clip counters)
+        temporal_clip_window_ms=5,
+    )
+    pipeline = AnalyticsPipeline(cfg)
+    asyncio.run(pipeline.run_for(30.0))
+
+    assert isinstance(pipeline.detectors["__default__"], ExportedTemporalEngine)
+    st = pipeline.batchers["__default__"].stats
+    assert st.frames == 9
+    # 9 frames, seq_len 4, overlap step 4 -> clips complete at frames 4 and 8
+    assert st.clips == 2
