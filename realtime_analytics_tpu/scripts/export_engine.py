@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="AOT-export the fused serving step to a .rvae artifact",
     )
     p.add_argument("--config", help="pipeline YAML; its detector section is used")
+    p.add_argument(
+        "--detector-id", default=None,
+        help="named detector from the config's detectors map "
+             "(default: the top-level detector)",
+    )
     p.add_argument("--model", help="checkpoint path (overrides --config)")
     p.add_argument("--model-type", default=None,
                    help="yolov5|yolov8|resnet|cnn_lstm|3d_cnn|conv_gru|"
@@ -79,16 +84,30 @@ def main(argv: List[str] | None = None) -> int:
     src_hws = args.src
     if args.config:
         pipe_cfg = load_config(args.config)
-        det_cfg = pipe_cfg.detector
+        if args.detector_id:
+            try:
+                det_cfg = pipe_cfg.detectors[args.detector_id]
+            except KeyError:
+                print(
+                    f"no detector '{args.detector_id}' in {args.config} "
+                    f"(has: {sorted(pipe_cfg.detectors) or 'none'})",
+                    file=sys.stderr,
+                )
+                return 2
+        else:
+            det_cfg = pipe_cfg.detector
         if not src_hws:
-            # the resolutions the pipeline would warm for this detector
-            # (synthetic:// encodes its size; RTSP/file sources don't)
+            # the resolutions the pipeline would warm for this detector:
+            # its streams' sizes (synthetic:// encodes them; RTSP/file
+            # sources don't)
             from ..pipeline import _stream_source_hw
 
             hws = {
                 _stream_source_hw(s.url)
                 for s in pipe_cfg.streams
-                if s.enabled and _stream_source_hw(s.url) is not None
+                if s.enabled
+                and (s.detector_id or None) == (args.detector_id or None)
+                and _stream_source_hw(s.url) is not None
             }
             if det_cfg.warmup_source_hw:
                 hws.add(tuple(det_cfg.warmup_source_hw))

@@ -370,6 +370,42 @@ def test_exported_engine_enables_compile_cache(artifact, tmp_path):
         jax.config.update("jax_compilation_cache_dir", before)
 
 
+def test_export_cli_named_detector(tmp_path):
+    from realtime_analytics_tpu.scripts.export_engine import main
+
+    yaml_path = tmp_path / "p.yaml"
+    yaml_path.write_text(
+        """
+streams:
+  - name: a
+    url: "synthetic://?width=128&height=96"
+    detector_id: small
+detector:
+  model_path: ignored_yolov8n.pt
+detectors:
+  small:
+    model_path: missing_yolov8n.pt
+    model_type: yolov8
+    input_size: [64, 64]
+    batch_buckets: [1]
+    max_batch_size: 1
+    warmup: false
+"""
+    )
+    out = str(tmp_path / "named.rvae")
+    rc = main(["--config", str(yaml_path), "--detector-id", "small",
+               "--output", out])
+    assert rc == 0
+    with zipfile.ZipFile(out) as zf:
+        meta = json.loads(zf.read("meta.json"))
+    assert meta["input_size"] == [64, 64]
+    assert {(p["src_h"], p["src_w"]) for p in meta["programs"]} == {(96, 128)}
+    # unknown id fails with the available list
+    rc = main(["--config", str(yaml_path), "--detector-id", "nope",
+               "--output", str(tmp_path / "x.rvae")])
+    assert rc == 2
+
+
 def test_mesh_engine_refuses_export(live_engine, tmp_path):
     class FakeMesh:  # engine.mesh is truthy -> must refuse
         pass
