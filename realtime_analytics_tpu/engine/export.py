@@ -283,6 +283,13 @@ class _ArtifactMixin:
         from .detector import _maybe_enable_compile_cache
 
         self.config = config
+        if config.mesh_shape:
+            raise ConfigError(
+                "mesh_shape cannot be served from a .rvae artifact: its "
+                "programs are compiled single-device at export time. For "
+                "mesh serving point model_path at the checkpoint and use "
+                "compile_cache_dir."
+            )
         # same restart-speed story as the live engine: deserialized
         # programs still XLA-compile once, and the persistent cache is
         # what makes the second start fast
@@ -330,11 +337,18 @@ class _ArtifactMixin:
                 "artifact wins (its geometry is baked into the programs)",
                 list(config.resolved_input_size), list(self.input_hw),
             )
-        for knob in ("confidence_threshold", "iou_threshold", "max_detections"):
-            if getattr(config, knob) != meta[knob]:
+        for knob in ("confidence_threshold", "iou_threshold",
+                     "max_detections", "classes"):
+            mine = getattr(config, knob)
+            theirs = meta[knob]
+            if knob == "classes":
+                mine, theirs = mine or None, theirs or None
+                mine = sorted(mine) if mine else None
+                theirs = sorted(theirs) if theirs else None
+            if mine != theirs:
                 logger.warning(
                     "detector.%s=%s differs from the artifact's baked-in %s "
-                    "— thresholds are part of the compiled program; "
+                    "— these are part of the compiled program; "
                     "re-export to change them", knob, getattr(config, knob),
                     meta[knob],
                 )

@@ -149,6 +149,22 @@ def test_warmup_times_exported_buckets(artifact):
     assert eng._effective_bucket(1, SRC_PICK) in (1, 2)
 
 
+def test_mesh_config_rejected_at_serve(artifact):
+    path, _ = artifact
+    with pytest.raises(ConfigError, match="single-device at export time"):
+        ExportedYoloEngine(_det_cfg(path, mesh_shape=[2, 1]))
+
+
+def test_baked_knob_drift_warns(artifact, caplog):
+    import logging
+
+    path, _ = artifact
+    with caplog.at_level(logging.WARNING):
+        ExportedYoloEngine(_det_cfg(path, classes=[0, 2]))
+    assert any("classes" in r.message and "baked-in" in r.message
+               for r in caplog.records)
+
+
 def test_platform_mismatch_rejected(artifact, tmp_path):
     path, _ = artifact
     victim = str(tmp_path / "wrongplat.rvae")
