@@ -48,9 +48,13 @@ export with the ``realtime-analytics-export`` CLI
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import logging
+import os
+import tempfile
 import zipfile
+from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -170,7 +174,20 @@ def _programs_for(engine, kind: str, src_hw: Tuple[int, int], batch: int):
     # temporal: clip step over [B, T, H, W, 3]
     th, tw = engine.input_hw
     t_len = engine.config.sequence_length
-    resized = engine._host_resize_active() and tuple(src_hw) != (th, tw)
+    # mirror the SERVE-time decision exactly: _host_resize_clips also
+    # requires cv2 (returns None on ImportError) — deciding from the flag
+    # alone would export 'rsz' programs a cv2-less host can never run
+    try:
+        import cv2  # noqa: F401
+
+        has_cv2 = True
+    except ImportError:
+        has_cv2 = False
+    resized = (
+        engine._host_resize_active()
+        and tuple(src_hw) != (th, tw)
+        and has_cv2
+    )
     step = (
         engine._get_step_resized(batch)
         if resized
@@ -209,6 +226,15 @@ def export_serving_artifact(
         )
     if not str(path).endswith(ARTIFACT_SUFFIX):
         raise ValueError(f"artifact path must end with {ARTIFACT_SUFFIX}")
+    src_hws = [(int(h), int(w)) for h, w in src_hws]
+    if not src_hws:
+        raise ValueError("src_hws must name at least one source resolution")
+    # tiled YOLO serving runs the INPUT-sized step on the tile crops (the
+    # live warmup recurses into input_hw for the same reason,
+    # detector.py warmup) — the artifact must carry those programs too
+    if kind == "yolo" and engine.config.tiling:
+        if tuple(engine.input_hw) not in src_hws:
+            src_hws.append(tuple(engine.input_hw))
     buckets = sorted(set(buckets or engine.config.resolved_buckets))
     platforms = list(platforms or [engine.device.platform])
 
@@ -217,11 +243,41 @@ def export_serving_artifact(
     cfg = engine.config
     programs: List[Dict] = []
 
+    # write to a temp file and rename on success: a failed export must
+    # not leave a structurally-valid-looking partial zip at the target
+    fd, tmp_path = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)) or ".",
+        suffix=ARTIFACT_SUFFIX + ".tmp",
+    )
+    os.close(fd)
+    try:
+        _write_artifact_zip(
+            tmp_path, engine, kind, src_hws, buckets, platforms, params,
+            flat, cfg, programs,
+        )
+        os.replace(tmp_path, path)
+    except BaseException:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+        raise
+    meta = json.loads(zipfile.ZipFile(path).read("meta.json"))
+    logger.info(
+        "wrote %s: %d program(s), %d weight tensors", path, len(programs),
+        len(flat),
+    )
+    return meta
+
+
+def _write_artifact_zip(
+    path, engine, kind, src_hws, buckets, platforms, params, flat, cfg,
+    programs,
+) -> None:
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         for key, arr in flat.items():
             zf.writestr(f"params/{key}.bin", np.ascontiguousarray(arr).tobytes())
         for src_hw in src_hws:
-            src_hw = (int(src_hw[0]), int(src_hw[1]))
             for b in buckets:
                 step, in_spec, tag = _programs_for(engine, kind, src_hw, b)
                 args = (
@@ -259,6 +315,8 @@ def export_serving_artifact(
             "host_resize": cfg.host_resize,
             "classes": list(cfg.classes) if cfg.classes else None,
             "sequence_length": cfg.sequence_length,
+            "resnet_top_k": cfg.resnet_top_k,
+            "resnet_scores": cfg.resnet_scores,
             "params": {
                 k: {"dtype": str(jnp.dtype(a.dtype)), "shape": list(a.shape)}
                 for k, a in flat.items()
@@ -266,11 +324,6 @@ def export_serving_artifact(
             "programs": programs,
         }
         zf.writestr("meta.json", json.dumps(meta, indent=1))
-    logger.info(
-        "wrote %s: %d program(s), %d weight tensors", path, len(programs),
-        len(flat),
-    )
-    return meta
 
 
 # -- serving ------------------------------------------------------------------
@@ -321,10 +374,14 @@ class _ArtifactMixin:
                 ).reshape(spec["shape"])
                 for key, spec in meta["params"].items()
             }
-            self._exported_bytes = {
-                p["name"]: zf.read(f"programs/{p['name']}")
-                for p in meta["programs"]
-            }
+            # program bytes stay in the zip and are read lazily in
+            # _load_program: StableHLO for a full YOLO is MBs per program
+            # and each is needed exactly once (the jitted step is cached)
+        if not meta["programs"]:
+            raise ConfigError(
+                f"{config.model_path}: artifact contains no serving "
+                "programs — re-export with at least one source resolution"
+            )
         self.meta = meta
         self._programs = {
             (p["src_h"], p["src_w"], p["batch"], p["kind"]): p
@@ -337,12 +394,20 @@ class _ArtifactMixin:
                 "artifact wins (its geometry is baked into the programs)",
                 list(config.resolved_input_size), list(self.input_hw),
             )
-        for knob in ("confidence_threshold", "iou_threshold",
-                     "max_detections", "classes"):
+        # which knobs are BAKED into the compiled program differs per
+        # family: YOLO bakes thresholds/NMS/class-mask; ResNet bakes
+        # top-K and the score head; temporal bakes nothing beyond the
+        # clip geometry (confidence is applied host-side there)
+        baked = {
+            "yolo": ("confidence_threshold", "iou_threshold",
+                     "max_detections", "classes"),
+            "resnet": ("resnet_top_k", "resnet_scores"),
+            "temporal": (),
+        }[expected_engine]
+        for knob in baked:
             mine = getattr(config, knob)
-            theirs = meta[knob]
+            theirs = meta.get(knob)
             if knob == "classes":
-                mine, theirs = mine or None, theirs or None
                 mine = sorted(mine) if mine else None
                 theirs = sorted(theirs) if theirs else None
             if mine != theirs:
@@ -350,7 +415,7 @@ class _ArtifactMixin:
                     "detector.%s=%s differs from the artifact's baked-in %s "
                     "— these are part of the compiled program; "
                     "re-export to change them", knob, getattr(config, knob),
-                    meta[knob],
+                    meta.get(knob),
                 )
         self.params = jax.device_put(_unflatten_params(flat), self.device)
         self.compute_dtype = (
@@ -365,8 +430,6 @@ class _ArtifactMixin:
         # host_resize likewise: the host-prep decision is baked into each
         # program's input shape, so serve-time config must not diverge
         # from what export recorded.
-        import dataclasses
-
         arr_buckets = sorted({p["batch"] for p in meta["programs"]})
         self.config = dataclasses.replace(
             config,
@@ -401,10 +464,29 @@ class _ArtifactMixin:
         key = (int(src_hw[0]), int(src_hw[1]), int(batch), kind)
         if key not in self._programs:
             raise ConfigError(self._missing(src_hw, batch, kind))
-        exported = jax.export.deserialize(
-            self._exported_bytes[self._programs[key]["name"]]
-        )
+        name = self._programs[key]["name"]
+        with zipfile.ZipFile(self.config.model_path) as zf:
+            exported = jax.export.deserialize(zf.read(f"programs/{name}"))
         return jax.jit(exported.call, device=self.device)
+
+    def _cached_program(self, cache_key: Tuple, src_hw, batch: int,
+                        kind: str):
+        """One cache-or-load for every _get_step* variant. 'rsz' programs
+        are shared across source resolutions (their input is already
+        input_hw), so any exported one of this bucket serves."""
+        step = self._steps.get(cache_key)
+        if step is None:
+            if kind == "rsz":
+                src_hw = self._rsz_program_src(batch)
+            step = self._load_program(src_hw, batch, kind)
+            self._steps[cache_key] = step
+        return step
+
+    def _guard_groups(self, shapes) -> None:
+        """Reject any same-resolution group larger than the biggest
+        exported bucket (iterable of per-item (h, w) shapes)."""
+        for _shape, n in Counter(tuple(s) for s in shapes).items():
+            self._guard_group_size(n)
 
     def _rsz_program_src(self, batch: int) -> Tuple[int, int]:
         """Source resolution of any exported 'rsz' program of this bucket
@@ -461,20 +543,11 @@ class ExportedYoloEngine(_ArtifactMixin, JaxYoloEngine):
         self.class_agnostic_nms = True
 
     def _get_step_selected(self, batch: int, src_hw: Tuple[int, int]):
-        key = (batch, *src_hw, "sel")
-        step = self._steps.get(key)
-        if step is None:
-            step = self._load_program(src_hw, batch, "sel")
-            self._steps[key] = step
-        return step
+        return self._cached_program((batch, *src_hw, "sel"), src_hw, batch,
+                                    "sel")
 
     def _get_step(self, batch: int, src_hw: Tuple[int, int]):
-        key = (batch, *src_hw)
-        step = self._steps.get(key)
-        if step is None:
-            step = self._load_program(src_hw, batch, "full")
-            self._steps[key] = step
-        return step
+        return self._cached_program((batch, *src_hw), src_hw, batch, "full")
 
     def _build_step(self, src_hw, batch: int = 0):  # pragma: no cover
         raise ConfigError(self._missing(src_hw, batch, "full"))
@@ -518,6 +591,12 @@ class ExportedYoloEngine(_ArtifactMixin, JaxYoloEngine):
                 "exported warmup: bucket B=%d src=%s (%s) step=%.1fms",
                 b, src_hw, kind, cost,
             )
+        if self._tiling_active(src_hw) and tuple(src_hw) != self.input_hw:
+            # tiled serving runs the INPUT-sized step on the tile crops —
+            # warm those programs too (the live engine recurses the same
+            # way), or the first tiled batch stalls on inline deserialize
+            # + compile and cost-aware selection has no input_hw entry
+            self.warmup(self.input_hw, buckets)
 
 
 class ExportedResNetEngine(_ArtifactMixin, JaxResNetEngine):
@@ -530,31 +609,14 @@ class ExportedResNetEngine(_ArtifactMixin, JaxResNetEngine):
         self._init_artifact(config, "resnet")
 
     def predict_packets(self, packets):
-        from collections import Counter
-
-        for _shape, n in Counter(
-            tuple(p.frame.shape[:2]) for p in packets
-        ).items():
-            self._guard_group_size(n)
+        self._guard_groups(p.frame.shape[:2] for p in packets)
         return super().predict_packets(packets)
 
     def _get_step_resized(self, batch: int):
-        key = (batch, "rsz")
-        step = self._steps.get(key)
-        if step is None:
-            step = self._load_program(
-                self._rsz_program_src(batch), batch, "rsz"
-            )
-            self._steps[key] = step
-        return step
+        return self._cached_program((batch, "rsz"), None, batch, "rsz")
 
     def _get_step(self, batch: int, src_hw: Tuple[int, int]):
-        key = (batch, *src_hw)
-        step = self._steps.get(key)
-        if step is None:
-            step = self._load_program(src_hw, batch, "full")
-            self._steps[key] = step
-        return step
+        return self._cached_program((batch, *src_hw), src_hw, batch, "full")
 
 
 class ExportedTemporalEngine(_ArtifactMixin, JaxTemporalEngine):
@@ -573,8 +635,6 @@ class ExportedTemporalEngine(_ArtifactMixin, JaxTemporalEngine):
                 "programs)", self.config.sequence_length,
                 self.meta["sequence_length"],
             )
-            import dataclasses
-
             self.config = dataclasses.replace(
                 self.config, sequence_length=self.meta["sequence_length"]
             )
@@ -588,28 +648,11 @@ class ExportedTemporalEngine(_ArtifactMixin, JaxTemporalEngine):
         self._buffers = {}
 
     def predict_clips(self, sequences):
-        from collections import Counter
-
-        for _shape, n in Counter(
-            tuple(seq[0].frame.shape[:2]) for seq in sequences
-        ).items():
-            self._guard_group_size(n)
+        self._guard_groups(seq[0].frame.shape[:2] for seq in sequences)
         return super().predict_clips(sequences)
 
     def _get_step_resized(self, batch: int):
-        key = (batch, "rsz")
-        step = self._steps.get(key)
-        if step is None:
-            step = self._load_program(
-                self._rsz_program_src(batch), batch, "rsz"
-            )
-            self._steps[key] = step
-        return step
+        return self._cached_program((batch, "rsz"), None, batch, "rsz")
 
     def _get_step(self, batch: int, src_hw):
-        key = (batch, *src_hw)
-        step = self._steps.get(key)
-        if step is None:
-            step = self._load_program(src_hw, batch, "full")
-            self._steps[key] = step
-        return step
+        return self._cached_program((batch, *src_hw), src_hw, batch, "full")

@@ -102,11 +102,19 @@ def main(argv: List[str] | None = None) -> int:
             # sources don't)
             from ..pipeline import _stream_source_hw
 
+            def feeds(stream) -> bool:
+                # mirror the pipeline's routing: a dangling detector_id
+                # falls back to the default detector (pipeline.py)
+                sid = stream.detector_id
+                if sid not in pipe_cfg.detectors:
+                    sid = None
+                return sid == (args.detector_id or None)
+
             hws = {
                 _stream_source_hw(s.url)
                 for s in pipe_cfg.streams
                 if s.enabled
-                and (s.detector_id or None) == (args.detector_id or None)
+                and feeds(s)
                 and _stream_source_hw(s.url) is not None
             }
             if det_cfg.warmup_source_hw:

@@ -149,6 +149,53 @@ def test_warmup_times_exported_buckets(artifact):
     assert eng._effective_bucket(1, SRC_PICK) in (1, 2)
 
 
+def test_tiling_export_includes_input_hw_and_serves(tmp_path):
+    # tiled serving runs the INPUT-sized step on tile crops: export must
+    # carry those programs and warmup must pre-compile them
+    cfg = _det_cfg("missing_yolov8n.pt", tiling=True, tiling_overlap=0.2)
+    live = JaxYoloEngine(cfg)
+    path = str(tmp_path / "tiled.rvae")
+    meta = export_serving_artifact(live, path, src_hws=[(192, 192)])
+    srcs = {(p["src_h"], p["src_w"]) for p in meta["programs"]}
+    assert (INPUT, INPUT) in srcs  # tile programs present
+
+    served = ExportedYoloEngine(
+        _det_cfg(path, tiling=True, tiling_overlap=0.2)
+    )
+    served.warmup((192, 192))
+    # warmup recursed into input_hw (cost entries exist for the tile step)
+    assert (INPUT, INPUT) in served._bucket_cost_ms
+    frames = np.random.default_rng(2).integers(
+        0, 256, (1, 192, 192, 3), np.uint8
+    )
+    a = live.predict_arrays(frames.copy())
+    b = served.predict_arrays(frames.copy())
+    np.testing.assert_array_equal(a.num_valid, b.num_valid)
+    np.testing.assert_array_equal(a.boxes_xyxy, b.boxes_xyxy)
+
+
+def test_empty_src_hws_rejected(live_engine, tmp_path):
+    with pytest.raises(ValueError, match="at least one source resolution"):
+        export_serving_artifact(
+            live_engine, str(tmp_path / "e.rvae"), src_hws=[]
+        )
+
+
+def test_failed_export_leaves_no_artifact(live_engine, tmp_path,
+                                          monkeypatch):
+    # a program that fails to export must not leave a partial zip behind
+    path = str(tmp_path / "broken.rvae")
+    import realtime_analytics_tpu.engine.export as export_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("unexportable op")
+
+    monkeypatch.setattr(export_mod.jax.export, "export", boom)
+    with pytest.raises(RuntimeError, match="unexportable"):
+        export_serving_artifact(live_engine, path, src_hws=[SRC_PICK])
+    assert not os.path.exists(path)
+
+
 def test_mesh_config_rejected_at_serve(artifact):
     path, _ = artifact
     with pytest.raises(ConfigError, match="single-device at export time"):
