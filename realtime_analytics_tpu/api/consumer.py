@@ -130,14 +130,24 @@ class DetectionConsumer:
         pos = 0
         while not self._stop.is_set():
             if path.exists():
-                with path.open("r", encoding="utf-8") as f:
+                # binary + manual splitting: a line still being written by
+                # the sink (multi-MB frame_jpeg events flush mid-line) must
+                # NOT advance pos past the fragment, or both halves fail
+                # JSON parse and the event is lost; only complete
+                # newline-terminated lines are consumed
+                with path.open("rb") as f:
                     f.seek(pos)
-                    for line in f:
-                        line = line.strip()
+                    chunk = f.read()
+                complete, sep, _partial = chunk.rpartition(b"\n")
+                if sep:
+                    pos += len(complete) + 1
+                    for raw in complete.split(b"\n"):
+                        line = raw.strip()
                         if line:
                             try:
-                                await self._handle(json.loads(line))
-                            except json.JSONDecodeError:
+                                await self._handle(
+                                    json.loads(line.decode("utf-8"))
+                                )
+                            except (json.JSONDecodeError, UnicodeDecodeError):
                                 pass
-                    pos = f.tell()
             await asyncio.sleep(0.25)

@@ -203,15 +203,23 @@ class DashboardServer:
                         e.stream, e.frame_id, e.received_at.isoformat(),
                         t.track_id, t.class_id, t.confidence,
                         x1, y1, x2, y2,
-                        t.action_label or "", t.temporal_score or "",
-                        t.sequence_start_frame or "", t.sequence_end_frame or "",
+                        t.action_label or "",
+                        # `or ""` would drop legitimate zeros (score 0.0,
+                        # sequences starting at frame 0)
+                        "" if t.temporal_score is None else t.temporal_score,
+                        "" if t.sequence_start_frame is None
+                        else t.sequence_start_frame,
+                        "" if t.sequence_end_frame is None
+                        else t.sequence_end_frame,
                     ]
                 )
         return buf.getvalue().encode("utf-8")
 
     def _static(self, rel: str) -> Response:
         target = (self.static_dir / rel).resolve()
-        if not str(target).startswith(str(self.static_dir.resolve())) or (
+        # is_relative_to, not str.startswith: a prefix check would also
+        # accept sibling dirs sharing the name prefix (static_private/)
+        if not target.is_relative_to(self.static_dir.resolve()) or (
             not target.is_file()
         ):
             return _json_response({"error": "not found"}, HTTPStatus.NOT_FOUND)

@@ -124,10 +124,19 @@ class VideoStream:
         retries = 0
         consecutive_failures = 0
         pace = (1.0 / cfg.target_fps) if cfg.target_fps else 0.0
+        opened_once = False
         while True:
             if self._capture is None:
-                raise StreamSourceError(f"Stream '{cfg.name}' is not open")
-            ok, frame = await asyncio.to_thread(self._capture.read)
+                if not opened_once:
+                    raise StreamSourceError(f"Stream '{cfg.name}' is not open")
+                # a failed _reopen left us sourceless: that is a read
+                # failure, not a terminal state — max_retries=None means
+                # retry forever (module docstring), so fall through to the
+                # same backoff/reconnect path instead of raising
+                ok, frame = False, None
+            else:
+                opened_once = True
+                ok, frame = await asyncio.to_thread(self._capture.read)
             if not ok or frame is None:
                 retries += 1
                 consecutive_failures += 1

@@ -99,6 +99,11 @@ class EventBusBroker:
             self._connections.discard(writer)
             writer.close()
 
+    #: seconds a subscriber may stall its socket before being dropped —
+    #: _fanout runs inside the PUBLISHER's handler coroutine, so one
+    #: laggard blocking drain() forever would halt the whole bus
+    DRAIN_TIMEOUT_S = 5.0
+
     async def _fanout(self, topic: str, payload) -> None:
         data = (json.dumps({"topic": topic, "payload": payload}) + "\n").encode()
         dead = []
@@ -106,8 +111,15 @@ class EventBusBroker:
         for w in list(self._subscribers.get(topic, ())):
             try:
                 w.write(data)
-                await w.drain()
+                await asyncio.wait_for(w.drain(), timeout=self.DRAIN_TIMEOUT_S)
                 self.messages_routed += 1
+            except asyncio.TimeoutError:
+                logger.warning(
+                    "EventBus: subscriber stalled > %.0fs on topic '%s'; "
+                    "dropping it", self.DRAIN_TIMEOUT_S, topic,
+                )
+                w.close()
+                dead.append(w)
             except (OSError, RuntimeError):
                 dead.append(w)
         for w in dead:

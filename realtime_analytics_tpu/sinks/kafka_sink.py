@@ -174,7 +174,19 @@ class KafkaSink:
             if self._producer is not None:
                 await self._producer.send_and_wait(self.config.topic, payload)
             elif self._bus is not None:
-                await self._bus.publish(self.config.topic, payload)
+                try:
+                    await self._bus.publish(self.config.topic, payload)
+                except (ConnectionError, RuntimeError, OSError):
+                    # broker restarted: the producer side must reconnect
+                    # like the consumer side does, or every event after
+                    # the drop is silently lost for the process lifetime
+                    logger.warning(
+                        "eventbus publish failed; reconnecting to %s:%s",
+                        self._bus.host, self._bus.port,
+                    )
+                    await self._bus.close()
+                    await self._bus.connect()  # raises -> caller logs/drops
+                    await self._bus.publish(self.config.topic, payload)
             elif self._jsonl_file is not None:
                 self._jsonl_file.write(json.dumps(payload) + "\n")
                 self._jsonl_file.flush()
@@ -187,10 +199,11 @@ class KafkaSink:
     # -- rate limiting & rendering -------------------------------------------
 
     def _should_send_frame(self, stream_name: str) -> bool:
-        now = time.time()
-        if now - self._last_frame_time.get(stream_name, 0.0) >= (
-            self.config.frame_interval_seconds
-        ):
+        # monotonic: a backwards wall-clock step (NTP sync) must not
+        # suppress previews for the size of the step
+        now = time.monotonic()
+        last = self._last_frame_time.get(stream_name)
+        if last is None or now - last >= self.config.frame_interval_seconds:
             self._last_frame_time[stream_name] = now
             return True
         return False

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import time
 from typing import Optional
 
 from ..config import PrometheusConfig
@@ -50,6 +51,7 @@ class MetricsPublisher:
         self._batch_size = None
         self._device_latency = None
         self._shed = None
+        self._uptime = None
 
     def _lazy_init(self) -> None:
         if self._initialized or not _HAS_PROM:
@@ -87,6 +89,9 @@ class MetricsPublisher:
             "stream_frames_shed_total",
             "Frames shed by the per-stream in-flight cap", ["stream"],
         )
+        self._uptime = Gauge(
+            "pipeline_uptime_seconds", "Seconds since the pipeline started"
+        )
         self._initialized = True
 
     async def start(self) -> None:
@@ -113,8 +118,15 @@ class MetricsPublisher:
             self._ticker = None
 
     async def _tick(self) -> None:
+        """Periodic publisher work on ``interval_seconds`` — the knob the
+        reference validates but never uses (its ticker is an empty
+        placeholder loop, reference metrics.py:102-112); here it refreshes
+        the uptime gauge so the knob is observable."""
+        t0 = time.monotonic()
         while True:
             await asyncio.sleep(self.config.interval_seconds)
+            if self._uptime is not None:
+                self._uptime.set(time.monotonic() - t0)
 
     # -- update hooks ---------------------------------------------------------
 

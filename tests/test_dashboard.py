@@ -171,6 +171,82 @@ def test_jsonl_sink_and_consumer(tmp_path):
     asyncio.run(scenario())
 
 
+def test_jsonl_consumer_waits_for_complete_lines(tmp_path):
+    # a line still being written (sink flushes mid-line on multi-MB
+    # frame_jpeg payloads) must NOT be consumed-and-lost: the tail only
+    # advances past newline-terminated lines
+    async def scenario():
+        path = tmp_path / "events.jsonl"
+        cfg = KafkaSinkConfig(
+            enabled=True, transport="jsonl", jsonl_path=str(path), topic="t"
+        )
+        full = json.dumps({"stream": "cam-a", "frame_id": 1, "tracks": []})
+        partial = json.dumps(
+            {"stream": "cam-b", "frame_id": 2, "tracks": []}
+        )
+        with path.open("w") as f:
+            f.write(full + "\n")
+            f.write(partial[: len(partial) // 2])  # fragment, no newline
+            f.flush()
+
+        server = DashboardServer(cfg, host="127.0.0.1", port=0)
+        await server.start()
+        await asyncio.sleep(0.8)
+        snap = await server.state.snapshot()
+        assert {e.stream for e in snap.events} == {"cam-a"}  # fragment held
+
+        with path.open("a") as f:  # writer completes the line
+            f.write(partial[len(partial) // 2:] + "\n")
+        await asyncio.sleep(0.8)
+        snap = await server.state.snapshot()
+        assert {e.stream for e in snap.events} == {"cam-a", "cam-b"}
+        await server.stop()
+
+    asyncio.run(scenario())
+
+
+def test_eventbus_publisher_reconnects_after_broker_restart():
+    # producer-side reconnect (the consumer side always had one): a broker
+    # restart must not mean silent event loss for the process lifetime
+    async def scenario():
+        from realtime_analytics_tpu.sinks.eventbus import (
+            EventBusBroker,
+            EventBusSubscriber,
+        )
+
+        broker = EventBusBroker(host="127.0.0.1", port=0)
+        await broker.start()
+        port = broker.port
+        cfg = KafkaSinkConfig(
+            enabled=True, transport="eventbus",
+            bootstrap_servers=f"127.0.0.1:{port}", topic="t",
+        )
+        sink = KafkaSink(cfg)
+        await sink.connect()
+        await sink.send_tracks("cam-a", 1, [_track()])
+
+        await broker.stop()  # broker restarts on the same port
+        broker2 = EventBusBroker(host="127.0.0.1", port=port)
+        await broker2.start()
+        sub = EventBusSubscriber("127.0.0.1", port, "t")
+        await sub.connect()
+
+        # first send may fail AND reconnect in one call; at most one
+        # retry-send is needed before events flow again
+        for frame_id in (2, 3):
+            try:
+                await sink.send_tracks("cam-a", frame_id, [_track()])
+            except Exception:  # noqa: BLE001 — dead socket detection race
+                pass
+        got = await asyncio.wait_for(sub.messages().__anext__(), 3.0)
+        assert got["stream"] == "cam-a"
+        await sub.close()
+        await sink.close()
+        await broker2.stop()
+
+    asyncio.run(scenario())
+
+
 def test_sink_frame_rate_limit():
     async def scenario():
         cfg = KafkaSinkConfig(

@@ -182,7 +182,7 @@ def test_shard_restart_revives_crashed_shard(tmp_path):
     proc = subprocess.Popen(
         [sys.executable, "-m", "realtime_analytics_tpu.scripts.run_pipeline",
          "--config", str(path), "--shards", "2", "--broker", "--shard-restart",
-         "--duration", "150", "--log-level", "INFO"],
+         "--duration", "300", "--log-level", "INFO"],
         cwd=REPO, env=dict(os.environ),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
@@ -206,9 +206,13 @@ def test_shard_restart_revives_crashed_shard(tmp_path):
                 os.kill(pid, _signal.SIGKILL)
                 killed = True
         assert killed, "never found the shard-1 child to kill"
-        # wait for the supervisor to notice + restart (5 s backoff + spawn)
+        # wait for the supervisor to notice + restart (5 s backoff + spawn).
+        # Generous deadline: on a loaded 1-core box the supervisor's event
+        # loop can be starved for tens of seconds (full-suite flake,
+        # round-3) — the assertion is about WHETHER it revives, not how
+        # fast; --duration 300 keeps the launcher alive well past it
         revived = False
-        deadline = _time.time() + 30
+        deadline = _time.time() + 90
         while _time.time() < deadline and not revived:
             _time.sleep(2.0)
             revived = bool(shard1_pids())
