@@ -150,9 +150,17 @@ def evaluate_detections(
                 np.concatenate(tp_by_thr[ti]) if tp_by_thr[ti] else np.zeros((0,), bool)
             )
             ap_table[ci, ti] = average_precision(tp, scores, n_gt)
+        # ap50 must be the AP at IoU 0.5, not column 0 (a custom
+        # iou_thresholds list may not start at — or contain — 0.5)
+        i50 = (
+            list(iou_thresholds).index(0.5) if 0.5 in iou_thresholds else None
+        )
         per_class[int(cid)] = {
             "ap": float(np.nanmean(ap_table[ci])) if n_gt else float("nan"),
-            "ap50": float(ap_table[ci, 0]) if n_gt else float("nan"),
+            "ap50": (
+                float(ap_table[ci, i50])
+                if n_gt and i50 is not None else float("nan")
+            ),
             "n_gt": n_gt,
         }
 

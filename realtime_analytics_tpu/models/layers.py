@@ -135,7 +135,13 @@ def conv_act(params: dict, x: jnp.ndarray, *, stride: int = 1, groups: int = 1,
 
 
 def max_pool(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
-    pad = k // 2
+    """Max pooling with torch-parity padding: odd kernels autopad k//2
+    (SPPF passes MaxPool2d(k, padding=k//2) explicitly; torchvision
+    ResNet uses (3, stride 2, pad 1)), EVEN kernels pad 0 — torch's
+    MaxPool2d default, and what anyone writing nn.MaxPool2d(2) gets; a
+    k//2 pad there would add degenerate one-pixel edge windows and make
+    2x pooling produce H/2+1."""
+    pad = k // 2 if k % 2 else 0
     return jax.lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .boxes import iou_matrix
 
-_CLASS_OFFSET = 8192.0  # > any letterboxed input size
+_CLASS_OFFSET = 8192.0  # class-shift floor (actual offset adapts to coords)
 
 
 @functools.partial(
@@ -116,10 +116,15 @@ def batched_nms(
     valid = top_scores > 0.0  # [N, K]
 
     # 2. Overlap matrix. For class-aware NMS, shift boxes per class so
-    #    different classes never overlap.
+    #    different classes never overlap. The offset is derived from the
+    #    ACTUAL coordinate range (traced value, static shape): a fixed
+    #    constant would let classes collide on frames larger than it —
+    #    boxes here can be in original-frame or tile-global pixels
+    #    ("any pixel space" contract above), not just letterboxed input.
     nms_boxes = top_boxes
     if not class_agnostic:
-        nms_boxes = top_boxes + (top_classes.astype(top_boxes.dtype) * _CLASS_OFFSET)[
+        offset = jnp.maximum(jnp.max(top_boxes), _CLASS_OFFSET) + 1.0
+        nms_boxes = top_boxes + (top_classes.astype(top_boxes.dtype) * offset)[
             ..., None
         ]
     iou = iou_matrix(nms_boxes, nms_boxes)  # [N, K, K]

@@ -92,7 +92,9 @@ def _kernel(img_ref, ah_ref, awt_ref, out_ref, *, spec: LetterboxSpec,
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     r = jnp.dot(t, awt_ref[:], preferred_element_type=jnp.float32)
     if round_uint8:
-        r = jnp.clip(jnp.round(r), 0.0, 255.0)
+        # floor(+0.5) matches cv2's half-up uint8 rounding (ops/preprocess
+        # round_uint8 comment); jnp.round is half-to-even
+        r = jnp.clip(jnp.floor(r + 0.5), 0.0, 255.0)
     r = r * (1.0 / 255.0)
     out_ref[0] = jnp.full((spec.dst_h, spec.dst_w), _PAD, dtype=out_ref.dtype)
     out_ref[

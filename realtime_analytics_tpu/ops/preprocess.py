@@ -148,7 +148,11 @@ def preprocess_batch(
             x = _resize_axis(x, 1, spec.src_h, spec.new_h)
             x = _resize_axis(x, 2, spec.src_w, spec.new_w)
             if round_uint8:
-                x = jnp.clip(jnp.round(x), 0.0, 255.0)
+                # floor(x + 0.5), not jnp.round: cv2's fixed-point uint8
+                # resize rounds halves UP while jnp.round is half-to-even —
+                # exact .5 interpolants (common at even integer ratios)
+                # would differ by 1/255 from the cv2 oracle/host path
+                x = jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
     pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
     pad_right = spec.dst_w - spec.new_w - spec.pad_left
     x = jnp.pad(

@@ -47,14 +47,11 @@ def tile_grid(
         if src <= tile:
             return [0]
         stride = max(1, int(round(tile * (1.0 - overlap))))
+        # range() stops strictly below src - tile, so the appended flush
+        # origin is always a new, larger value — the list is sorted unique
         xs = list(range(0, src - tile, stride))
         xs.append(src - tile)  # flush to the edge
-        # drop a stride-position that the clamped last tile made redundant
-        out: List[int] = []
-        for x in xs:
-            if not out or x > out[-1]:
-                out.append(x)
-        return out
+        return xs
 
     return [(y, x) for y in axis(sh, th) for x in axis(sw, tw)]
 

@@ -69,9 +69,17 @@ def batch_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def _leaf_spec(leaf: jax.Array, tp_size: int) -> P:
+def _leaf_spec(leaf: jax.Array, tp_size: int, path: str = "") -> P:
+    """Channel-shard weight-like leaves over tp; replicate the rest.
+
+    'Weight-like' = channel dim last: conv [kh,kw,cin,cout], dense
+    [cin,cout], int8 w_q, and 1-D per-channel biases/scales (sharding
+    those keeps them aligned with the sharded conv outputs). The v5
+    'anchors' buffer [3,3,2] is excluded by path — its last dim is a
+    (w,h) coordinate pair, not channels, and sharding a 72-byte buffer
+    just forces GSPMD collectives around every anchor read."""
     shape = leaf.shape
-    if len(shape) == 0:
+    if len(shape) == 0 or "anchors" in path:
         return P()
     cout = shape[-1]
     if tp_size > 1 and cout % tp_size == 0 and cout >= tp_size:
@@ -82,8 +90,11 @@ def _leaf_spec(leaf: jax.Array, tp_size: int) -> P:
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for a params pytree (channel-sharded over tp)."""
     tp_size = mesh.shape.get("tp", 1)
-    return jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, tp_size)), params
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, _leaf_spec(leaf, tp_size, jax.tree_util.keystr(path))
+        ),
+        params,
     )
 
 

@@ -81,7 +81,12 @@ def detection_loss(
     )
     cls_loss = jnp.sum(bce) / jnp.maximum(jnp.sum(t_mask), 1.0)
 
-    # IoU loss at assigned anchors
+    # IoU loss at assigned anchors. The diag-of-matrix form is M^2 work
+    # for M paired IoUs, but M (max targets/image) is small (<=32) and the
+    # train->eval integration gate pins this seed's 400-step trajectory —
+    # an elementwise-paired rewrite computes identical forward values yet
+    # reorders the backward-pass reductions enough to land on a different
+    # (and weaker) random trajectory. Not worth it at this M.
     pb = jnp.take_along_axis(pred_boxes, assigned[..., None], axis=1)  # [N, M, 4]
     ious = jax.vmap(lambda x, y: jnp.diagonal(iou_matrix(x, y)))(pb, t_boxes)
     box_loss = jnp.sum((1.0 - ious) * t_mask) / jnp.maximum(jnp.sum(t_mask), 1.0)
@@ -106,6 +111,14 @@ def make_train_step(
     step_fn(state, images, targets) -> (state, loss); images sharded over dp,
     params/optimizer state sharded over tp channels.
     """
+    if getattr(model, "version", 8) != 8:
+        # anchor_centers() lays anchors out in the v8 order (one per cell,
+        # scale-major); a v5 head flattens 3 anchors per cell, so nearest-
+        # anchor assignment would supervise the WRONG anchors silently
+        raise ValueError(
+            "make_train_step supports yolov8 models; got version "
+            f"{getattr(model, 'version', '?')}"
+        )
     tx = optax.adamw(learning_rate)
     anchors = jnp.asarray(anchor_centers(input_hw))
 

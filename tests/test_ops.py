@@ -140,6 +140,28 @@ def test_batched_nms_class_aware(rng):
     assert int(nv_cls[0]) == 2
 
 
+def test_batched_nms_class_aware_huge_coordinates(rng):
+    # the per-class offset adapts to the coordinate range: on a >8192 px
+    # canvas (tile-global / panorama coordinates) different classes must
+    # still never suppress each other
+    boxes = np.array(
+        [[[9000, 10, 9500, 400], [9000, 10, 9500, 400],
+          [9000 - 8192, 10, 9500 - 8192, 400]]], dtype=np.float32
+    )
+    scores = np.array([[0.9, 0.8, 0.7]], dtype=np.float32)
+    classes = np.array([[0, 1, 1]], dtype=np.int32)
+    _, _, cls_out, nv = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        iou_threshold=0.5, max_det=8, pre_topk=3, class_agnostic=False,
+    )
+    # box 1 (class 1) must survive: it only overlaps box 0 of ANOTHER
+    # class; box 2 (class 1, disjoint from box 1) survives too
+    assert int(nv[0]) == 3, (
+        "a fixed class offset smaller than the coordinate range lets "
+        "classes collide"
+    )
+
+
 def test_batched_nms_max_det_truncates(rng):
     # Disjoint boxes, none suppressed; max_det caps output.
     m = 16

@@ -308,3 +308,26 @@ def test_engine_mesh_pallas_letterbox_shard_mapped(mesh):
     np.testing.assert_allclose(got.boxes_xyxy, ref.boxes_xyxy,
                                rtol=1e-2, atol=1.0)
     np.testing.assert_allclose(got.scores, ref.scores, rtol=5e-2, atol=5e-3)
+
+
+def test_v5_anchors_replicated_not_sharded(mesh):
+    # the v5 'anchors' buffer's last dim is a (w,h) coordinate pair, not
+    # channels — sharding it over tp would force GSPMD collectives around
+    # every anchor read
+    model = build_yolo("yolov5", "n", nc=16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    shardings = param_shardings(params, mesh)
+    for path, sharding in jax.tree_util.tree_leaves_with_path(shardings):
+        if "anchors" in jax.tree_util.keystr(path):
+            from jax.sharding import PartitionSpec as P
+
+            assert sharding.spec == P(), "anchors must be replicated"
+            break
+    else:
+        raise AssertionError("no anchors leaf found")
+
+
+def test_make_train_step_rejects_v5():
+    model = build_yolo("yolov5", "n", nc=16)
+    with pytest.raises(ValueError, match="yolov8"):
+        make_train_step(model, make_mesh(1), (64, 64))

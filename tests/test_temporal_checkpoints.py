@@ -44,7 +44,7 @@ class TorchCNNLSTM(nn.Module):
         n, t = clips.shape[:2]
         x = clips.reshape(n * t, *clips.shape[2:]).permute(0, 3, 1, 2)
         y = torch.relu(self.c1(x))
-        y = nn.functional.max_pool2d(y, 2, stride=2, padding=1)
+        y = nn.functional.max_pool2d(y, 2, stride=2)
         y = torch.relu(self.c2(y))
         y = torch.relu(self.c3(y))
         y = y.mean(dim=(2, 3))
@@ -71,7 +71,7 @@ class TorchConvGRU(nn.Module):
         n, t = clips.shape[:2]
         x = clips.reshape(n * t, *clips.shape[2:]).permute(0, 3, 1, 2)
         enc = torch.relu(self.stem(x))
-        enc = nn.functional.max_pool2d(enc, 2, stride=2, padding=1)
+        enc = nn.functional.max_pool2d(enc, 2, stride=2)
         enc = enc.reshape(n, t, *enc.shape[1:])
         h = torch.zeros(n, self.hc, enc.shape[3], enc.shape[4])
         hs = []
