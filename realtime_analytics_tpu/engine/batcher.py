@@ -74,6 +74,7 @@ class BatcherStats:
             "avg_batch_size": round(self.avg_batch_size, 2),
             "max_batch_size": self.max_batch_size,
             "avg_infer_ms": round(self.avg_infer_ms, 2),
+            "avg_wait_ms": round(self.sum_wait_ms / max(self.frames, 1), 2),
             "shed": self.shed,
         }
         if self.clip_batches:
@@ -138,10 +139,13 @@ class InferenceBatcher:
                 await asyncio.wait_for(self._task, timeout=5.0)
             except asyncio.TimeoutError:  # pragma: no cover
                 # an in-flight device call (e.g. a first-batch compile) can't
-                # be interrupted; abandon it rather than blocking shutdown
+                # be interrupted; abandon it rather than blocking shutdown —
+                # but every unresolved future must still resolve (as shed)
+                # or its awaiting submit() caller hangs forever
                 self._task.cancel()
                 for t in list(self._running):
                     t.cancel()
+                self._drain_unserved()
             self._task = None
 
     async def submit(self, packet: FramePacket) -> Optional[List[Detection]]:
@@ -196,8 +200,13 @@ class InferenceBatcher:
             task.add_done_callback(_done)
         if self._running:
             await asyncio.wait(self._running)
-        # drain on shutdown: unprocessed frames/clips resolve as shed (None),
-        # not as clean zero-detection results
+        self._drain_unserved()
+
+    def _drain_unserved(self) -> None:
+        """Resolve every unserved frame/clip future as shed (None) — never
+        as a clean zero-detection result, and never left pending (an
+        unresolved future wedges its awaiting submit() caller). Called from
+        _run's shutdown tail and from stop()'s abandon-timeout path."""
         if self._clip_timer is not None:
             self._clip_timer.cancel()
             self._clip_timer = None
@@ -206,11 +215,12 @@ class InferenceBatcher:
                 fut.set_result(None)
         self._pending_clips.clear()
         for item in self._deferred:
-            item[1].set_result(None)
+            if not item[1].done():
+                item[1].set_result(None)
         self._deferred.clear()
         while not self._queue.empty():
             item = self._queue.get_nowait()
-            if item is not None:
+            if item is not None and not item[1].done():
                 item[1].set_result(None)
 
     async def _collect_batch(self) -> list:
@@ -255,7 +265,14 @@ class InferenceBatcher:
         return items
 
     def _sort_item(self, items: list, item) -> None:
-        if item[0].stream.name in self._busy_streams:
+        name = item[0].stream.name
+        # defer when the stream is busy OR already has a deferred frame:
+        # a newly dequeued frame must never overtake its stream's older
+        # deferred frame into the current batch (per-stream ordering —
+        # temporal clip buffers would silently reorder otherwise)
+        if name in self._busy_streams or any(
+            d[0].stream.name == name for d in self._deferred
+        ):
             self._deferred.append(item)
         else:
             items.append(item)
@@ -270,6 +287,13 @@ class InferenceBatcher:
         t0 = time.perf_counter()
         try:
             results = await asyncio.to_thread(self.engine.predict_packets, packets)
+        except asyncio.CancelledError:
+            # stop() abandoned this batch (wedged device call): resolve the
+            # frames as shed so their submit() callers unblock
+            for fut in futures:
+                if not fut.done():
+                    fut.set_result(None)
+            raise
         except Exception as exc:  # noqa: BLE001
             logger.exception("batched inference failed: %s", exc)
             for fut in futures:
@@ -354,6 +378,13 @@ class InferenceBatcher:
                 results = await asyncio.to_thread(
                     self.engine.predict_clips, [seq for seq, _, _ in pending]
                 )
+            except asyncio.CancelledError:
+                # abandoned by stop(): resolve this chunk AND the not-yet-
+                # flushed remainder as shed so their callers unblock
+                for _, fut, _ in all_pending[lo:]:
+                    if not fut.done():
+                        fut.set_result(None)
+                raise
             except Exception as exc:  # noqa: BLE001
                 logger.exception("batched clip inference failed: %s", exc)
                 for _, fut, _ in pending:

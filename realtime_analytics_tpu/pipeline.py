@@ -441,7 +441,11 @@ class StreamWorker:
             cfg.name, packet.frame_id, tracks, packet.frame,
             health=self.health.health_score, fps=self.health.effective_fps,
         )
-        self._maybe_save_snapshot(packet, tracks)
+        if self._snapshot_due():
+            # draw + JPEG encode + disk write off the event loop: done
+            # inline it would stall every stream's completions for the
+            # encode/write duration (~tens of ms, worse on slow disks)
+            await asyncio.to_thread(self._save_snapshot, packet, tracks)
         self._adjust_adaptive_state(len(detections), len(tracks))
 
         elapsed = time.perf_counter() - t_start
@@ -479,14 +483,19 @@ class StreamWorker:
         elif hint == "increase" and self._idle_frames < cfg.idle_frame_tolerance:
             self._process_every = 1
 
-    def _maybe_save_snapshot(self, packet: FramePacket, tracks) -> None:
+    def _snapshot_due(self) -> bool:
         snaps = self.pconfig.snapshots
         if not snaps.enabled:
-            return
+            return False
         now = time.time()
         if now - self._last_snapshot_ts < snaps.interval_seconds:
-            return
+            return False
         self._last_snapshot_ts = now
+        return True
+
+    def _save_snapshot(self, packet: FramePacket, tracks) -> None:
+        snaps = self.pconfig.snapshots
+        now = time.time()
         try:
             import cv2
 
@@ -539,8 +548,17 @@ class AnalyticsPipeline:
         await self.kafka.connect()
         self._start_ffmpeg_simulators()
 
-        # detectors: default + named (reference pipeline.py:470-475)
-        self.detectors[DEFAULT_DETECTOR_ID] = create_detector(cfg.detector)
+        # detectors: default + named (reference pipeline.py:470-475). The
+        # default is skipped when no enabled stream routes to it (every
+        # stream names a VALID detector_id) — constructing it anyway would
+        # load a model and warm-compile every bucket for an engine no
+        # stream uses (tens of seconds of startup + resident HBM).
+        default_needed = not cfg.streams or any(
+            s.enabled and (not s.detector_id or s.detector_id not in cfg.detectors)
+            for s in cfg.streams
+        )
+        if default_needed:
+            self.detectors[DEFAULT_DETECTOR_ID] = create_detector(cfg.detector)
         for det_id, det_cfg in cfg.detectors.items():
             self.detectors[det_id] = create_detector(det_cfg)
 
@@ -619,6 +637,12 @@ class AnalyticsPipeline:
                 fallback = getattr(dcfg, "warmup_source_hw", None) or [1080, 1920]
                 hws = {tuple(fallback)}
             for hw in sorted(hws):
+                if self._stop_event.is_set():
+                    # SIGTERM during startup: each warmup compile is
+                    # uninterruptible, but don't start the NEXT one —
+                    # shutdown latency stays one compile, not all of them
+                    logger.info("stop requested — skipping remaining warmup")
+                    return
                 t0 = time.perf_counter()
                 await asyncio.to_thread(det.warmup, hw)
                 logger.info(
@@ -656,12 +680,9 @@ class AnalyticsPipeline:
                 asyncio.gather(*stream_tasks, return_exceptions=True)
             )
             await asyncio.wait({stop_wait, done}, return_when=asyncio.FIRST_COMPLETED)
-            stop_wait.cancel()
-            done.cancel()
-            with contextlib.suppress(asyncio.CancelledError):
-                await done
         finally:
-            await self.stop()
+            stop_wait.cancel()
+            await self._graceful_shutdown(done)
 
     async def run_for(self, seconds: float) -> None:
         """Run the pipeline until all stream workers finish (finite sources),
@@ -688,12 +709,24 @@ class AnalyticsPipeline:
             )
         finally:
             stop_wait.cancel()
-            done.cancel()
-            with contextlib.suppress(asyncio.CancelledError):
-                await done
-            await self.stop()
+            await self._graceful_shutdown(done)
 
     # -- internals ------------------------------------------------------------
+
+    async def _graceful_shutdown(self, done: asyncio.Future) -> None:
+        """Signal workers and give them a short window to drain their
+        pending frames before stop() cancels whatever remains. Cancelling
+        the gather directly would deliver a FIRST CancelledError (worker
+        enters its drain), then stop()'s t.cancel() a SECOND one that
+        aborts the drain mid-flush — dropping up to batch_size in-flight
+        frames per stream on every shutdown."""
+        for w in self.workers:
+            w.request_stop()
+        with contextlib.suppress(asyncio.TimeoutError):
+            await asyncio.wait_for(asyncio.shield(done), timeout=5.0)
+        await self.stop()  # cancels any leftover task exactly once
+        with contextlib.suppress(asyncio.CancelledError):
+            await done
 
     def _install_signal_handlers(self) -> None:
         loop = asyncio.get_running_loop()

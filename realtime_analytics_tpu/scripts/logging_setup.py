@@ -58,7 +58,7 @@ def add_logging_args(parser) -> None:
     parser.add_argument("--log-level", default="INFO",
                         choices=["DEBUG", "INFO", "WARNING", "ERROR"])
     parser.add_argument("--log-file", default=None,
-                        help="also log to this file (10 MB x 5 rotation)")
+                        help="also log to this file (plain append; --log-rotate adds 10 MB x 5 rotation)")
     parser.add_argument("--log-format", default="standard",
                         choices=["standard", "detailed", "json"])
     parser.add_argument("--log-rotate", action="store_true",

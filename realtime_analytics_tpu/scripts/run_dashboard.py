@@ -85,7 +85,7 @@ def main(argv=None) -> int:
         level=args.log_level,
         log_file=args.log_file,
         log_format=args.log_format,
-        rotate=args.log_rotate or bool(args.log_file),
+        rotate=args.log_rotate,  # reference semantics: rotation is opt-in
         no_color=args.no_color,
     )
     try:

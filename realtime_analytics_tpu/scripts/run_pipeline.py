@@ -110,6 +110,18 @@ def run_shards(args) -> int:
              "--config", args.config,
              "--shard-index", str(i), "--shard-count", str(k),
              "--log-level", args.log_level]
+        # observability flags must reach the shards — they do the actual
+        # work; a supervisor-only --log-file/--jax-profile captures nothing
+        if args.log_format != "standard":
+            c += ["--log-format", args.log_format]
+        if args.log_file:
+            c += ["--log-file", f"{args.log_file}.shard{i}"]
+        if args.log_rotate:
+            c += ["--log-rotate"]
+        if args.no_color:
+            c += ["--no-color"]
+        if getattr(args, "jax_profile", None):
+            c += ["--jax-profile", f"{args.jax_profile}/shard{i}"]
         if args.duration:
             c += ["--duration", str(args.duration)]
         if i == 0 and args.broker:
@@ -216,7 +228,7 @@ def main(argv=None) -> int:
         level=args.log_level,
         log_file=args.log_file,
         log_format=args.log_format,
-        rotate=args.log_rotate or bool(args.log_file),
+        rotate=args.log_rotate,  # reference semantics: rotation is opt-in
         no_color=args.no_color,
     )
     try:

@@ -78,7 +78,12 @@ def main(argv=None) -> int:
     p.add_argument("--duration", type=float, default=0.0, help="0 = forever")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    return asyncio.run(amain(args))
+    try:
+        return asyncio.run(amain(args))
+    except KeyboardInterrupt:
+        # Ctrl-C raises at the event-loop level (the in-coroutine handler
+        # never sees it under asyncio.run); exit clean like run_pipeline
+        return 0
 
 
 if __name__ == "__main__":

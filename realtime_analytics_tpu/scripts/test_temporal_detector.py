@@ -39,8 +39,14 @@ def iter_frames(source: str, limit: int) -> Iterator[Tuple[int, np.ndarray]]:
         files = sorted(
             f for f in path.iterdir() if f.suffix.lower() in (".jpg", ".png", ".jpeg")
         )
-        for i, f in enumerate(files[:limit]):
-            yield i, cv2.imread(str(f))
+        i = 0
+        for f in files[:limit]:
+            frame = cv2.imread(str(f))
+            if frame is None:  # truncated/corrupt image: skip, don't crash
+                print(f"warning: could not read {f}, skipping")
+                continue
+            yield i, frame
+            i += 1
         return
     import cv2
 

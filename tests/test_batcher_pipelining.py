@@ -160,3 +160,47 @@ def test_deferred_frames_eventually_processed():
     assert len(results) == 2
     assert engine.violations == []
     assert sum(len(b) for b in engine.batches) == 2
+
+
+def test_new_frame_never_overtakes_deferred_same_stream_frame():
+    # _sort_item: a freshly dequeued frame of stream S must join the
+    # deferred queue when S already has a deferred frame, even if S is no
+    # longer busy — otherwise it enters the CURRENT batch ahead of the
+    # older frame (out-of-order inference; temporal buffers would corrupt)
+    eng = SlowFakeEngine()
+    b = InferenceBatcher(eng, max_batch=4, batch_window_ms=1)
+    older = (packet("s", 1), None, 0.0)
+    newer = (packet("s", 2), None, 0.0)
+    b._deferred = [older]
+    b._busy_streams = set()  # batch completed between the two arrivals
+    items = []
+    b._sort_item(items, newer)
+    assert items == [] and b._deferred == [older, newer]
+
+
+def test_stop_timeout_resolves_all_futures_as_shed():
+    # stop()'s abandon path (wedged device call) must resolve every
+    # outstanding future or the awaiting submit() callers hang forever
+    release = threading.Event()
+
+    class WedgedEngine:
+        def predict_packets(self, packets):
+            release.wait(timeout=30)  # simulates an uninterruptible compile
+            return [[] for _ in packets]
+
+    async def run():
+        b = InferenceBatcher(WedgedEngine(), max_batch=1, batch_window_ms=1)
+        await b.start()
+        s1 = asyncio.create_task(b.submit(packet("a", 1, batch_size=1)))
+        await asyncio.sleep(0.15)  # batch 1 now wedged in the engine
+        s2 = asyncio.create_task(b.submit(packet("b", 1, batch_size=1)))
+        await asyncio.sleep(0.05)  # frame 2 queued/deferred behind it
+        t0 = time.perf_counter()
+        await b.stop()  # 5 s abandon timeout
+        assert time.perf_counter() - t0 < 10
+        r1 = await asyncio.wait_for(s1, 2.0)  # resolved, not hanging
+        r2 = await asyncio.wait_for(s2, 2.0)
+        assert r1 is None and r2 is None  # shed, never a clean [] result
+        release.set()  # let the worker thread finish before loop close
+
+    asyncio.run(run())
