@@ -107,9 +107,15 @@ class ChartsManager {
       if (!this.fpsByStream.has(name)) this.fpsByStream.set(name, []);
       this._push(this.fpsByStream.get(name), fps);
     });
-    // age out streams that stopped reporting
+    // age out streams that stopped reporting: pad zeros while their
+    // history scrolls out, then DROP the series — flat-zero lines would
+    // otherwise keep legend slots and per-tick work forever after a
+    // config reload renames streams
     [...this.fpsByStream.keys()].forEach((name) => {
-      if (!seen.has(name)) this._push(this.fpsByStream.get(name), 0);
+      if (seen.has(name)) return;
+      const arr = this.fpsByStream.get(name);
+      this._push(arr, 0);
+      if (arr.every((v) => v === 0)) this.fpsByStream.delete(name);
     });
   }
 

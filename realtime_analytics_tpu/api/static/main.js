@@ -36,7 +36,10 @@ function connect() {
     let data;
     try { data = JSON.parse(msg.data); } catch { return; }
     if (data.type === "snapshot") {
-      (data.payload.events || []).forEach(ingest);
+      // snapshot = state catch-up, NOT fresh arrivals: the server replays
+      // it on every (re)connect, so counting it as live events would
+      // double-count stats and mark dead streams active each reconnect
+      (data.payload.events || []).forEach((e) => ingest(e, true));
     } else if (data.type === "event") {
       ingest(data.payload);
     }
@@ -49,10 +52,19 @@ function setConn(up) {
   $("chip-ws").textContent = up ? "WS: live" : "WS: reconnecting…";
 }
 
-function ingest(evt) {
+function ingest(evt, fromSnapshot = false) {
   if (!evt || !evt.stream) return;
   const now = Date.now();
   state.events.set(evt.stream, evt);
+  if (fromSnapshot) {
+    // show the latest known state, but date lastSeen by the event's own
+    // timestamp so long-dead streams don't render as active
+    if (evt.received_at) {
+      const t = Date.parse(evt.received_at);
+      if (isFinite(t)) state.lastSeen.set(evt.stream, t);
+    }
+    return;
+  }
   state.lastSeen.set(evt.stream, now);
   if (!state.arrivals.has(evt.stream)) state.arrivals.set(evt.stream, []);
   const arr = state.arrivals.get(evt.stream);
@@ -66,11 +78,20 @@ function ingest(evt) {
     const key = t.action_label || `class ${t.class_id}`;
     state.classCounts.set(key, (state.classCounts.get(key) || 0) + 1);
   });
+  if (state.classCounts.size > 64) pruneTopK(state.classCounts, 48);
   if (evt.received_at) {
     const lat = now - Date.parse(evt.received_at);
     if (isFinite(lat)) $("chip-latency").textContent = `latency: ${Math.max(0, lat)} ms`;
   }
   addTimeline(evt);
+}
+
+/* Keep only the k highest-count entries (bounds growth under unbounded
+ * distinct action labels / stream churn on long-running dashboards). */
+function pruneTopK(map, k) {
+  const kept = [...map.entries()].sort((a, b) => b[1] - a[1]).slice(0, k);
+  map.clear();
+  kept.forEach(([key, v]) => map.set(key, v));
 }
 
 /* ---------------- derived stats ---------------- */
@@ -136,7 +157,7 @@ function renderTable(now) {
       ? `${Math.round(evt.health * 100)}%` : "–";
     rows.push(`<tr data-stream="${escHtml(name)}" class="${name === state.selectedStream ? "sel" : ""}">
       <td>${escHtml(name)}${evt.is_temporal ? ' <span class="tag">temporal</span>' : ""}</td>
-      <td>${evt.frame_id}</td>
+      <td>${Number(evt.frame_id) || 0}</td>
       <td>${fps ? fps.toFixed(1) : "–"}</td>
       <td>${health}</td>
       <td>${tracks.length}</td>
@@ -184,7 +205,7 @@ function addTimeline(evt) {
     .map((t) => t.action_label ? `${t.action_label} ${(t.temporal_score ?? 0).toFixed(2)}` : `c${t.class_id} ${(t.confidence ?? 0).toFixed(2)}`)
     .join(", ");
   li.innerHTML = `<span class="t">${new Date().toLocaleTimeString()}</span>
-    <b>${escHtml(evt.stream)}</b> frame ${evt.frame_id} — ${n} track${n === 1 ? "" : "s"}${labels ? ": " + escHtml(labels) : ""}`;
+    <b>${escHtml(evt.stream)}</b> frame ${Number(evt.frame_id) || 0} — ${n} track${n === 1 ? "" : "s"}${labels ? ": " + escHtml(labels) : ""}`;
   ul.prepend(li);
   while (ul.children.length > 60) ul.removeChild(ul.lastChild);
 }
@@ -280,7 +301,7 @@ async function boot() {
   } else {
     try {
       const snap = await (await fetch("/api/snapshot")).json();
-      (snap.events || []).forEach(ingest);
+      (snap.events || []).forEach((e) => ingest(e, true));
     } catch { /* server may still be starting */ }
     connect();
   }

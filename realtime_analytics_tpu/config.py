@@ -99,6 +99,15 @@ class StreamConfig:
             self.ffmpeg_simulator = _from_dict(
                 FFmpegSimulatorConfig, self.ffmpeg_simulator, where="ffmpeg_simulator"
             )
+        elif self.ffmpeg_simulator is not None and not isinstance(
+            self.ffmpeg_simulator, FFmpegSimulatorConfig
+        ):
+            # a YAML scalar (e.g. `ffmpeg_simulator: yes`) must get the
+            # ConfigError contract, not an AttributeError in validate()
+            raise ConfigError(
+                f"Stream '{self.name}': ffmpeg_simulator must be a mapping, "
+                f"got {type(self.ffmpeg_simulator).__name__}"
+            )
 
     def validate(self) -> None:
         if not self.name:
@@ -274,8 +283,12 @@ class DetectorConfig:
             raise ConfigError("confidence_threshold must be in (0, 1]")
         if not (0.0 < self.iou_threshold <= 1.0):
             raise ConfigError("iou_threshold must be in (0, 1]")
-        if self.input_size is not None and len(self.input_size) != 2:
-            raise ConfigError("input_size must be [height, width]")
+        if self.input_size is not None and (
+            len(self.input_size) != 2 or any(v <= 0 for v in self.input_size)
+        ):
+            raise ConfigError(
+                "input_size must be [height, width] with positive values"
+            )
         if (
             self.input_size is not None
             and self.model_type in ("yolov5", "yolov8")
@@ -313,9 +326,30 @@ class DetectorConfig:
             raise ConfigError("tiling_overlap must be in [0, 0.8]")
         if self.precision not in {"bf16", "fp32", "int8"}:
             raise ConfigError("precision must be one of: bf16, fp32, int8")
+        if self.num_classes <= 0:
+            raise ConfigError("num_classes must be > 0")
+        if self.pre_nms_topk <= 0:
+            raise ConfigError("pre_nms_topk must be > 0")
+        if self.warmup_source_hw is not None and (
+            len(self.warmup_source_hw) != 2
+            or any(v <= 0 for v in self.warmup_source_hw)
+        ):
+            raise ConfigError(
+                "warmup_source_hw must be [height, width] with positive values"
+            )
         if self.batch_buckets is not None:
             if not self.batch_buckets or any(b < 1 for b in self.batch_buckets):
                 raise ConfigError("batch_buckets entries must be >= 1")
+            if max(self.batch_buckets) < self.max_batch_size:
+                # serving forms batches up to max_batch_size; sizes above
+                # the largest compile bucket would hit UNWARMED jit shapes
+                # (multi-second recompiles on the hot path)
+                raise ConfigError(
+                    f"max(batch_buckets)={max(self.batch_buckets)} must be "
+                    f">= max_batch_size={self.max_batch_size} — batches "
+                    "above the largest bucket cannot pad into any compiled "
+                    "shape"
+                )
         if self.mesh_shape is not None and any(m < 1 for m in self.mesh_shape):
             raise ConfigError("mesh_shape entries must be >= 1")
         if self.pallas_preprocess not in {"auto", "on", "off"}:

@@ -171,23 +171,12 @@ def _programs_for(engine, kind: str, src_hw: Tuple[int, int], batch: int):
         return step, jax.ShapeDtypeStruct(shape, jnp.uint8), (
             "rsz" if resized else "full"
         )
-    # temporal: clip step over [B, T, H, W, 3]
+    # temporal: clip step over [B, T, H, W, 3]. _host_resize_active
+    # includes the cv2 probe, so this is exactly the serve-time decision
+    # (a cv2-less host must not export 'rsz' programs it can never run)
     th, tw = engine.input_hw
     t_len = engine.config.sequence_length
-    # mirror the SERVE-time decision exactly: _host_resize_clips also
-    # requires cv2 (returns None on ImportError) — deciding from the flag
-    # alone would export 'rsz' programs a cv2-less host can never run
-    try:
-        import cv2  # noqa: F401
-
-        has_cv2 = True
-    except ImportError:
-        has_cv2 = False
-    resized = (
-        engine._host_resize_active()
-        and tuple(src_hw) != (th, tw)
-        and has_cv2
-    )
+    resized = engine._host_resize_active() and tuple(src_hw) != (th, tw)
     step = (
         engine._get_step_resized(batch)
         if resized

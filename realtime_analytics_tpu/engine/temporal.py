@@ -104,13 +104,21 @@ class JaxTemporalEngine(BaseDetector):
         """Host-side stretch resize of clip frames to ``input_size`` (the
         reference's own per-frame cv2 resize, temporal_detector.py:330-373):
         a 1080p 16-frame clip uploads 16 x 0.15 MB instead of 16 x 6 MB —
-        bytes-on-link parity with the YOLO pick path."""
-        if self.config.host_resize == "on":
-            return True
-        return (
-            self.config.host_resize == "auto"
-            and self.device.platform == "tpu"
-        )
+        bytes-on-link parity with the YOLO pick path.
+
+        Requires cv2: warmup and predict MUST make the same decision, or
+        warmup compiles/times the resized variant while predict silently
+        falls back to raw-resolution steps that were never compiled
+        (hot-path jit stalls + bucket costs measured on the wrong step)."""
+        if self.config.host_resize == "off":
+            return False
+        if self.config.host_resize == "auto" and self.device.platform != "tpu":
+            return False
+        try:
+            import cv2  # noqa: F401
+        except ImportError:
+            return False
+        return True
 
     def _host_resize_clips(self, sequences, idxs, src_hw) -> Optional[np.ndarray]:
         """[B, T, th, tw, 3] uint8 clips, resized frame by frame on the host
@@ -246,6 +254,15 @@ class JaxTemporalEngine(BaseDetector):
         if buf is None:
             buf = deque(maxlen=required)
             self._buffers[name] = buf
+        if buf and buf[-1].frame.shape != packet.frame.shape:
+            # source resolution changed without a detected reconnect (RTSP
+            # renegotiation): a mixed-shape clip cannot stack — restart the
+            # window, like reset_stream does on the reconnect path
+            logger.info(
+                "Stream '%s': frame shape changed %s -> %s; clip buffer "
+                "reset", name, buf[-1].frame.shape, packet.frame.shape,
+            )
+            buf.clear()
         buf.append(packet)
         if len(buf) < required:
             return None

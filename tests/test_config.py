@@ -211,3 +211,29 @@ def test_shipped_config_corpus_loads():
     for path in corpus:
         cfg = load_config(str(path))
         assert cfg.streams, f"{path.name}: no streams"
+
+
+def test_detector_rejects_nonpositive_input_size():
+    with pytest.raises(ConfigError, match="positive"):
+        DetectorConfig(input_size=[0, 0]).validate()
+    with pytest.raises(ConfigError, match="positive"):
+        DetectorConfig(input_size=[-64, 640]).validate()
+
+
+def test_detector_rejects_buckets_below_max_batch():
+    with pytest.raises(ConfigError, match="max_batch_size"):
+        DetectorConfig(batch_buckets=[4, 8], max_batch_size=32).validate()
+
+
+def test_detector_rejects_degenerate_scalars():
+    with pytest.raises(ConfigError, match="num_classes"):
+        DetectorConfig(num_classes=0).validate()
+    with pytest.raises(ConfigError, match="pre_nms_topk"):
+        DetectorConfig(pre_nms_topk=0).validate()
+    with pytest.raises(ConfigError, match="warmup_source_hw"):
+        DetectorConfig(warmup_source_hw=[1080]).validate()
+
+
+def test_stream_rejects_scalar_ffmpeg_simulator():
+    with pytest.raises(ConfigError, match="must be a mapping"):
+        StreamConfig(name="s", url="rtsp://x", ffmpeg_simulator="yes")

@@ -248,3 +248,30 @@ def test_state_dict_roundtrip_inverse():
     ):
         assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_clip_buffer_resets_on_resolution_change():
+    # RTSP renegotiation mid-buffer (no reconnect detected): a mixed-shape
+    # clip cannot stack — the buffer restarts at the new resolution
+    from realtime_analytics_tpu.config import DetectorConfig, StreamConfig
+    from realtime_analytics_tpu.engine.temporal import JaxTemporalEngine
+    from realtime_analytics_tpu.types import FramePacket
+
+    eng = JaxTemporalEngine(DetectorConfig(
+        model_path="missing.npz", model_type="cnn_lstm",
+        input_size=[32, 32], sequence_length=3, sequence_stride=1,
+        temporal_overlap=0.0, num_action_classes=4, warmup=False,
+    ))
+    s = StreamConfig(name="c", url="synthetic://")
+
+    def pkt(i, hw):
+        return FramePacket(s, np.zeros((*hw, 3), np.uint8), i, float(i))
+
+    assert eng.buffer_packet(pkt(0, (48, 64))) is None
+    assert eng.buffer_packet(pkt(1, (48, 64))) is None
+    # resolution change resets the window — no clip completes at frame 2
+    assert eng.buffer_packet(pkt(2, (32, 32))) is None
+    assert eng.buffer_packet(pkt(3, (32, 32))) is None
+    seq = eng.buffer_packet(pkt(4, (32, 32)))
+    assert seq is not None and len(seq) == 3
+    assert all(p.frame.shape == (32, 32, 3) for p in seq)
