@@ -215,7 +215,9 @@ def export_serving_artifact(
         )
     if not str(path).endswith(ARTIFACT_SUFFIX):
         raise ValueError(f"artifact path must end with {ARTIFACT_SUFFIX}")
-    src_hws = [(int(h), int(w)) for h, w in src_hws]
+    # dedupe after normalization (order-preserving): repeated --src values
+    # must not produce duplicate zip entries / duplicate index rows
+    src_hws = list(dict.fromkeys((int(h), int(w)) for h, w in src_hws))
     if not src_hws:
         raise ValueError("src_hws must name at least one source resolution")
     # tiled YOLO serving runs the INPUT-sized step on the tile crops (the
@@ -266,25 +268,39 @@ def _write_artifact_zip(
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         for key, arr in flat.items():
             zf.writestr(f"params/{key}.bin", np.ascontiguousarray(arr).tobytes())
+        # 'rsz' steps take input_hw-shaped batches regardless of the source
+        # resolution, so one serialized program per bucket serves every
+        # source: serialize it once and alias later index rows to it
+        # (StableHLO programs are MBs; N sources would multiply that)
+        shared_rsz: Dict[int, Tuple[str, List[int]]] = {}
         for src_hw in src_hws:
             for b in buckets:
                 step, in_spec, tag = _programs_for(engine, kind, src_hw, b)
-                args = (
-                    jax.tree_util.tree_map(
-                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params
-                    ),
-                    in_spec,
-                )
-                exported = jax.export.export(step, platforms=platforms)(*args)
-                name = _program_name(src_hw, b, tag)
-                zf.writestr(f"programs/{name}", exported.serialize())
+                if tag == "rsz" and b in shared_rsz:
+                    name, in_shape = shared_rsz[b]
+                else:
+                    args = (
+                        jax.tree_util.tree_map(
+                            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                            params,
+                        ),
+                        in_spec,
+                    )
+                    exported = jax.export.export(step, platforms=platforms)(
+                        *args
+                    )
+                    name = _program_name(src_hw, b, tag)
+                    in_shape = list(in_spec.shape)
+                    zf.writestr(f"programs/{name}", exported.serialize())
+                    if tag == "rsz":
+                        shared_rsz[b] = (name, in_shape)
                 programs.append(
                     {
                         "src_h": src_hw[0],
                         "src_w": src_hw[1],
                         "batch": b,
                         "kind": tag,
-                        "in_shape": list(in_spec.shape),
+                        "in_shape": in_shape,
                         "name": name,
                     }
                 )

@@ -117,6 +117,20 @@ class JaxTemporalEngine(BaseDetector):
         try:
             import cv2  # noqa: F401
         except ImportError:
+            if self.config.host_resize == "on":
+                from ..config import ConfigError
+
+                raise ConfigError(
+                    "host_resize: on requires cv2, which is not importable — "
+                    "install opencv or set host_resize to auto/off"
+                )
+            if not getattr(self, "_warned_no_cv2", False):
+                self._warned_no_cv2 = True
+                logger.warning(
+                    "host_resize: auto requested but cv2 is unavailable — "
+                    "falling back to full-resolution device clip steps "
+                    "(different compile shapes, more bytes on the link)"
+                )
             return False
         return True
 

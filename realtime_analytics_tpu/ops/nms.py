@@ -117,16 +117,20 @@ def batched_nms(
 
     # 2. Overlap matrix. For class-aware NMS, shift boxes per class so
     #    different classes never overlap. The offset is derived from the
-    #    ACTUAL coordinate range (traced value, static shape): a fixed
-    #    constant would let classes collide on frames larger than it —
+    #    ACTUAL coordinate SPAN (max - min; traced value, static shape): a
+    #    fixed constant would let classes collide on frames larger than it,
+    #    and a max-only offset under-covers when coordinates go negative —
     #    boxes here can be in original-frame or tile-global pixels
     #    ("any pixel space" contract above), not just letterboxed input.
+    #    Shifting by -min first keeps every class's band non-negative and
+    #    disjoint regardless of sign.
     nms_boxes = top_boxes
     if not class_agnostic:
-        offset = jnp.maximum(jnp.max(top_boxes), _CLASS_OFFSET) + 1.0
-        nms_boxes = top_boxes + (top_classes.astype(top_boxes.dtype) * offset)[
-            ..., None
-        ]
+        lo = jnp.min(top_boxes)
+        offset = jnp.maximum(jnp.max(top_boxes) - lo, _CLASS_OFFSET) + 1.0
+        nms_boxes = (top_boxes - lo) + (
+            top_classes.astype(top_boxes.dtype) * offset
+        )[..., None]
     iou = iou_matrix(nms_boxes, nms_boxes)  # [N, K, K]
     # overlap[i, j] == 1 where j outranks i and suppresses it (strictly upper
     # rank; ranks are the sorted order, ties broken by index).

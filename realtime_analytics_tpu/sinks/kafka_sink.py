@@ -60,6 +60,11 @@ class KafkaSink:
         self._last_frame_time: Dict[str, float] = {}
         self._transport = config.transport
         self.messages_sent = 0
+        # last failed eventbus reconnect (monotonic); a dead broker must
+        # degrade to fast drops, not serialize every event behind a full
+        # TCP connect timeout while _publish holds the lock
+        self._bus_reconnect_failed_at: Optional[float] = None
+        self._bus_reconnect_cooldown_s = 5.0
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -179,14 +184,33 @@ class KafkaSink:
                 except (ConnectionError, RuntimeError, OSError):
                     # broker restarted: the producer side must reconnect
                     # like the consumer side does, or every event after
-                    # the drop is silently lost for the process lifetime
+                    # the drop is silently lost for the process lifetime.
+                    # But only retry once per cooldown window — a
+                    # black-holed broker would otherwise stall every
+                    # send_tracks behind a full connect timeout under
+                    # self._lock.
+                    now = time.monotonic()
+                    last_fail = self._bus_reconnect_failed_at
+                    if (
+                        last_fail is not None
+                        and now - last_fail < self._bus_reconnect_cooldown_s
+                    ):
+                        raise ConnectionError(
+                            "eventbus down; reconnect on cooldown "
+                            f"({self._bus_reconnect_cooldown_s}s) — dropping"
+                        )
                     logger.warning(
                         "eventbus publish failed; reconnecting to %s:%s",
                         self._bus.host, self._bus.port,
                     )
                     await self._bus.close()
-                    await self._bus.connect()  # raises -> caller logs/drops
-                    await self._bus.publish(self.config.topic, payload)
+                    try:
+                        await self._bus.connect()
+                        await self._bus.publish(self.config.topic, payload)
+                    except (ConnectionError, RuntimeError, OSError):
+                        self._bus_reconnect_failed_at = time.monotonic()
+                        raise  # caller logs/drops
+                    self._bus_reconnect_failed_at = None
             elif self._jsonl_file is not None:
                 self._jsonl_file.write(json.dumps(payload) + "\n")
                 self._jsonl_file.flush()

@@ -247,6 +247,72 @@ def test_eventbus_publisher_reconnects_after_broker_restart():
     asyncio.run(scenario())
 
 
+def test_eventbus_reconnect_cooldown_degrades_to_fast_drops():
+    # advisor r3: with a black-holed/dead broker, every send must NOT
+    # serialize behind a full TCP connect while _publish holds the lock —
+    # after one failed reconnect, sends inside the cooldown drop fast
+    # without another connect attempt; after the cooldown a reconnect is
+    # tried again (and succeeds once the broker is back)
+    async def scenario():
+        from realtime_analytics_tpu.sinks.eventbus import (
+            EventBusBroker,
+            EventBusSubscriber,
+        )
+
+        broker = EventBusBroker(host="127.0.0.1", port=0)
+        await broker.start()
+        port = broker.port
+        cfg = KafkaSinkConfig(
+            enabled=True, transport="eventbus",
+            bootstrap_servers=f"127.0.0.1:{port}", topic="t",
+        )
+        sink = KafkaSink(cfg)
+        await sink.connect()
+        await sink.send_tracks("cam-a", 1, [_track()])
+        await broker.stop()  # broker gone for good (for now)
+
+        connects = 0
+        real_connect = sink._bus.connect
+
+        async def counting_connect():
+            nonlocal connects
+            connects += 1
+            await real_connect()
+
+        sink._bus.connect = counting_connect
+        sink._bus_reconnect_cooldown_s = 30.0
+        for frame_id in (2, 3, 4):
+            try:
+                await sink.send_tracks("cam-a", frame_id, [_track()])
+            except Exception:  # noqa: BLE001 — expected: broker is down
+                pass
+        # first failing send may need up to two connects (dead-socket
+        # detection -> reconnect); the cooldown must stop the later sends
+        # from adding more
+        assert connects <= 2
+        assert sink._bus_reconnect_failed_at is not None
+
+        # cooldown expiry: reconnect is attempted again and succeeds
+        broker2 = EventBusBroker(host="127.0.0.1", port=port)
+        await broker2.start()
+        sub = EventBusSubscriber("127.0.0.1", port, "t")
+        await sub.connect()
+        sink._bus_reconnect_cooldown_s = 0.0
+        for frame_id in (5, 6):
+            try:
+                await sink.send_tracks("cam-a", frame_id, [_track()])
+            except Exception:  # noqa: BLE001
+                pass
+        got = await asyncio.wait_for(sub.messages().__anext__(), 3.0)
+        assert got["stream"] == "cam-a"
+        assert sink._bus_reconnect_failed_at is None
+        await sub.close()
+        await sink.close()
+        await broker2.stop()
+
+    asyncio.run(scenario())
+
+
 def test_sink_frame_rate_limit():
     async def scenario():
         cfg = KafkaSinkConfig(

@@ -336,6 +336,54 @@ def test_temporal_export_roundtrip(tmp_path):
         assert da.action_label == db.action_label
 
 
+def test_rsz_programs_deduplicated(tmp_path):
+    # 'rsz' steps take input_hw-shaped batches regardless of source
+    # resolution: repeated --src values and multiple resized sources must
+    # produce ONE serialized program per bucket, with index rows aliasing
+    # it — not MBs of duplicate StableHLO
+    import zipfile
+
+    pytest.importorskip("cv2")
+    from realtime_analytics_tpu.engine.detector import JaxResNetEngine
+
+    cfg = DetectorConfig(
+        model_path="resnet18-missing.npz", model_type="resnet",
+        input_size=[32, 32], resnet_num_classes=10,
+        resnet_scores="softmax", confidence_threshold=1e-6,
+        batch_buckets=[2], max_batch_size=2, warmup=False,
+        host_resize="on",
+    )
+    live = JaxResNetEngine(cfg)
+    path = str(tmp_path / "dedup.rvae")
+    # (64, 96) repeated + a second resized source; both map to the same
+    # 32x32 'rsz' program at bucket 2
+    meta = export_serving_artifact(
+        live, path, src_hws=[(64, 96), (64, 96), (128, 128)]
+    )
+    rows = meta["programs"]
+    assert all(r["kind"] == "rsz" for r in rows)
+    assert len(rows) == 2  # deduped: (64,96) once + (128,128)
+    assert len({r["name"] for r in rows}) == 1  # aliased to one program
+    with zipfile.ZipFile(path) as zf:
+        prog_entries = [n for n in zf.namelist() if n.startswith("programs/")]
+    assert len(prog_entries) == 1
+
+    served = create_detector(
+        DetectorConfig(
+            model_path=path, model_type="resnet", input_size=[32, 32],
+            resnet_num_classes=10, resnet_scores="softmax",
+            confidence_threshold=1e-6, warmup=False,
+        )
+    )
+    rng = np.random.default_rng(7)
+    for hw in [(64, 96), (128, 128)]:
+        frames = [rng.integers(0, 256, (*hw, 3), np.uint8) for _ in range(2)]
+        a = live.predict_packets(_packets(frames))
+        b = served.predict_packets(_packets(frames))
+        for ra, rb in zip(a, b):
+            _dets_equal(ra, rb)
+
+
 def test_int8_export_roundtrip(tmp_path):
     # int8 params mix int8 quantized weights with float scales — the
     # artifact must carry them all and serve bit-identically

@@ -130,6 +130,36 @@ def test_temporal_host_resize_clips_shape_and_noop():
     assert eng._host_resize_clips(seqs, [0], (32, 32)) is None
 
 
+def test_temporal_host_resize_on_without_cv2_raises(monkeypatch):
+    """Explicit ``host_resize: on`` with no cv2 must fail loudly (advisor
+    r3): a silent fallback serves full-resolution device steps the operator
+    explicitly opted out of — different compile shapes, more link bytes."""
+    import sys
+
+    from realtime_analytics_tpu.config import ConfigError
+
+    eng = JaxTemporalEngine(_temporal_cfg(host_resize="on"))
+    monkeypatch.setitem(sys.modules, "cv2", None)  # import cv2 -> ImportError
+    with pytest.raises(ConfigError, match="host_resize"):
+        eng._host_resize_active()
+
+
+def test_temporal_host_resize_auto_without_cv2_warns_once(monkeypatch, caplog):
+    import logging
+    import sys
+
+    eng = JaxTemporalEngine(_temporal_cfg(host_resize="auto"))
+    monkeypatch.setattr(
+        eng, "device", type("D", (), {"platform": "tpu"})(), raising=False
+    )
+    monkeypatch.setitem(sys.modules, "cv2", None)
+    with caplog.at_level(logging.WARNING):
+        assert eng._host_resize_active() is False
+        assert eng._host_resize_active() is False  # second call: no repeat
+    hits = [r for r in caplog.records if "cv2 is unavailable" in r.message]
+    assert len(hits) == 1
+
+
 def test_temporal_host_vs_device_path_end_to_end():
     cfg_on = _temporal_cfg(host_resize="on")
     eng_on = JaxTemporalEngine(cfg_on)

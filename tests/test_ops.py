@@ -162,6 +162,28 @@ def test_batched_nms_class_aware_huge_coordinates(rng):
     )
 
 
+def test_batched_nms_class_aware_negative_coordinates(rng):
+    # the per-class offset must cover the full coordinate SPAN (max - min),
+    # not just max: with negative coordinates a max-derived offset can land
+    # class c+1's shifted band inside class c's band. Constructed so the
+    # old max-only offset (max(400, 8192) + 1 = 8193) maps the class-1 box
+    # exactly onto the class-0 box.
+    boxes = np.array(
+        [[[-11800, 10, -11300, 400], [-19993, 10, -19493, 400]]],
+        dtype=np.float32,
+    )
+    scores = np.array([[0.9, 0.8]], dtype=np.float32)
+    classes = np.array([[0, 1]], dtype=np.int32)
+    _, _, _, nv = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        iou_threshold=0.5, max_det=8, pre_topk=2, class_agnostic=False,
+    )
+    assert int(nv[0]) == 2, (
+        "a class offset derived from max() only lets classes collide when "
+        "coordinates go negative"
+    )
+
+
 def test_batched_nms_max_det_truncates(rng):
     # Disjoint boxes, none suppressed; max_det caps output.
     m = 16
