@@ -80,6 +80,11 @@ CROSSCHECK_BATCHES = tuple(
 ) or BATCH_CANDIDATES[-1:]  # method-B runs here (1 extra compile each)
 PIPELINE_SECONDS = float(os.environ.get("RVA_BENCH_PIPELINE_SECONDS", "45"))
 REAL_WINDOW_SECONDS = float(os.environ.get("RVA_BENCH_REAL_SECONDS", "15"))
+# pipeline_e2e stream count: the north star is 32 streams x 25 FPS, so the
+# measured window runs the full 32 by default (RVA_BENCH_STREAMS overrides)
+PIPELINE_STREAMS = int(os.environ.get("RVA_BENCH_STREAMS", str(N_STREAMS)))
+BENCH_TEMPORAL = os.environ.get("RVA_BENCH_TEMPORAL", "1") == "1"
+BENCH_RESNET = os.environ.get("RVA_BENCH_RESNET", "1") == "1"
 PCIE_GBPS = 10.0  # conservative TPU-VM host->device bandwidth for projection
 V5E_BF16_PEAK_TFLOPS = 197.0  # published v5e peak, for the MFU figure
 
@@ -306,10 +311,16 @@ class EmulatedDeviceEngine:
         self.config = config  # the worker reads confidence_threshold etc.
 
     def predict_packets(self, packets):
-        # host_select pixel pick + stack, exactly like the real engine
+        # host_select pixel pick straight into the batch buffer, exactly
+        # like the real engine (_predict_group: one copy total — a
+        # pick-then-stack would copy the picked data twice)
         from realtime_analytics_tpu.native import pick_u8
 
-        frames = np.stack([pick_u8(p.frame, 3, 1, 3, 1) for p in packets])
+        h, w = packets[0].frame.shape[:2]
+        oh, ow = (h - 1 + 2) // 3, (w - 1 + 2) // 3
+        frames = np.empty((len(packets), oh, ow, 3), np.uint8)
+        for j, p in enumerate(packets):
+            pick_u8(p.frame, 3, 1, 3, 1, out=frames[j])
         del frames
         n = len(packets)
         # cost-aware, like the production engine: cheapest fitting bucket
@@ -348,12 +359,17 @@ def _pipeline_config(n_streams: int, buckets, max_batch: int,
         max_batch_size=max_batch, warmup=False,
         batch_buckets=sorted(buckets),
     )
+    # pre-rendered pool per stream: rendering is decoder work, not framework
+    # work. At 32 streams a 24-frame 1080p pool is ~20 s of serialized render
+    # on a 1-core host — shrink it so startup stays a small slice of the
+    # window (the bench reports startup_s and excludes it from steady fps)
+    pool = 24 if n_streams <= 8 else 10
     streams = [
         StreamConfig(
             name=f"cam-{i:02d}",
             url=(
                 f"synthetic://?width={SRC_HW[1]}&height={SRC_HW[0]}"
-                f"&boxes=4&seed={i}&pool=24"
+                f"&boxes=4&seed={i}&pool={pool}"
             ),
             target_fps=25,
             warmup_seconds=0.0,
@@ -386,35 +402,57 @@ def _run_pipeline_window(cfg, detector_factory, seconds: float) -> dict:
     pipeline_mod.create_detector = detector_factory
     try:
         t0 = time.perf_counter()
+        t0_wall = time.time()
+        cpu0 = time.process_time()
         asyncio.run(pipeline.run_for(seconds))
+        cpu = time.process_time() - cpu0
         wall = time.perf_counter() - t0
     finally:
         pipeline_mod.create_detector = real_create
 
     lat_ms = []
     frames = 0
+    first_ts = []
+    steady_fps = 0.0
     for w in pipeline.workers:
         lat_ms.extend(t * 1e3 for t in w.health.recent_processing_times)
         frames += w.health.total_frames
+        if w.health.first_success_ts:
+            first_ts.append(w.health.first_success_ts - t0_wall)
+        steady_fps += w.health.effective_fps
     st = pipeline.batchers["__default__"].stats
     lat_ms.sort()
+    # startup = until the SLOWEST stream produced its first frame (pool
+    # pre-render + open); steady fps sums each stream's recent-window rate
+    startup_s = max(first_ts) if len(first_ts) == len(cfg.streams) else 0.0
+    cores = os.cpu_count() or 1
 
     def pct(p):
         return lat_ms[min(len(lat_ms) - 1, int(p / 100 * len(lat_ms)))] if lat_ms else 0.0
 
     return {
-        "host_cores": os.cpu_count() or 1,
+        "host_cores": cores,
         "n_streams": len(cfg.streams),
         "offered_fps": sum(s.target_fps for s in cfg.streams),
         "frames_processed": frames,
         "wall_s": round(wall, 1),
+        "startup_s": round(startup_s, 1),
         "pipeline_agg_fps": round(frames / wall, 1),
+        # whole-window fps divided by the wall AFTER all streams were live
+        # (startup is pool pre-render = decoder work, not framework work)
+        "serving_agg_fps": round(frames / max(wall - startup_s, 1e-9), 1),
+        # sum of per-stream rates over each stream's recent success window
+        "steady_agg_fps": round(steady_fps, 1),
         "p50_frame_ms": round(pct(50), 1),
         "p90_frame_ms": round(pct(90), 1),
         "p99_frame_ms": round(pct(99), 1),
         # empty window (e.g. a saturated bench host) must NOT read as a
         # vacuous pass
         "meets_40ms_slo": bool(lat_ms) and pct(50) <= LATENCY_SLO_MS,
+        # process CPU seconds / (wall * cores): ~1.0 on a 1-core box means
+        # the BENCH HOST is the bottleneck and latency numbers measure host
+        # queueing, not the framework (a TPU-VM host has ~100 cores)
+        "host_cpu_utilization": round(cpu / (wall * cores), 3),
         "avg_device_batch": round(st.avg_batch_size, 2),
         "avg_batch_service_ms": round(st.avg_infer_ms, 1),
         "avg_queue_wait_ms": round(st.sum_wait_ms / max(st.frames, 1), 1),
@@ -423,22 +461,19 @@ def _run_pipeline_window(cfg, detector_factory, seconds: float) -> dict:
     }
 
 
-def bench_pipeline_latency(step_ms_by_bucket: dict, pcie_ms_per_frame: float
-                           ) -> dict:
+def bench_pipeline_latency(step_ms_by_bucket: dict, pcie_ms_per_frame: float,
+                           n_streams: int = PIPELINE_STREAMS) -> dict:
     """Run the real pipeline; return frame-latency stats. Device service
     time is hardware-measured; ONLY the PCIe link is modeled (module
     docstring). Frame rendering is pre-pooled — decoder work, not framework
     work — so the timed path carries only real framework cost.
 
-    The offered load is scaled to the measuring host's cores: per-frame
-    latency is load-invariant while the host has capacity headroom (the
-    device service per batch is constant and queue wait is bounded by the
-    batch window — both reported), but a saturated *bench host* measures its
-    own queueing collapse, not the framework. A v5e TPU-VM host has ~100
-    cores; this box may have 1. The JSON reports cores and offered load.
+    Runs the FULL north-star load (32 streams x 25 FPS) by default. On a
+    saturated *bench host* the numbers measure the host's own queueing
+    collapse, not the framework — the JSON carries host_cpu_utilization,
+    cores and offered-vs-carried fps so that case reads as what it is
+    (a v5e TPU-VM host has ~100 cores; this box may have 1).
     """
-    cores = os.cpu_count() or 1
-    n_streams = max(2, min(N_STREAMS, cores * 4))
     cfg = _pipeline_config(
         n_streams, sorted(step_ms_by_bucket), max(step_ms_by_bucket)
     )
@@ -479,6 +514,140 @@ def bench_real_engine_window(engine, buckets, seconds: float,
     )
     out["dispatch_overhead_ms"] = round(tunnel_dispatch_ms, 1)
     return out
+
+
+def _diff_time_step(step, params, x, k_iters: int = 9) -> tuple:
+    """Section-1 differential method for an arbitrary (params, batch) step:
+    two fori_loop programs, (t_k - t_1)/(k - 1) is the marginal in-device
+    step time, t_1 the sequential dispatch time. Input is perturbed per
+    iteration so XLA cannot hoist the body."""
+    import jax
+    import jax.numpy as jnp
+
+    def consume(out):
+        tot = jnp.float32(0)
+        for leaf in jax.tree_util.tree_leaves(out):
+            tot = tot + leaf.sum().astype(jnp.float32)
+        return tot
+
+    def make_loop(k: int):
+        @jax.jit
+        def loop(p, f):
+            def body(i, acc):
+                idx = (0,) * f.ndim
+                ff = f.at[idx].set((i % 251).astype(f.dtype))
+                return acc + consume(step(p, ff))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return loop
+
+    loop1, loopk = make_loop(1), make_loop(k_iters)
+    float(jax.device_get(loop1(params, x)))  # compile + warm
+    float(jax.device_get(loopk(params, x)))
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jax.device_get(fn(params, x)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, tk = timed(loop1), timed(loopk)
+    return (tk - t1) / (k_iters - 1) * 1e3, t1 * 1e3
+
+
+def bench_temporal(yolo_frame_ms: float) -> dict:
+    """Clip step time per temporal family at the serving bucket — the
+    comparison row for the reference's relative-cost table
+    (docs/TEMPORAL_DETECTION.md:201-207, mirrored in BASELINE.md): cost
+    relative to one single-frame YOLO inference."""
+    import jax
+
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.temporal import JaxTemporalEngine
+
+    # reference relative-cost rows (vs single-frame YOLO = 1x)
+    ref_rel = {"cnn_lstm": "8-16x", "3d_cnn": "10-20x",
+               "conv_gru": "6-12x", "slow_fast": "15-30x"}
+    clip_batch = 4
+    rows = []
+    rng = np.random.default_rng(0)
+    for family, side in (("cnn_lstm", 224), ("conv_gru", 224),
+                         ("3d_cnn", 112), ("slow_fast", 112)):
+        cfg = DetectorConfig(
+            model_path=f"missing-{family}.npz", model_type=family,
+            input_size=[side, side], precision="bf16", warmup=False,
+            batch_buckets=[clip_batch], max_batch_size=clip_batch,
+        )
+        engine = JaxTemporalEngine(cfg)
+        t_len = cfg.sequence_length
+        x = jax.device_put(rng.integers(
+            0, 256, (clip_batch, t_len, side, side, 3), dtype=np.uint8
+        ), engine.device)
+        step = engine._get_step(clip_batch, (side, side))
+        ms, seq_ms = _diff_time_step(step, engine.params, x)
+        clip_ms = ms / clip_batch
+        row = {
+            "model": family,
+            "input": side,
+            "t": t_len,
+            "clip_batch": clip_batch,
+            "batch_ms": round(ms, 2),
+            "ms_per_clip": round(clip_ms, 2),
+            "clips_per_s": round(clip_batch / ms * 1e3, 1),
+            # each served clip advances sequence_step NEW frames (overlap)
+            "frames_advanced_per_clip": engine.sequence_step,
+            "stream_frames_per_s": round(
+                clip_batch / ms * 1e3 * engine.sequence_step, 1
+            ),
+            "seq_ms_per_batch": round(seq_ms, 2),
+            "ref_relative_cost": ref_rel[family],
+        }
+        if yolo_frame_ms > 0:
+            row["relative_cost_vs_yolo_frame"] = round(
+                clip_ms / yolo_frame_ms, 1
+            )
+        rows.append(row)
+        del engine, x
+    return {
+        "note": "bf16 clip step (device preprocess + forward) at the "
+                "serving bucket; relative cost vs one single-frame YOLO "
+                "inference (reference table is relative too)",
+        "yolo_frame_ms": round(yolo_frame_ms, 3),
+        "models": rows,
+    }
+
+
+def bench_resnet() -> dict:
+    """ResNet-18 classification throughput at the device input (224) —
+    the secondary-classifier engine the reference runs via its torch/ONNX
+    backends (detector.py:933-1008)."""
+    import jax
+
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxResNetEngine
+
+    batch = 32
+    cfg = DetectorConfig(
+        model_path="missing-resnet18.npz", model_type="resnet",
+        input_size=[224, 224], precision="bf16", warmup=False,
+        batch_buckets=[batch], max_batch_size=batch,
+    )
+    engine = JaxResNetEngine(cfg)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.integers(
+        0, 256, (batch, 224, 224, 3), dtype=np.uint8
+    ), engine.device)
+    step = engine._get_step(batch, (224, 224))
+    ms, seq_ms = _diff_time_step(step, engine.params, x)
+    return {
+        "model": "resnet18",
+        "input": 224,
+        "batch": batch,
+        "batch_ms": round(ms, 2),
+        "frames_per_s": round(batch / ms * 1e3, 1),
+        "seq_ms_per_batch": round(seq_ms, 2),
+    }
 
 
 def main() -> None:
@@ -532,12 +701,25 @@ def main() -> None:
         r["device_batch"]: r["batch_ms"]
         for r in results if r["device_batch"] <= 32
     }
+    pipe_scaled = {}
     if PIPELINE_SECONDS > 0:
         try:
             pipe = bench_pipeline_latency(step_by_bucket, pcie_ms_per_frame)
         except Exception as exc:  # noqa: BLE001
             pipe = {"error": str(exc)[:200]}
         pipe["host_per_frame_ms"] = host_cost
+        # secondary: a host-scaled window (r01-r03 continuity) when the
+        # bench host is too small to carry 32 streams without measuring
+        # its own saturation
+        cores = os.cpu_count() or 1
+        scaled = max(2, min(PIPELINE_STREAMS, cores * 4))
+        if scaled != PIPELINE_STREAMS:
+            try:
+                pipe_scaled = bench_pipeline_latency(
+                    step_by_bucket, pcie_ms_per_frame, n_streams=scaled
+                )
+            except Exception as exc:  # noqa: BLE001
+                pipe_scaled = {"error": str(exc)[:200]}
         # analytic p50 floor at FULL 32-stream load on an unconstrained
         # host: frames wait at most one batch window, then ~half a batch
         # service for a pipelined slot, then their own batch's wall time
@@ -571,6 +753,27 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             real_window = {"error": str(exc)[:200]}
 
+    # --- section 3: temporal + ResNet engine throughput (r3 VERDICT #5;
+    # the reference publishes a relative-cost table for these) ---
+    temporal = {}
+    resnet = {}
+    if platform == "tpu":
+        # YOLO per-frame cost at the latency bucket, for the relative row
+        b16 = step_by_bucket.get(16)
+        yolo_frame_ms = (b16 / 16) if b16 else (
+            best["batch_ms"] / best["device_batch"]
+        )
+        if BENCH_TEMPORAL:
+            try:
+                temporal = bench_temporal(yolo_frame_ms)
+            except Exception as exc:  # noqa: BLE001
+                temporal = {"error": str(exc)[:200]}
+        if BENCH_RESNET:
+            try:
+                resnet = bench_resnet()
+            except Exception as exc:  # noqa: BLE001
+                resnet = {"error": str(exc)[:200]}
+
     print(
         json.dumps(
             {
@@ -591,7 +794,10 @@ def main() -> None:
                     for r in results
                 ],
                 "pipeline_e2e": pipe,
+                "pipeline_e2e_host_scaled": pipe_scaled,
                 "real_engine_window": real_window,
+                "temporal": temporal,
+                "resnet": resnet,
                 "platform": platform,
             }
         )

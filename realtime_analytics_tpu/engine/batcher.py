@@ -148,29 +148,42 @@ class InferenceBatcher:
                 self._drain_unserved()
             self._task = None
 
-    async def submit(self, packet: FramePacket) -> Optional[List[Detection]]:
-        """Submit one frame; resolves with its detections.
-
-        Returns ``None`` when the frame is *shed* (per-stream in-flight cap
-        hit, or batcher closed): the caller must treat that as a skip — age
-        tracks, no sink event, no health success — never as a clean
-        zero-detection result."""
+    def submit_nowait(self, packet: FramePacket) -> "asyncio.Future":
+        """Synchronous submit: returns the frame's result future without a
+        coroutine/Task wrapper — at 800 frames/s the per-frame Task object
+        and its scheduling hop are measurable event-loop load (bench.py
+        section 2 profile). The future resolves with the detections, or
+        ``None`` when the frame is *shed* (per-stream in-flight cap hit, or
+        batcher closed): the caller must treat that as a skip — age tracks,
+        no sink event, no health success — never as a clean zero-detection
+        result."""
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
         if self._closed:
-            return None
+            fut.set_result(None)
+            return fut
         name = packet.stream.name
         cap = self._inflight_cap.get(name, packet.stream.batch_size or 1)
         if self._inflight[name] >= max(1, cap):
             self.stats.shed += 1
             if self.metrics is not None:
                 self.metrics.record_shed(name)
-            return None
-        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+            fut.set_result(None)
+            return fut
         self._inflight[name] += 1
-        await self._queue.put((packet, fut, time.perf_counter()))
-        try:
-            return await fut
-        finally:
-            self._inflight[name] -= 1
+        # decrement when the result lands (done callbacks run even when the
+        # awaiting caller was cancelled — the old await-wrapper decremented
+        # in its finally, which a cancelled caller also reached)
+        fut.add_done_callback(lambda _f, name=name: self._dec_inflight(name))
+        self._queue.put_nowait((packet, fut, time.perf_counter()))
+        return fut
+
+    def _dec_inflight(self, name: str) -> None:
+        self._inflight[name] -= 1
+
+    async def submit(self, packet: FramePacket) -> Optional[List[Detection]]:
+        """Submit one frame and await its detections (see submit_nowait)."""
+        return await self.submit_nowait(packet)
 
     # ------------------------------------------------------------------
 

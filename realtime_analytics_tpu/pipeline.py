@@ -78,6 +78,7 @@ class StreamHealth:
         self.name = name
         self.priority = priority
         self.last_success_ts: float = 0.0
+        self.first_success_ts: float = 0.0
         self.consecutive_errors: int = 0
         self.total_frames: int = 0
         self.recent_processing_times: Deque[float] = deque(maxlen=100)
@@ -85,6 +86,8 @@ class StreamHealth:
 
     def update_success(self, processing_time_s: float) -> None:
         self.last_success_ts = time.time()
+        if self.first_success_ts == 0.0:
+            self.first_success_ts = self.last_success_ts
         self.consecutive_errors = 0
         self.total_frames += 1
         self.recent_processing_times.append(processing_time_s)
@@ -234,6 +237,7 @@ class StreamWorker:
         self._process_every = 1
         self._idle_frames = 0
         self._frame_counter = 0
+        self._track_ema_ms = 0.0  # recent tracker-update cost (see _tracker_update)
         self._last_snapshot_ts = 0.0
         self._max_process_every = max(
             1,
@@ -370,8 +374,10 @@ class StreamWorker:
         per-stream cap counts live submits, and an early submit from a
         blocked worker would be shed as overflow."""
         await self._slots.acquire()
+        # submit_nowait returns the result future directly — no per-frame
+        # Task wrapper (measurable event-loop load at 800 frames/s)
         task = (
-            asyncio.ensure_future(self.batcher.submit(infer_packet))
+            self.batcher.submit_nowait(infer_packet)
             if infer_packet is not None else None
         )
         self._pending.append((packet, t_start, task))
@@ -418,10 +424,7 @@ class StreamWorker:
                 detections, self.detector.config.confidence_threshold
             )
 
-        # executor thread: per-stream tracker states are independent (the
-        # tracker locks per stream), so streams associate concurrently and
-        # the event loop stays free for other workers
-        tracks = await asyncio.to_thread(self.tracker.update, cfg.name, detections)
+        tracks = await self._tracker_update(detections)
         self.metrics.update_counters(
             cfg.name,
             frames=1,
@@ -452,10 +455,31 @@ class StreamWorker:
         self.health.update_success(elapsed)
         self.scheduler.record_processing_time(elapsed)
 
+    async def _tracker_update(self, detections: List[Detection]):
+        """Associate detections, inline or on an executor thread.
+
+        The IOU-shim update on a typical scene is ~0.1 ms of small-array
+        numpy — the ``to_thread`` dispatch (context copy + executor submit +
+        threadsafe wakeup) costs MORE than that and adds queue latency under
+        load, so cheap updates run inline. A slow tracker (byte_track_full
+        Hungarian/Kalman on crowded scenes) would stall every stream's
+        completions if inlined, so updates whose recent EMA exceeds 1 ms
+        auto-offload to the executor (per-stream tracker states stay
+        independent either way — the tracker locks per stream)."""
+        name = self.stream.name
+        t0 = time.perf_counter()
+        if self._track_ema_ms < 1.0:
+            tracks = self.tracker.update(name, detections)
+        else:
+            tracks = await asyncio.to_thread(self.tracker.update, name, detections)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        self._track_ema_ms += 0.1 * (dt_ms - self._track_ema_ms)
+        return tracks
+
     async def _skip_frame(self, packet: FramePacket) -> None:
         """Skipped frames still age tracks, tick metrics, and tick adaptive
         idle state (reference pipeline.py:214-222)."""
-        tracks = await asyncio.to_thread(self.tracker.update, self.stream.name, [])
+        tracks = await self._tracker_update([])
         self.metrics.update_counters(
             self.stream.name, frames=1, detections=0, active_tracks=len(tracks)
         )

@@ -30,15 +30,15 @@ def packet(worker, fid):
 
 
 class ManualBatcher:
-    """submit() returns futures the test resolves explicitly."""
+    """submit_nowait() returns futures the test resolves explicitly."""
 
     def __init__(self):
         self.futures = {}
 
-    async def submit(self, pkt):
+    def submit_nowait(self, pkt):
         fut = asyncio.get_running_loop().create_future()
         self.futures[pkt.frame_id] = fut
-        return await fut
+        return fut
 
 
 def _start_completer(w):
