@@ -1,24 +1,38 @@
-"""Minimal ONNX reader: extract initializer tensors without the onnx package.
+"""Minimal ONNX reader: initializers AND the node graph, no onnx package.
 
 The reference's primary model interchange format is ONNX (its ONNX Runtime /
-OpenVINO backends and the temporal exporter all speak it). This image ships
-no ``onnx`` package, but an ONNX file is plain protobuf — and all we need
-for checkpoint loading are the *initializers* (weights), whose names in
-torch-exported models preserve the state-dict naming
-(``model.0.conv.weight`` …). This module hand-decodes exactly that subset of
-the wire format:
+OpenVINO backends and the temporal exporter all speak it,
+reference detector.py:484-609). This image ships no ``onnx`` package, but an
+ONNX file is plain protobuf — this module hand-decodes the subset the
+framework needs:
 
-    ModelProto.graph (field 7) -> GraphProto.initializer (field 5, repeated)
-    TensorProto: dims(1, varint repeated), data_type(2, varint),
-                 name(8, bytes), float_data(4, packed), int64_data(7),
-                 raw_data(9, bytes)
+* ``read_onnx_initializers`` — just the weights (checkpoint loading; names
+  in torch-exported models preserve the state-dict naming).
+* ``read_onnx_model`` — the full executable graph (nodes with attributes,
+  initializers, graph inputs/outputs), evaluated by
+  ``models.onnx_exec.run_graph``. This is the fidelity oracle's input: a
+  torch-exported ONNX graph carries torch's own operational semantics of
+  the architecture, independent of this repo's model code.
 
-Anything else (nodes, shapes, opsets) is skipped by generic field skipping.
+Wire-format fields decoded:
+
+    ModelProto.graph(7) -> GraphProto: node(1), initializer(5),
+        input(11), output(12)
+    NodeProto: input(1), output(2), name(3), op_type(4), attribute(5)
+    AttributeProto: name(1), f(2), i(3), s(4), t(5), floats(7), ints(8),
+        strings(9)
+    TensorProto: dims(1), data_type(2), float_data(4), int64_data(7),
+        name(8), raw_data(9)
+    ValueInfoProto: name(1) (shapes skipped — execution infers them)
+
+Anything else (doc strings, opsets, value_info) is skipped by generic
+field skipping.
 """
 
 from __future__ import annotations
 
 import struct
+from dataclasses import dataclass, field
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -138,7 +152,13 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
         arr = np.asarray(int64_data, dtype=np.int64)
     else:
         arr = np.zeros(0, dtype=np_dtype)
-    return name, arr.reshape(dims) if dims else arr
+    if dims:
+        return name, arr.reshape(dims)
+    if arr.size == 1:
+        # dims=[] is a SCALAR tensor (rank 0) — returning shape (1,) would
+        # e.g. make Gather(scalar index) keep the gathered axis
+        return name, arr.reshape(())
+    return name, arr
 
 
 def _varint(v: int) -> bytes:
@@ -188,6 +208,183 @@ def write_onnx_initializers(path: str, tensors: Dict[str, np.ndarray]) -> None:
     )
     with open(path, "wb") as f:
         f.write(model)
+
+
+# -- graph parsing (nodes + attributes), for models.onnx_exec ---------------
+
+
+@dataclass
+class OnnxNode:
+    op_type: str
+    inputs: List[str] = field(default_factory=list)
+    outputs: List[str] = field(default_factory=list)
+    name: str = ""
+    attrs: Dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
+class OnnxGraph:
+    nodes: List[OnnxNode] = field(default_factory=list)
+    initializers: Dict[str, np.ndarray] = field(default_factory=dict)
+    inputs: List[str] = field(default_factory=list)   # graph inputs (names)
+    outputs: List[str] = field(default_factory=list)  # graph outputs (names)
+
+
+def _parse_attribute(buf: bytes) -> Tuple[str, object]:
+    """AttributeProto -> (name, python value). Scalar f/i/s, tensor t, and
+    repeated floats/ints/strings cover every attribute torch-exported
+    vision graphs use."""
+    pos = 0
+    name = ""
+    value: object = None
+    floats: List[float] = []
+    ints: List[int] = []
+    strings: List[str] = []
+    n = len(buf)
+    while pos < n:
+        fld, wt, pos = _read_field_header(buf, pos)
+        if fld == 1 and wt == 2:  # name
+            ln, pos = _read_varint(buf, pos)
+            name = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif fld == 2 and wt == 5:  # f (float)
+            value = struct.unpack("<f", buf[pos : pos + 4])[0]
+            pos += 4
+        elif fld == 3 and wt == 0:  # i (int)
+            v, pos = _read_varint(buf, pos)
+            value = _to_signed64(v)
+        elif fld == 4 and wt == 2:  # s (bytes -> str)
+            ln, pos = _read_varint(buf, pos)
+            value = buf[pos : pos + ln].decode("utf-8", errors="replace")
+            pos += ln
+        elif fld == 5 and wt == 2:  # t (tensor)
+            ln, pos = _read_varint(buf, pos)
+            _tname, arr = _parse_tensor(buf[pos : pos + ln])
+            value = arr
+            pos += ln
+        elif fld == 7:  # floats (packed or unpacked fixed32)
+            if wt == 2:
+                ln, pos = _read_varint(buf, pos)
+                floats.extend(
+                    struct.unpack(f"<{ln // 4}f", buf[pos : pos + ln])
+                )
+                pos += ln
+            else:
+                floats.append(struct.unpack("<f", buf[pos : pos + 4])[0])
+                pos += 4
+        elif fld == 8:  # ints (packed or unpacked varint)
+            if wt == 2:
+                ln, pos = _read_varint(buf, pos)
+                end = pos + ln
+                while pos < end:
+                    v, pos = _read_varint(buf, pos)
+                    ints.append(_to_signed64(v))
+            else:
+                v, pos = _read_varint(buf, pos)
+                ints.append(_to_signed64(v))
+        elif fld == 9 and wt == 2:  # strings
+            ln, pos = _read_varint(buf, pos)
+            strings.append(buf[pos : pos + ln].decode("utf-8", errors="replace"))
+            pos += ln
+        else:  # type tag (20), graphs, doc strings, ...
+            pos = _skip_field(buf, pos, wt)
+    if floats:
+        value = floats
+    elif ints:
+        value = ints
+    elif strings:
+        value = strings
+    return name, value
+
+
+def _parse_node(buf: bytes) -> OnnxNode:
+    node = OnnxNode(op_type="")
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        fld, wt, pos = _read_field_header(buf, pos)
+        if fld == 1 and wt == 2:  # input
+            ln, pos = _read_varint(buf, pos)
+            node.inputs.append(buf[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        elif fld == 2 and wt == 2:  # output
+            ln, pos = _read_varint(buf, pos)
+            node.outputs.append(buf[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        elif fld == 3 and wt == 2:  # name
+            ln, pos = _read_varint(buf, pos)
+            node.name = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif fld == 4 and wt == 2:  # op_type
+            ln, pos = _read_varint(buf, pos)
+            node.op_type = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif fld == 5 and wt == 2:  # attribute
+            ln, pos = _read_varint(buf, pos)
+            aname, avalue = _parse_attribute(buf[pos : pos + ln])
+            pos += ln
+            if aname:
+                node.attrs[aname] = avalue
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return node
+
+
+def _value_info_name(buf: bytes) -> str:
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        fld, wt, pos = _read_field_header(buf, pos)
+        if fld == 1 and wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            return buf[pos : pos + ln].decode("utf-8")
+        pos = _skip_field(buf, pos, wt)
+    return ""
+
+
+def read_onnx_model(path: str) -> OnnxGraph:
+    """Parse an .onnx file into an executable OnnxGraph (nodes in file
+    order — the ONNX spec requires topological order; onnx_exec re-checks
+    at run time). Graph ``inputs`` excludes initializer names (torch
+    exports list weights under graph.input in some opset/exporter combos)."""
+    buf = open(path, "rb").read()
+    g = OnnxGraph()
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        fld, wt, pos = _read_field_header(buf, pos)
+        if fld == 7 and wt == 2:  # ModelProto.graph
+            ln, pos = _read_varint(buf, pos)
+            graph = buf[pos : pos + ln]
+            pos += ln
+            gpos = 0
+            gn = len(graph)
+            while gpos < gn:
+                gfld, gwt, gpos = _read_field_header(graph, gpos)
+                if gfld == 1 and gwt == 2:  # node
+                    tln, gpos = _read_varint(graph, gpos)
+                    g.nodes.append(_parse_node(graph[gpos : gpos + tln]))
+                    gpos += tln
+                elif gfld == 5 and gwt == 2:  # initializer
+                    tln, gpos = _read_varint(graph, gpos)
+                    name, arr = _parse_tensor(graph[gpos : gpos + tln])
+                    gpos += tln
+                    if name:
+                        g.initializers[name] = arr
+                elif gfld == 11 and gwt == 2:  # graph input
+                    tln, gpos = _read_varint(graph, gpos)
+                    g.inputs.append(_value_info_name(graph[gpos : gpos + tln]))
+                    gpos += tln
+                elif gfld == 12 and gwt == 2:  # graph output
+                    tln, gpos = _read_varint(graph, gpos)
+                    g.outputs.append(_value_info_name(graph[gpos : gpos + tln]))
+                    gpos += tln
+                else:
+                    gpos = _skip_field(graph, gpos, gwt)
+        else:
+            pos = _skip_field(buf, pos, wt)
+    g.inputs = [i for i in g.inputs if i and i not in g.initializers]
+    return g
 
 
 def read_onnx_initializers(path: str) -> Dict[str, np.ndarray]:
