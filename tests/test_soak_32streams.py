@@ -9,6 +9,7 @@ cover the first compile).
 
 import asyncio
 import os
+import time
 
 import pytest
 
@@ -49,7 +50,11 @@ def test_32_stream_soak():
             warmup=False,
             input_size=[640, 640],
             max_batch_size=64,
-            batch_buckets=[64],
+            # two buckets so cost-aware selection keeps link bytes
+            # proportional to the actual packed batch (a single [64]
+            # bucket pads every ~13-frame batch to 64 — 4.9x the H2D
+            # bytes, which dominates on the tunneled dev chip)
+            batch_buckets=[16, 64],
             precision="bf16",
         ),
         tracker=TrackerConfig(min_hits=1, max_iou_distance=0.2),
@@ -59,7 +64,25 @@ def test_32_stream_soak():
         batch_window_ms=6,
     )
     pipeline = AnalyticsPipeline(cfg)
-    asyncio.run(pipeline.run_for(seconds))
+
+    # Sample cumulative batcher counters every 10 s so the artifact can
+    # separate the first-compile window (~minutes through the dev tunnel)
+    # from the sustained steady state the soak actually proves.
+    samples = []
+
+    async def _run_and_sample():
+        run = asyncio.ensure_future(pipeline.run_for(seconds))
+        t0 = time.monotonic()
+        while not run.done():
+            await asyncio.wait([run], timeout=10)
+            st = pipeline.batchers["__default__"].stats
+            samples.append(
+                (time.monotonic() - t0, st.frames, st.batches,
+                 st.sum_infer_ms, st.shed)
+            )
+        await run
+
+    asyncio.run(_run_and_sample())
 
     stats = pipeline.batchers["__default__"].stats
     assert stats.frames > 0, "no frames processed — compile window too short?"
@@ -72,3 +95,15 @@ def test_32_stream_soak():
         f"\nsoak: {stats.frames} frames, avg_batch={stats.avg_batch_size:.1f}, "
         f"max_batch={stats.max_batch_size}, avg_infer={stats.avg_infer_ms:.1f} ms"
     )
+    # steady state: deltas over the second half of the sample trail
+    if len(samples) >= 4:
+        a, b = samples[len(samples) // 2], samples[-1]
+        dt, df, dbatch = b[0] - a[0], b[1] - a[1], b[2] - a[2]
+        dinfer, dshed = b[3] - a[3], b[4] - a[4]
+        if dbatch > 0 and dt > 0:
+            print(
+                f"steady (last {dt:.0f}s of {b[0]:.0f}s): "
+                f"{df} frames ({df / dt:.1f} fps agg), "
+                f"{dbatch} batches, avg_batch={df / dbatch:.1f}, "
+                f"avg_infer={dinfer / dbatch:.1f} ms, shed={dshed}"
+            )
