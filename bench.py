@@ -314,10 +314,10 @@ class EmulatedDeviceEngine:
         # host_select pixel pick straight into the batch buffer, exactly
         # like the real engine (_predict_group: one copy total — a
         # pick-then-stack would copy the picked data twice)
-        from realtime_analytics_tpu.native import pick_u8
+        from realtime_analytics_tpu.native import pick_u8, picked_shape
 
         h, w = packets[0].frame.shape[:2]
-        oh, ow = (h - 1 + 2) // 3, (w - 1 + 2) // 3
+        oh, ow = picked_shape(h, w, 3, 1, 3, 1)
         frames = np.empty((len(packets), oh, ow, 3), np.uint8)
         for j, p in enumerate(packets):
             pick_u8(p.frame, 3, 1, 3, 1, out=frames[j])
@@ -390,6 +390,19 @@ def _pipeline_config(n_streams: int, buckets, max_batch: int,
     )
 
 
+def _post_startup_fps(samples, startup_s: float, frames: int,
+                      wall: float) -> float:
+    """Frames completed after `startup_s` over the post-startup window,
+    from the 1 Hz (t, frames) sample trail; falls back to the whole-run
+    rate when the trail can't bracket the startup point."""
+    for t, f in samples:
+        if t >= startup_s:
+            if wall - t > 1e-9:
+                return round((frames - f) / (wall - t), 1)
+            break
+    return round(frames / wall, 1) if wall > 0 else 0.0
+
+
 def _run_pipeline_window(cfg, detector_factory, seconds: float) -> dict:
     """Run the real pipeline for `seconds` with `detector_factory` supplying
     the engine; return frame-latency stats from the stream-health records."""
@@ -400,11 +413,27 @@ def _run_pipeline_window(cfg, detector_factory, seconds: float) -> dict:
     pipeline = pipeline_mod.AnalyticsPipeline(cfg)
     real_create = pipeline_mod.create_detector
     pipeline_mod.create_detector = detector_factory
+    # 1 Hz (t, frames-completed) samples so post-startup rates divide
+    # post-startup FRAMES by the post-startup window (whole-run frames
+    # over the partial window would overstate the rate)
+    samples = []
+
+    async def _run_and_sample():
+        run = asyncio.ensure_future(pipeline.run_for(seconds))
+        t0s = time.perf_counter()
+        while not run.done():
+            await asyncio.wait([run], timeout=1.0)
+            samples.append((
+                time.perf_counter() - t0s,
+                sum(w.health.total_frames for w in pipeline.workers),
+            ))
+        await run
+
     try:
         t0 = time.perf_counter()
         t0_wall = time.time()
         cpu0 = time.process_time()
-        asyncio.run(pipeline.run_for(seconds))
+        asyncio.run(_run_and_sample())
         cpu = time.process_time() - cpu0
         wall = time.perf_counter() - t0
     finally:
@@ -438,9 +467,13 @@ def _run_pipeline_window(cfg, detector_factory, seconds: float) -> dict:
         "wall_s": round(wall, 1),
         "startup_s": round(startup_s, 1),
         "pipeline_agg_fps": round(frames / wall, 1),
-        # whole-window fps divided by the wall AFTER all streams were live
-        # (startup is pool pre-render = decoder work, not framework work)
-        "serving_agg_fps": round(frames / max(wall - startup_s, 1e-9), 1),
+        # post-startup fps: frames completed AFTER the slowest stream went
+        # live, over that window only (startup is pool pre-render = decoder
+        # work, not framework work; frames from the ramp are excluded from
+        # the numerator too — sampled at 1 Hz during the run)
+        "serving_agg_fps": _post_startup_fps(
+            samples, startup_s, frames, wall
+        ),
         # sum of per-stream rates over each stream's recent success window
         "steady_agg_fps": round(steady_fps, 1),
         "p50_frame_ms": round(pct(50), 1),

@@ -620,12 +620,11 @@ class JaxYoloEngine(BaseDetector):
         if self.config.host_select != "off":
             geom = self._select_geometry(spec)
         if geom is not None:
-            from ..native import pick_u8
+            from ..native import pick_u8, picked_shape
 
             hr, hoff, wr, woff = geom
             h, w = shape
-            oh = (h - hoff + hr - 1) // hr
-            ow = (w - woff + wr - 1) // wr
+            oh, ow = picked_shape(h, w, hr, hoff, wr, woff)
             # pick each frame straight into the batch buffer: one copy
             # total (pick-then-stack would copy the picked data twice)
             frames = np.empty((len(frames_list), oh, ow, 3), np.uint8)

@@ -76,18 +76,38 @@ def _pool2d(x, kernel, strides, pads, ceil_mode, op):
     kh, kw = kernel
     sh, sw = strides
     pt, pl, pb, pr = pads
+    ih, iw = x.shape[2], x.shape[3]
+    eb = er = 0  # ceil-mode extension (beyond the explicit pads)
     if ceil_mode:
         # extend padding so the last partial window is included
-        h, w = x.shape[2] + pt + pb, x.shape[3] + pl + pr
-        pb += (-(h - kh) % sh) if (h - kh) % sh else 0
-        pr += (-(w - kw) % sw) if (w - kw) % sw else 0
+        h, w = ih + pt + pb, iw + pl + pr
+        eb = (-(h - kh) % sh) if (h - kh) % sh else 0
+        er = (-(w - kw) % sw) if (w - kw) % sw else 0
     fill = -np.inf if op == "max" else 0.0
-    if pt or pl or pb or pr:
-        x = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+    if pt or pl or pb + eb or pr + er:
+        x = np.pad(x, ((0, 0), (0, 0), (pt, pb + eb), (pl, pr + er)),
                    constant_values=fill)
     v = sliding_window_view(x, (kh, kw), axis=(2, 3))[:, :, ::sh, ::sw]
+    if ceil_mode:
+        # torch/ONNX-runtime drop rule: a ceil-extended window whose START
+        # lies entirely in the end padding is not emitted — the last
+        # window must start before in + pad_begin
+        oh = sum(1 for i in range(v.shape[2]) if i * sh < ih + pt)
+        ow = sum(1 for j in range(v.shape[3]) if j * sw < iw + pl)
+        v = v[:, :, :oh, :ow]
     if op == "max":
         return v.max(axis=(-2, -1))
+    # Average divisor (torch semantics, count_include_pad=True): the
+    # EXPLICIT pads count toward the divisor, the ceil-mode extension does
+    # NOT — torch divides each window by its count of positions inside the
+    # explicitly-padded extent. A plain mean() over-counts the ceil
+    # extension's zeros (verified vs torch AvgPool2d(ceil_mode=True)).
+    if eb or er:
+        ones = np.ones((1, 1, x.shape[2] - eb, x.shape[3] - er), x.dtype)
+        ones = np.pad(ones, ((0, 0), (0, 0), (0, eb), (0, er)))
+        cnt = sliding_window_view(ones, (kh, kw), axis=(2, 3))[:, :, ::sh, ::sw]
+        cnt = cnt[:, :, : v.shape[2], : v.shape[3]]
+        return v.sum(axis=(-2, -1)) / cnt.sum(axis=(-2, -1))
     return v.mean(axis=(-2, -1))
 
 
@@ -338,9 +358,11 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         if split is None and len(ins) > 1 and ins[1] is not None:
             split = [int(s) for s in ins[1]]
         if split is None:
+            # ONNX uneven-split rule: ceil-sized chunks, last one smaller
             k = int(_attr(node, "num_outputs", len(node.outputs)))
-            base = ins[0].shape[axis] // k
-            split = [base] * k
+            length = ins[0].shape[axis]
+            base = -(-length // k)
+            split = [base] * (k - 1) + [length - base * (k - 1)]
         offs = np.cumsum([0] + list(split))
         put(*[
             np.take(ins[0], range(int(offs[i]), int(offs[i + 1])), axis=axis)
@@ -396,7 +418,10 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
     elif op == "Shape":
         put(np.asarray(ins[0].shape, dtype=np.int64))
     elif op == "Cast":
-        put(ins[0].astype(_CAST_DTYPES[int(_attr(node, "to"))]))
+        to = int(_attr(node, "to"))
+        if to not in _CAST_DTYPES:
+            raise UnsupportedOnnxOp(f"Cast to TensorProto dtype code {to}")
+        put(ins[0].astype(_CAST_DTYPES[to]))
     elif op == "ConstantOfShape":
         v = _attr(node, "value")
         fill = v.reshape(-1)[0] if v is not None else np.float32(0)

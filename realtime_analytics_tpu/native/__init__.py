@@ -93,6 +93,14 @@ def _load() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+def picked_shape(h: int, w: int, hr: int, hoff: int, wr: int,
+                 woff: int) -> tuple:
+    """(oh, ow) of ``pick_u8`` for an [H, W] source — the single source of
+    truth for the pick's output geometry (engine and bench both allocate
+    batch buffers from it)."""
+    return (h - hoff + hr - 1) // hr, (w - woff + wr - 1) // wr
+
+
 def pick_u8(frames: np.ndarray, hr: int, hoff: int, wr: int, woff: int,
             out: Optional[np.ndarray] = None) -> np.ndarray:
     """[N, H, W, 3] (or [H, W, 3]) uint8 -> picked contiguous array.
@@ -111,8 +119,7 @@ def pick_u8(frames: np.ndarray, hr: int, hoff: int, wr: int, woff: int,
     if c != 3 or frames.dtype != np.uint8:
         raise ValueError(f"pick_u8 needs uint8 HWC/NHWC with 3 channels, "
                          f"got {frames.dtype} {frames.shape}")
-    oh = (h - hoff + hr - 1) // hr
-    ow = (w - woff + wr - 1) // wr
+    oh, ow = picked_shape(h, w, hr, hoff, wr, woff)
     if out is not None and (
         out.shape != (n, oh, ow, 3) or out.dtype != np.uint8
         or not out.flags["C_CONTIGUOUS"]

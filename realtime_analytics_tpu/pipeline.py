@@ -467,6 +467,12 @@ class StreamWorker:
         auto-offload to the executor (per-stream tracker states stay
         independent either way — the tracker locks per stream)."""
         name = self.stream.name
+        if not detections:
+            # empty updates only age tracks (no association) — always cheap,
+            # always inline, and excluded from the EMA: skip-frames would
+            # otherwise decay it below the gate between crowded frames and
+            # periodically let a slow full update stall the loop
+            return self.tracker.update(name, detections)
         t0 = time.perf_counter()
         if self._track_ema_ms < 1.0:
             tracks = self.tracker.update(name, detections)

@@ -65,6 +65,8 @@ class KafkaSink:
         # TCP connect timeout while _publish holds the lock
         self._bus_reconnect_failed_at: Optional[float] = None
         self._bus_reconnect_cooldown_s = 5.0
+        self.messages_dropped = 0
+        self._last_drop_log = 0.0
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -188,17 +190,19 @@ class KafkaSink:
                     # But only retry once per cooldown window — a
                     # black-holed broker would otherwise stall every
                     # send_tracks behind a full connect timeout under
-                    # self._lock.
+                    # self._lock. Failures are ABSORBED here (dropped +
+                    # rate-limit-logged), never raised: a dead event bus
+                    # must not mark served frames as processing failures
+                    # in the completion loop (health scores, adaptive
+                    # scheduling), nor traceback per frame at 800 fps.
                     now = time.monotonic()
                     last_fail = self._bus_reconnect_failed_at
                     if (
                         last_fail is not None
                         and now - last_fail < self._bus_reconnect_cooldown_s
                     ):
-                        raise ConnectionError(
-                            "eventbus down; reconnect on cooldown "
-                            f"({self._bus_reconnect_cooldown_s}s) — dropping"
-                        )
+                        self._drop(now)
+                        return
                     logger.warning(
                         "eventbus publish failed; reconnecting to %s:%s",
                         self._bus.host, self._bus.port,
@@ -209,7 +213,8 @@ class KafkaSink:
                         await self._bus.publish(self.config.topic, payload)
                     except (ConnectionError, RuntimeError, OSError):
                         self._bus_reconnect_failed_at = time.monotonic()
-                        raise  # caller logs/drops
+                        self._drop(self._bus_reconnect_failed_at)
+                        return
                     self._bus_reconnect_failed_at = None
             elif self._jsonl_file is not None:
                 self._jsonl_file.write(json.dumps(payload) + "\n")
@@ -219,6 +224,19 @@ class KafkaSink:
             else:
                 return
             self.messages_sent += 1
+
+    def _drop(self, now: float) -> None:
+        """Account an event dropped while the bus is down; warn at most
+        once per cooldown window (not per frame — 32 streams x 25 fps of
+        tracebacks is itself a host load)."""
+        self.messages_dropped += 1
+        if now - self._last_drop_log >= self._bus_reconnect_cooldown_s:
+            self._last_drop_log = now
+            logger.warning(
+                "event bus unreachable — %d event(s) dropped so far "
+                "(reconnect every %.0fs)",
+                self.messages_dropped, self._bus_reconnect_cooldown_s,
+            )
 
     # -- rate limiting & rendering -------------------------------------------
 

@@ -116,3 +116,40 @@ def test_scheduler_decrease_hint_escalates_skipping():
         w.scheduler.record_processing_time(0.08)
     w._adjust_adaptive_state(0)
     assert w._process_every >= 2  # live wiring of the reference's dead API
+
+
+def test_tracker_ema_ignores_empty_skip_updates():
+    # review r4: skip-frames call _tracker_update([]) — those cheap aging
+    # updates must not decay the inline/offload EMA, or a slow tracker
+    # (byte_track_full on crowded scenes) periodically runs inline and
+    # stalls every stream's completions
+    import asyncio
+    import time as _time
+
+    w = make_worker(dict(target_fps=30))
+    w._track_ema_ms = 5.0  # a measured-slow tracker
+
+    real_update = w.tracker.update
+    calls = []
+
+    def slow_update(name, dets):
+        calls.append(len(dets))
+        return real_update(name, dets)
+
+    w.tracker.update = slow_update
+
+    async def drive():
+        # 50 empty skip updates: EMA must not move
+        for _ in range(50):
+            await w._tracker_update([])
+        assert w._track_ema_ms == 5.0
+        # a real update still goes through the gate (offloaded) and
+        # feeds the EMA
+        from realtime_analytics_tpu.types import Detection
+
+        det = Detection("s", 1, 0, 0.9, (0.0, 0.0, 10.0, 10.0))
+        await w._tracker_update([det])
+        assert w._track_ema_ms != 5.0
+
+    asyncio.run(drive())
+    assert calls.count(0) == 50

@@ -313,6 +313,32 @@ def test_eventbus_reconnect_cooldown_degrades_to_fast_drops():
     asyncio.run(scenario())
 
 
+def test_dead_bus_drops_are_absorbed_not_raised():
+    # review r4: a dead bus must not turn served frames into completion
+    # failures — send_tracks absorbs the drop (counts + rate-limited log)
+    # instead of raising per frame into the completion loop
+    async def scenario():
+        broker = EventBusBroker(host="127.0.0.1", port=0)
+        await broker.start()
+        cfg = KafkaSinkConfig(
+            enabled=True, transport="eventbus",
+            bootstrap_servers=f"127.0.0.1:{broker.port}", topic="t",
+        )
+        sink = KafkaSink(cfg)
+        await sink.connect()
+        await sink.send_tracks("cam-a", 1, [_track()])
+        await broker.stop()
+        # all sends after the broker dies return cleanly — no exception
+        # during the failed-reconnect send NOR during the cooldown window
+        for frame_id in (2, 3, 4, 5):
+            await sink.send_tracks("cam-a", frame_id, [_track()])
+        assert sink.messages_dropped >= 4
+        assert sink._bus_reconnect_failed_at is not None
+        await sink.close()
+
+    asyncio.run(scenario())
+
+
 def test_sink_frame_rate_limit():
     async def scenario():
         cfg = KafkaSinkConfig(

@@ -111,6 +111,41 @@ def test_pool_variants_match_torch(tmp_path):
     _check(M(), torch.rand(1, 4, 29, 31), tmp_path / "pool.onnx")
 
 
+def test_avgpool_ceil_mode_matches_torch(tmp_path):
+    # review r4: ceil-mode AveragePool must EXCLUDE the ceil-extension
+    # padding from the divisor (torch counts only positions inside the
+    # explicitly-padded extent) — a plain window mean over-counted the
+    # extension zeros by up to 0.30 absolute
+    torch.manual_seed(7)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.p1 = nn.AvgPool2d(3, stride=2, ceil_mode=True)
+            self.p2 = nn.AvgPool2d(2, stride=2, padding=1,
+                                   ceil_mode=True, count_include_pad=True)
+
+        def forward(self, x):
+            return self.p1(x), self.p2(x)
+
+    for hw in ((8, 8), (10, 13)):
+        _check(M(), torch.rand(1, 3, *hw), tmp_path / f"avg{hw[0]}.onnx")
+
+
+def test_split_uneven_remainder_matches_torch(tmp_path):
+    # review r4: Split with no sizes over a non-divisible axis must emit
+    # ceil-sized chunks with a smaller last chunk (torch.chunk semantics),
+    # not floor-sized chunks that silently drop the remainder
+    torch.manual_seed(8)
+
+    class M(nn.Module):
+        def forward(self, x):
+            a, b = torch.chunk(x, 2, dim=1)  # 5 channels -> [3, 2]
+            return a.sum(dim=1, keepdim=True) + b.sum(dim=1, keepdim=True)
+
+    _check(M(), torch.rand(1, 5, 6, 6), tmp_path / "split.onnx")
+
+
 def test_resize_nearest_and_bilinear_match_torch(tmp_path):
     torch.manual_seed(2)
 
