@@ -251,6 +251,36 @@ def test_jax_yolo_matches_torch_exported_graph(model_type, tmp_path):
     )
 
 
+def test_jax_resnet_matches_torch_exported_graph(tmp_path):
+    """models/resnet.py + loader vs torch's export of the torchvision
+    resnet18 architecture — same non-circularity as the YOLO gates: the
+    mirror only *builds* the graph (torch defines the semantics); the
+    reference outputs come from onnx_exec evaluating the export."""
+    from test_resnet_fidelity import TorchResNet18
+
+    from realtime_analytics_tpu.models.resnet import build_resnet
+    from realtime_analytics_tpu.models.weights import resnet_params_from_state_dict
+
+    torch.manual_seed(9)
+    tm = TorchResNet18(num_classes=23).eval()
+    path = tmp_path / "resnet18.onnx"
+    _export(tm, torch.rand(1, 3, 96, 96), str(path))
+
+    x = np.random.default_rng(13).random((2, 96, 96, 3)).astype(np.float32)
+    g = read_onnx_model(str(path))
+    assert len(g.nodes) > 30, "export produced no real graph"
+    # the export traces batch-1; evaluate per-sample
+    ref = np.concatenate([
+        run_graph(g, {g.inputs[0]: x[i : i + 1].transpose(0, 3, 1, 2)})[0]
+        for i in range(x.shape[0])
+    ])
+
+    jm = build_resnet("resnet18", num_classes=23)
+    params = resnet_params_from_state_dict(jm, tm.state_dict())
+    got = np.asarray(jax.jit(jm.apply)(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # 3. published-graph gate (arms when a real Ultralytics export lands)
 
