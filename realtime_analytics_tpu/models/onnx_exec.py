@@ -13,9 +13,12 @@ Ultralytics ``yolov8n.onnx``) the moment one lands in the tree — the
 backend-neutral interchange the reference itself trusts
 (reference detector.py:484-609, its ONNX Runtime backend).
 
-Scope: inference-mode CNN graphs as torch's TorchScript exporter emits them
-(opset 10-17): explicit pads, static shapes after constant folding. This is
-an oracle, not a serving path — clarity over speed; the JAX engines serve.
+Scope: inference-mode CNN/RNN graphs as torch's TorchScript exporter emits
+them (opset 10-17): explicit pads, static shapes after constant folding.
+Covers 2-D and 3-D Conv/pooling and the ONNX LSTM/GRU recurrent nodes, so
+every temporal family's export (cnn_lstm / conv_gru / 3d_cnn / slow_fast)
+evaluates too. This is an oracle, not a serving path — clarity over speed;
+the JAX engines serve (``models/onnx_jax.py`` is the jitted counterpart).
 """
 
 from __future__ import annotations
@@ -42,73 +45,99 @@ class UnsupportedOnnxOp(NotImplementedError):
     pass
 
 
-def _conv2d(x, w, b, strides, pads, dilations, groups):
-    """[N, C, H, W] x [M, C/g, kh, kw] -> [N, M, Ho, Wo] via windowed
-    matmul. Explicit pads [h_begin, w_begin, h_end, w_end]."""
-    n, c, _h, _w = x.shape
-    m, cg, kh, kw = w.shape
-    sh, sw = strides
-    dh, dw = dilations
-    pt, pl, pb, pr = pads
-    if pt or pl or pb or pr:
-        x = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+def _convnd(x, w, b, strides, pads, dilations, groups):
+    """[N, C, *spatial] x [M, C/g, *k] -> [N, M, *out] via windowed matmul,
+    any spatial rank (2-D and 3-D convs both export as ONNX ``Conv``).
+    Explicit ONNX pads: [*dim_begins, *dim_ends]."""
+    k = x.ndim - 2
+    n = x.shape[0]
+    m, cg = w.shape[0], w.shape[1]
+    ks = w.shape[2:]
+    begins, ends = pads[:k], pads[k:]
+    if any(pads):
+        x = np.pad(x, ((0, 0), (0, 0)) + tuple(zip(begins, ends)))
     # effective receptive field with dilation, then subsample the taps
-    ekh, ekw = (kh - 1) * dh + 1, (kw - 1) * dw + 1
-    v = sliding_window_view(x, (ekh, ekw), axis=(2, 3))  # [N,C,Ho',Wo',ekh,ekw]
-    v = v[:, :, ::sh, ::sw, ::dh, ::dw]  # stride + dilation taps
-    ho, wo = v.shape[2], v.shape[3]
-    out = np.empty((n, m, ho, wo), dtype=np.float32)
+    ek = tuple((ki - 1) * d + 1 for ki, d in zip(ks, dilations))
+    v = sliding_window_view(x, ek, axis=tuple(range(2, 2 + k)))
+    # [N, C, *out', *ek] -> stride the out dims, dilate the window taps
+    idx = (slice(None),) * 2
+    idx += tuple(slice(None, None, s) for s in strides)
+    idx += tuple(slice(None, None, d) for d in dilations)
+    v = v[idx]
+    out_sp = v.shape[2 : 2 + k]
+    taps = cg * int(np.prod(ks))
+    out = np.empty((n, m) + out_sp, dtype=np.float32)
     mg = m // groups
+    # [N, *out, cg, *ks] ordering for the column matmul
+    perm = (0,) + tuple(range(2, 2 + k)) + (1,) + tuple(range(2 + k, 2 + 2 * k))
+    dst = (0, k + 1) + tuple(range(1, k + 1))  # [N, *out, mg] -> [N, mg, *out]
     for g in range(groups):
-        vg = v[:, g * cg : (g + 1) * cg]  # [N,cg,Ho,Wo,kh,kw]
-        # [N,Ho,Wo,cg*kh*kw] @ [cg*kh*kw, mg]
-        cols = vg.transpose(0, 2, 3, 1, 4, 5).reshape(n, ho, wo, cg * kh * kw)
-        wg = w[g * mg : (g + 1) * mg].reshape(mg, cg * kh * kw).T
+        vg = v[:, g * cg : (g + 1) * cg]
+        cols = vg.transpose(perm).reshape((n,) + out_sp + (taps,))
+        wg = w[g * mg : (g + 1) * mg].reshape(mg, taps).T
         out[:, g * mg : (g + 1) * mg] = (
             cols.astype(np.float32) @ wg.astype(np.float32)
-        ).transpose(0, 3, 1, 2)
+        ).transpose(dst)
     if b is not None:
-        out += b.reshape(1, m, 1, 1)
+        out += b.reshape((1, m) + (1,) * k)
     return out
 
 
-def _pool2d(x, kernel, strides, pads, ceil_mode, op):
-    kh, kw = kernel
-    sh, sw = strides
-    pt, pl, pb, pr = pads
-    ih, iw = x.shape[2], x.shape[3]
-    eb = er = 0  # ceil-mode extension (beyond the explicit pads)
+def _poolnd(x, kernel, strides, pads, ceil_mode, op):
+    """Max/average pool over any spatial rank (2-D and 3-D)."""
+    k = len(kernel)
+    in_sp = x.shape[2:]
+    begins, ends = list(pads[:k]), list(pads[k:])
+    ext = [0] * k  # ceil-mode extension (beyond the explicit pads)
     if ceil_mode:
         # extend padding so the last partial window is included
-        h, w = ih + pt + pb, iw + pl + pr
-        eb = (-(h - kh) % sh) if (h - kh) % sh else 0
-        er = (-(w - kw) % sw) if (w - kw) % sw else 0
+        for i in range(k):
+            span = in_sp[i] + begins[i] + ends[i]
+            r = (span - kernel[i]) % strides[i]
+            ext[i] = (-(span - kernel[i]) % strides[i]) if r else 0
     fill = -np.inf if op == "max" else 0.0
-    if pt or pl or pb + eb or pr + er:
-        x = np.pad(x, ((0, 0), (0, 0), (pt, pb + eb), (pl, pr + er)),
-                   constant_values=fill)
-    v = sliding_window_view(x, (kh, kw), axis=(2, 3))[:, :, ::sh, ::sw]
+    if any(begins) or any(e + x2 for e, x2 in zip(ends, ext)):
+        x = np.pad(
+            x,
+            ((0, 0), (0, 0))
+            + tuple((b_, e_ + x_) for b_, e_, x_ in zip(begins, ends, ext)),
+            constant_values=fill,
+        )
+    stride_idx = (slice(None),) * 2 + tuple(
+        slice(None, None, s) for s in strides
+    )
+    win_axes = tuple(range(-k, 0))
+    v = sliding_window_view(x, kernel, axis=tuple(range(2, 2 + k)))[stride_idx]
     if ceil_mode:
         # torch/ONNX-runtime drop rule: a ceil-extended window whose START
         # lies entirely in the end padding is not emitted — the last
         # window must start before in + pad_begin
-        oh = sum(1 for i in range(v.shape[2]) if i * sh < ih + pt)
-        ow = sum(1 for j in range(v.shape[3]) if j * sw < iw + pl)
-        v = v[:, :, :oh, :ow]
+        trim = (slice(None),) * 2 + tuple(
+            slice(0, sum(1 for i in range(v.shape[2 + d])
+                         if i * strides[d] < in_sp[d] + begins[d]))
+            for d in range(k)
+        )
+        v = v[trim]
     if op == "max":
-        return v.max(axis=(-2, -1))
+        return v.max(axis=win_axes)
     # Average divisor (torch semantics, count_include_pad=True): the
     # EXPLICIT pads count toward the divisor, the ceil-mode extension does
     # NOT — torch divides each window by its count of positions inside the
     # explicitly-padded extent. A plain mean() over-counts the ceil
     # extension's zeros (verified vs torch AvgPool2d(ceil_mode=True)).
-    if eb or er:
-        ones = np.ones((1, 1, x.shape[2] - eb, x.shape[3] - er), x.dtype)
-        ones = np.pad(ones, ((0, 0), (0, 0), (0, eb), (0, er)))
-        cnt = sliding_window_view(ones, (kh, kw), axis=(2, 3))[:, :, ::sh, ::sw]
-        cnt = cnt[:, :, : v.shape[2], : v.shape[3]]
-        return v.sum(axis=(-2, -1)) / cnt.sum(axis=(-2, -1))
-    return v.mean(axis=(-2, -1))
+    if any(ext):
+        ones = np.ones(
+            (1, 1) + tuple(x.shape[2 + d] - ext[d] for d in range(k)), x.dtype
+        )
+        ones = np.pad(
+            ones, ((0, 0), (0, 0)) + tuple((0, e) for e in ext)
+        )
+        cnt = sliding_window_view(
+            ones, kernel, axis=tuple(range(2, 2 + k))
+        )[stride_idx]
+        cnt = cnt[(slice(None),) * 2 + tuple(slice(0, s) for s in v.shape[2 : 2 + k])]
+        return v.sum(axis=win_axes) / cnt.sum(axis=win_axes)
+    return v.mean(axis=win_axes)
 
 
 def _resize(x, scales, sizes, mode, coord_mode, nearest_mode):
@@ -178,6 +207,119 @@ def _softmax(x, axis):
     x = x - x.max(axis=axis, keepdims=True)
     e = np.exp(x)
     return e / e.sum(axis=axis, keepdims=True)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x.astype(np.float32)))
+
+
+def _rnn_directions(node, num_dirs_needed):
+    """ONNX RNN direction attr -> list of (slot, reverse_time)."""
+    d = _attr(node, "direction", "forward")
+    if d == "forward":
+        dirs = [(0, False)]
+    elif d == "reverse":
+        dirs = [(0, True)]
+    elif d == "bidirectional":
+        dirs = [(0, False), (1, True)]
+    else:
+        raise UnsupportedOnnxOp(f"RNN direction '{d}'")
+    if len(dirs) != num_dirs_needed:
+        raise ValueError(
+            f"{node.op_type} weights carry {num_dirs_needed} direction(s) "
+            f"but direction attr is '{d}'"
+        )
+    return dirs
+
+
+def _lstm(node, ins):
+    """ONNX ``LSTM`` (torch nn.LSTM exports to this): gate order iofc,
+    X [T, N, I] (layout=0), W [D, 4H, I], R [D, 4H, H], B [D, 8H].
+    Default activations (sigmoid, tanh, tanh) only."""
+    if _attr(node, "activations") is not None:
+        raise UnsupportedOnnxOp("LSTM custom activations")
+    if int(_attr(node, "layout", 0)) != 0:
+        raise UnsupportedOnnxOp("LSTM layout=1")
+    x, w, r = (a.astype(np.float32) for a in ins[:3])
+    t_len, n, _ = x.shape
+    num_dirs, four_h, hid = r.shape[0], r.shape[1], r.shape[2]
+    assert four_h == 4 * hid
+    b = ins[3].astype(np.float32) if len(ins) > 3 and ins[3] is not None \
+        else np.zeros((num_dirs, 8 * hid), np.float32)
+    seq_lens = ins[4] if len(ins) > 4 else None
+    if seq_lens is not None and not np.all(np.asarray(seq_lens) == t_len):
+        raise UnsupportedOnnxOp("LSTM per-sequence lengths")
+    h0 = ins[5].astype(np.float32) if len(ins) > 5 and ins[5] is not None \
+        else np.zeros((num_dirs, n, hid), np.float32)
+    c0 = ins[6].astype(np.float32) if len(ins) > 6 and ins[6] is not None \
+        else np.zeros((num_dirs, n, hid), np.float32)
+    y = np.zeros((t_len, num_dirs, n, hid), np.float32)
+    y_h = np.zeros((num_dirs, n, hid), np.float32)
+    y_c = np.zeros((num_dirs, n, hid), np.float32)
+    for slot, reverse in _rnn_directions(node, num_dirs):
+        wb = b[slot, : 4 * hid] + b[slot, 4 * hid :]
+        gates_x = x @ w[slot].T + wb  # [T, N, 4H], iofc
+        h, c = h0[slot], c0[slot]
+        steps = range(t_len - 1, -1, -1) if reverse else range(t_len)
+        for t in steps:
+            g = gates_x[t] + h @ r[slot].T
+            i = _sigmoid(g[:, :hid])
+            o = _sigmoid(g[:, hid : 2 * hid])
+            f = _sigmoid(g[:, 2 * hid : 3 * hid])
+            ct = np.tanh(g[:, 3 * hid :])
+            c = f * c + i * ct
+            h = o * np.tanh(c)
+            y[t, slot] = h
+        y_h[slot], y_c[slot] = h, c
+    return y, y_h, y_c
+
+
+def _gru(node, ins):
+    """ONNX ``GRU`` (torch nn.GRU exports with linear_before_reset=1):
+    gate order zrh, B [D, 6H]."""
+    if _attr(node, "activations") is not None:
+        raise UnsupportedOnnxOp("GRU custom activations")
+    if int(_attr(node, "layout", 0)) != 0:
+        raise UnsupportedOnnxOp("GRU layout=1")
+    lbr = int(_attr(node, "linear_before_reset", 0))
+    x, w, r = (a.astype(np.float32) for a in ins[:3])
+    t_len, n, _ = x.shape
+    num_dirs, hid = r.shape[0], r.shape[2]
+    b = ins[3].astype(np.float32) if len(ins) > 3 and ins[3] is not None \
+        else np.zeros((num_dirs, 6 * hid), np.float32)
+    seq_lens = ins[4] if len(ins) > 4 else None
+    if seq_lens is not None and not np.all(np.asarray(seq_lens) == t_len):
+        raise UnsupportedOnnxOp("GRU per-sequence lengths")
+    h0 = ins[5].astype(np.float32) if len(ins) > 5 and ins[5] is not None \
+        else np.zeros((num_dirs, n, hid), np.float32)
+    y = np.zeros((t_len, num_dirs, n, hid), np.float32)
+    y_h = np.zeros((num_dirs, n, hid), np.float32)
+    for slot, reverse in _rnn_directions(node, num_dirs):
+        wb, rb = b[slot, : 3 * hid], b[slot, 3 * hid :]
+        gx = x @ w[slot].T + wb  # [T, N, 3H], zrh
+        h = h0[slot]
+        steps = range(t_len - 1, -1, -1) if reverse else range(t_len)
+        for t in steps:
+            gh = h @ r[slot].T  # [N, 3H] (no rb yet — split per gate)
+            z = _sigmoid(gx[t][:, :hid] + gh[:, :hid] + rb[:hid])
+            rt = _sigmoid(
+                gx[t][:, hid : 2 * hid] + gh[:, hid : 2 * hid]
+                + rb[hid : 2 * hid]
+            )
+            if lbr:
+                hh = np.tanh(
+                    gx[t][:, 2 * hid :]
+                    + rt * (gh[:, 2 * hid :] + rb[2 * hid :])
+                )
+            else:
+                hh = np.tanh(
+                    gx[t][:, 2 * hid :]
+                    + (rt * h) @ r[slot][2 * hid :].T + rb[2 * hid :]
+                )
+            h = (1.0 - z) * hh + z * h
+            y[t, slot] = h
+        y_h[slot] = h
+    return y, y_h
 
 
 def run_graph(
@@ -258,15 +400,16 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
     elif op == "Conv":
         x, w = ins[0], ins[1]
         b = ins[2] if len(ins) > 2 else None
-        if x.ndim != 4:
+        if x.ndim not in (4, 5):
             raise UnsupportedOnnxOp(f"Conv over {x.ndim - 2}D input")
-        if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+        if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", "", b"NOTSET"):
             raise UnsupportedOnnxOp("Conv auto_pad")
-        put(_conv2d(
+        k = x.ndim - 2
+        put(_convnd(
             x, w, b,
-            _attr(node, "strides", [1, 1]),
-            _attr(node, "pads", [0, 0, 0, 0]),
-            _attr(node, "dilations", [1, 1]),
+            _attr(node, "strides", [1] * k),
+            _attr(node, "pads", [0] * (2 * k)),
+            _attr(node, "dilations", [1] * k),
             int(_attr(node, "group", 1)),
         ))
     elif op == "Gemm":
@@ -331,21 +474,25 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         else:
             put(np.minimum(a, b))
     elif op == "MaxPool":
-        put(_pool2d(
-            ins[0], _attr(node, "kernel_shape"),
-            _attr(node, "strides", [1, 1]),
-            _attr(node, "pads", [0, 0, 0, 0]),
+        kernel = _attr(node, "kernel_shape")
+        k = len(kernel)
+        put(_poolnd(
+            ins[0], kernel,
+            _attr(node, "strides", [1] * k),
+            _attr(node, "pads", [0] * (2 * k)),
             int(_attr(node, "ceil_mode", 0)), "max",
         ))
     elif op == "AveragePool":
+        kernel = _attr(node, "kernel_shape")
+        k = len(kernel)
         if int(_attr(node, "count_include_pad", 0)) == 0 and any(
-            _attr(node, "pads", [0, 0, 0, 0])
+            _attr(node, "pads", [0] * (2 * k))
         ):
             raise UnsupportedOnnxOp("AveragePool count_include_pad=0 w/ pads")
-        put(_pool2d(
-            ins[0], _attr(node, "kernel_shape"),
-            _attr(node, "strides", [1, 1]),
-            _attr(node, "pads", [0, 0, 0, 0]),
+        put(_poolnd(
+            ins[0], kernel,
+            _attr(node, "strides", [1] * k),
+            _attr(node, "pads", [0] * (2 * k)),
             int(_attr(node, "ceil_mode", 0)), "avg",
         ))
     elif op == "GlobalAveragePool":
@@ -454,6 +601,12 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         put(np.where(ins[0], ins[1], ins[2]))
     elif op == "Equal":
         put(ins[0] == ins[1])
+    elif op == "LSTM":
+        if len(ins) > 7 and ins[7] is not None:
+            raise UnsupportedOnnxOp("LSTM peepholes")
+        put(*_lstm(node, ins))
+    elif op == "GRU":
+        put(*_gru(node, ins))
     elif op == "Erf":
         # GELU building block; vectorized via math.erf (no scipy in image)
         import math

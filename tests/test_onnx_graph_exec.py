@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _export(model, args, path, fold=True):
+def _export(model, args, path, fold=True, dynamic_axes=None):
     """torch.onnx.export without the ``onnx`` package: the final
     _add_onnxscript_fn hop only splices custom onnxscript functions into the
     proto (a no-op for stock ops) but imports ``onnx`` unconditionally —
@@ -55,6 +55,7 @@ def _export(model, args, path, fold=True):
             model, args, path, opset_version=17, dynamo=False,
             do_constant_folding=fold,
             input_names=["x"],
+            dynamic_axes=dynamic_axes,
         )
     finally:
         onnx_proto_utils._add_onnxscript_fn = orig
@@ -207,6 +208,104 @@ def test_unsupported_op_raises_clearly(tmp_path):
     with pytest.raises(UnsupportedOnnxOp, match="ConvTranspose"):
         run_graph(str(tmp_path / "ct.onnx"),
                   {"x": np.zeros((1, 2, 5, 5), np.float32)})
+
+
+def test_conv3d_variants_match_torch(tmp_path):
+    """3-D convs export as the same ONNX ``Conv`` op — the temporal
+    families (3d_cnn / slow_fast) are built from these."""
+    torch.manual_seed(3)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.a = nn.Conv3d(2, 6, 3, stride=(1, 2, 2), padding=1)
+            self.b = nn.Conv3d(6, 6, (1, 3, 3), padding=(0, 1, 1), groups=3)
+            self.c = nn.Conv3d(6, 4, 3, padding=2, dilation=2, bias=False)
+
+        def forward(self, x):
+            return self.c(self.b(self.a(x)))
+
+    _check(M(), torch.rand(2, 2, 5, 14, 17), tmp_path / "conv3d.onnx")
+
+
+def test_pool3d_variants_match_torch(tmp_path):
+    torch.manual_seed(4)
+
+    class M(nn.Module):
+        def forward(self, x):
+            y = nn.functional.max_pool3d(x, (1, 2, 2))
+            y = nn.functional.max_pool3d(y, 2, stride=2, padding=1)
+            y = nn.functional.max_pool3d(y, 3, stride=2, ceil_mode=True)
+            return nn.functional.avg_pool3d(y, 2, stride=1)
+
+    _check(M(), torch.rand(1, 3, 9, 21, 23), tmp_path / "pool3d.onnx")
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_lstm_matches_torch(bidirectional, tmp_path):
+    """torch nn.LSTM exports as the ONNX ``LSTM`` node (iofc gate pack) —
+    the recurrent core of the cnn_lstm family."""
+    torch.manual_seed(5)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(10, 7, batch_first=True,
+                                bidirectional=bidirectional)
+            self.fc = nn.Linear(14 if bidirectional else 7, 3)
+
+        def forward(self, x):
+            hs, _ = self.lstm(x)
+            return self.fc(hs.mean(dim=1))
+
+    _check(M(), torch.rand(3, 6, 10), tmp_path / "lstm.onnx")
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_gru_matches_torch(bidirectional, tmp_path):
+    """torch nn.GRU exports as ONNX ``GRU`` with linear_before_reset=1."""
+    torch.manual_seed(6)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gru = nn.GRU(8, 5, batch_first=True,
+                              bidirectional=bidirectional)
+
+        def forward(self, x):
+            hs, h = self.gru(x)
+            return hs, h
+
+    _check(M(), torch.rand(2, 9, 8), tmp_path / "gru.onnx")
+
+
+def test_jax_temporal_matches_torch_exported_graph(tmp_path):
+    """Every temporal family (models/temporal.py + loader) vs torch's own
+    export of the documented checkpoint architecture — closes the same
+    oracle circularity for the temporal engines as the YOLO/ResNet gates:
+    the mirror only *builds* the graph; onnx_exec evaluates it."""
+    from test_temporal_checkpoints import CLIP, MIRRORS, _state_dict
+
+    from realtime_analytics_tpu.models.temporal import build_temporal
+    from realtime_analytics_tpu.models.weights import (
+        temporal_params_from_state_dict,
+    )
+
+    for i, (model_type, M) in enumerate(sorted(MIRRORS.items())):
+        torch.manual_seed(20 + i)
+        tm = M().eval()
+        clips = torch.rand(*CLIP)
+        path = tmp_path / f"{model_type}.onnx"
+        _export(tm, clips, str(path))
+        g = read_onnx_model(str(path))
+        assert len(g.nodes) > 5, f"{model_type}: export produced no graph"
+        (ref,) = run_graph(g, {g.inputs[0]: clips.numpy()})
+
+        jm = build_temporal(model_type, ref.shape[-1])
+        params = temporal_params_from_state_dict(jm, _state_dict(tm))
+        got = np.asarray(jax.jit(jm.apply)(params, jnp.asarray(clips.numpy())))
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3,
+                                   err_msg=model_type)
 
 
 # ---------------------------------------------------------------------------
