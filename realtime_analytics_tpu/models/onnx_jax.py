@@ -1,0 +1,604 @@
+"""ONNX graph -> jitted JAX function: the generic-graph serving path.
+
+The reference's ONNX Runtime / OpenVINO backends serve *arbitrary* user
+ONNX graphs (reference detector.py:484-609, temporal_detector.py:179-319):
+whatever architecture the user exported, the session runs it. The named
+checkpoint loaders in ``models/weights.py`` cover the documented layouts;
+this module covers everything else — it compiles the ONNX **graph itself**
+(parsed by ``onnx_lite.read_onnx_model``) into a jittable JAX function, so
+a user ONNX file that matches no known layout still serves on TPU.
+
+TPU-first design decisions:
+
+* The graph compiles to XLA-level ops (``lax.conv_general_dilated``,
+  ``lax.reduce_window``, ``jnp`` elementwise, ``lax.scan`` for LSTM/GRU) —
+  XLA fuses and tiles them onto the MXU; no per-node Python in the hot
+  path after ``jax.jit`` tracing.
+* Static shapes: shape-machinery subgraphs (Shape/Gather/Slice/Concat on
+  int64 shape tensors, Constant, Range, ConstantOfShape) are constant-
+  folded at trace time — ``Shape`` of a traced tensor returns its static
+  trace-time shape as a *concrete* numpy array, so everything downstream
+  of shape math stays concrete and the jitted program has fixed shapes.
+  Mixed nodes (any traced tensor input) lower to jnp/lax.
+* Recurrent nodes (LSTM/GRU) become ``lax.scan`` over the time axis with
+  the input-projection matmul hoisted out of the scan (one big MXU matmul
+  for X @ W, only the hidden-state half recurs) — the same split-conv
+  trick the native ConvGRU uses (models/temporal.py).
+
+Semantics are pinned by construction: every op here is the jnp twin of
+``onnx_exec._eval_node`` (itself diffed op-by-op against torch in
+tests/test_onnx_graph_exec.py), and tests require bit-level agreement
+between the two executors on full model graphs.
+
+Usage::
+
+    fn = compile_graph(read_onnx_model(path))   # fn: feeds dict -> [outs]
+    jitted = jax.jit(lambda *a: fn(dict(zip(input_names, a))))
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .onnx_exec import UnsupportedOnnxOp, _eval_node
+from .onnx_lite import OnnxGraph, OnnxNode
+
+logger = logging.getLogger(__name__)
+
+# ONNX TensorProto.DataType codes used by Cast
+_CAST_DTYPES = {
+    1: jnp.float32, 2: jnp.uint8, 3: jnp.int8, 5: jnp.int16, 6: jnp.int32,
+    7: jnp.int64, 9: jnp.bool_, 10: jnp.float16, 11: jnp.float64,
+    12: jnp.uint32, 13: jnp.uint64,
+}
+
+
+def _attr(node, name, default=None):
+    return node.attrs.get(name, default)
+
+
+def _is_static(v) -> bool:
+    """Concrete (numpy / python scalar) vs traced (jax) value."""
+    return not isinstance(v, jax.Array) and not isinstance(
+        v, jax.core.Tracer
+    )
+
+
+def _f32(x):
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
+
+def _conv(node, x, w, b):
+    k = x.ndim - 2
+    if k not in (2, 3):
+        raise UnsupportedOnnxOp(f"Conv over {k}D input")
+    if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+        raise UnsupportedOnnxOp("Conv auto_pad")
+    strides = [int(s) for s in _attr(node, "strides", [1] * k)]
+    pads = [int(p) for p in _attr(node, "pads", [0] * (2 * k))]
+    dils = [int(d) for d in _attr(node, "dilations", [1] * k)]
+    groups = int(_attr(node, "group", 1))
+    pad_pairs = list(zip(pads[:k], pads[k:]))
+    spec = ("NCHW", "OIHW", "NCHW") if k == 2 else ("NCDHW", "OIDHW", "NCDHW")
+    y = lax.conv_general_dilated(
+        _f32(x), _f32(jnp.asarray(w)),
+        window_strides=strides, padding=pad_pairs,
+        rhs_dilation=dils, feature_group_count=groups,
+        dimension_numbers=spec,
+    )
+    if b is not None:
+        y = y + jnp.asarray(b, jnp.float32).reshape((1, -1) + (1,) * k)
+    return y
+
+
+def _pool(node, x, op):
+    kernel = [int(v) for v in _attr(node, "kernel_shape")]
+    k = len(kernel)
+    strides = [int(s) for s in _attr(node, "strides", [1] * k)]
+    pads = [int(p) for p in _attr(node, "pads", [0] * (2 * k))]
+    ceil_mode = int(_attr(node, "ceil_mode", 0))
+    if op == "avg" and int(_attr(node, "count_include_pad", 0)) == 0 and any(
+        pads
+    ):
+        raise UnsupportedOnnxOp("AveragePool count_include_pad=0 w/ pads")
+    in_sp = x.shape[2:]
+    begins, ends = list(pads[:k]), list(pads[k:])
+    ext = [0] * k
+    out_keep = None
+    if ceil_mode:
+        for i in range(k):
+            span = in_sp[i] + begins[i] + ends[i]
+            if (span - kernel[i]) % strides[i]:
+                ext[i] = -(span - kernel[i]) % strides[i]
+        # ONNX/torch drop rule: ceil-extended windows must START inside
+        # in + pad_begin (onnx_exec._poolnd carries the derivation)
+        out_keep = tuple(
+            sum(1 for j in range(
+                (in_sp[d] + begins[d] + ends[d] + ext[d] - kernel[d])
+                // strides[d] + 1
+            ) if j * strides[d] < in_sp[d] + begins[d])
+            for d in range(k)
+        )
+    fill = -jnp.inf if op == "max" else 0.0
+    pad_cfg = [(0, 0), (0, 0)] + [
+        (b_, e_ + x_) for b_, e_, x_ in zip(begins, ends, ext)
+    ]
+    xf = _f32(x)
+    if any(p != (0, 0) for p in pad_cfg):
+        xf = jnp.pad(xf, pad_cfg, constant_values=fill)
+    dims = (1, 1) + tuple(kernel)
+    strd = (1, 1) + tuple(strides)
+    if op == "max":
+        y = lax.reduce_window(xf, -jnp.inf, lax.max, dims, strd, "VALID")
+    else:
+        y = lax.reduce_window(xf, 0.0, lax.add, dims, strd, "VALID")
+        if any(ext):
+            ones = jnp.ones((1, 1) + tuple(
+                xf.shape[2 + d] - ext[d] for d in range(k)
+            ), xf.dtype)
+            ones = jnp.pad(
+                ones, [(0, 0), (0, 0)] + [(0, e) for e in ext]
+            )
+            cnt = lax.reduce_window(
+                ones, 0.0, lax.add, dims, strd, "VALID"
+            )
+            y = y / cnt
+        else:
+            y = y / float(np.prod(kernel))
+    if out_keep is not None:
+        y = y[(slice(None),) * 2 + tuple(slice(0, o) for o in out_keep)]
+    return y
+
+
+def _resize(node, x, scales, sizes):
+    mode = _attr(node, "mode", "nearest")
+    coord = _attr(node, "coordinate_transformation_mode", "half_pixel")
+    nearest_mode = _attr(node, "nearest_mode", "round_prefer_floor")
+    n, c, h, w = x.shape
+    if sizes is not None and np.size(sizes):
+        oh, ow = int(sizes[-2]), int(sizes[-1])
+        sc_h, sc_w = oh / h, ow / w
+    else:
+        sc_h, sc_w = float(scales[-2]), float(scales[-1])
+        oh, ow = int(np.floor(h * sc_h)), int(np.floor(w * sc_w))
+
+    def src_coord(i, scale, in_len, out_len):
+        if coord == "asymmetric":
+            return i / scale
+        if coord in ("pytorch_half_pixel", "half_pixel"):
+            xs = (i + 0.5) / scale - 0.5
+            if coord == "pytorch_half_pixel" and out_len <= 1:
+                return np.zeros_like(xs)
+            return xs
+        if coord == "align_corners":
+            if out_len == 1:
+                return np.zeros_like(i)
+            return i * (in_len - 1) / (out_len - 1)
+        raise UnsupportedOnnxOp(f"Resize coord mode '{coord}'")
+
+    # index math is static — precompute with numpy, gather with jnp
+    ys = src_coord(np.arange(oh, dtype=np.float64), sc_h, h, oh)
+    xs = src_coord(np.arange(ow, dtype=np.float64), sc_w, w, ow)
+    if mode == "nearest":
+        if nearest_mode == "floor":
+            yi, xi = np.floor(ys), np.floor(xs)
+        elif nearest_mode == "ceil":
+            yi, xi = np.ceil(ys), np.ceil(xs)
+        elif nearest_mode == "round_prefer_ceil":
+            yi, xi = np.floor(ys + 0.5), np.floor(xs + 0.5)
+        else:  # round_prefer_floor (default)
+            yi, xi = np.ceil(ys - 0.5), np.ceil(xs - 0.5)
+        yi = np.clip(yi, 0, h - 1).astype(np.int32)
+        xi = np.clip(xi, 0, w - 1).astype(np.int32)
+        return x[:, :, yi][:, :, :, xi]
+    if mode == "linear":
+        y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int32)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int32)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        wy = jnp.asarray(np.clip(ys - y0, 0.0, 1.0), jnp.float32)
+        wx = jnp.asarray(np.clip(xs - x0, 0.0, 1.0), jnp.float32)
+        xf = _f32(x)
+        top = xf[:, :, y0][:, :, :, x0] * (1 - wx) + \
+            xf[:, :, y0][:, :, :, x1] * wx
+        bot = xf[:, :, y1][:, :, :, x0] * (1 - wx) + \
+            xf[:, :, y1][:, :, :, x1] * wx
+        return top * (1 - wy[:, None]) + bot * wy[:, None]
+    raise UnsupportedOnnxOp(f"Resize mode '{mode}'")
+
+
+def _slice_op(data, starts, ends, axes, steps):
+    idx = [slice(None)] * data.ndim
+    if axes is None:
+        axes = list(range(len(starts)))
+    if steps is None:
+        steps = [1] * len(starts)
+    for st, en, ax, sp in zip(starts, ends, axes, steps):
+        ax = int(ax) % data.ndim
+        idx[ax] = slice(int(st), int(en), int(sp))
+    return data[tuple(idx)]
+
+
+def _rnn_scan(node, ins, kind):
+    """ONNX LSTM ('iofc') / GRU ('zrh') as lax.scan over time. X projection
+    is hoisted out of the scan — one batched MXU matmul; only the hidden
+    recurrence scans. Mirrors onnx_exec._lstm/_gru exactly."""
+    if _attr(node, "activations") is not None:
+        raise UnsupportedOnnxOp(f"{kind} custom activations")
+    if int(_attr(node, "layout", 0)) != 0:
+        raise UnsupportedOnnxOp(f"{kind} layout=1")
+    n_gates = 4 if kind == "LSTM" else 3
+    x, w, r = (_f32(jnp.asarray(a)) for a in ins[:3])
+    t_len, n = x.shape[0], x.shape[1]
+    num_dirs, hid = r.shape[0], r.shape[2]
+    b = _f32(jnp.asarray(ins[3])) if len(ins) > 3 and ins[3] is not None \
+        else jnp.zeros((num_dirs, 2 * n_gates * hid), jnp.float32)
+    seq_lens = ins[4] if len(ins) > 4 else None
+    if seq_lens is not None and (
+        not _is_static(seq_lens)
+        or not np.all(np.asarray(seq_lens) == t_len)
+    ):
+        raise UnsupportedOnnxOp(f"{kind} per-sequence lengths")
+    h0 = _f32(jnp.asarray(ins[5])) if len(ins) > 5 and ins[5] is not None \
+        else jnp.zeros((num_dirs, n, hid), jnp.float32)
+    if kind == "LSTM":
+        if len(ins) > 7 and ins[7] is not None:
+            raise UnsupportedOnnxOp("LSTM peepholes")
+        c0 = _f32(jnp.asarray(ins[6])) \
+            if len(ins) > 6 and ins[6] is not None \
+            else jnp.zeros((num_dirs, n, hid), jnp.float32)
+    lbr = int(_attr(node, "linear_before_reset", 0))
+
+    direction = _attr(node, "direction", "forward")
+    dir_plan = {"forward": [(0, False)], "reverse": [(0, True)],
+                "bidirectional": [(0, False), (1, True)]}.get(direction)
+    if dir_plan is None:
+        raise UnsupportedOnnxOp(f"RNN direction '{direction}'")
+
+    ys, hs, cs = [], [], []
+    for slot, reverse in dir_plan:
+        rT = r[slot].T  # [H, nG*H]
+        if kind == "LSTM":
+            wb = b[slot, : 4 * hid] + b[slot, 4 * hid :]
+            gx = x @ w[slot].T + wb  # [T, N, 4H] iofc
+
+            def cell(carry, g_t, rT=rT):
+                h, c = carry
+                g = g_t + h @ rT
+                i = jax.nn.sigmoid(g[:, :hid])
+                o = jax.nn.sigmoid(g[:, hid : 2 * hid])
+                f = jax.nn.sigmoid(g[:, 2 * hid : 3 * hid])
+                ct = jnp.tanh(g[:, 3 * hid :])
+                c = f * c + i * ct
+                h = o * jnp.tanh(c)
+                return (h, c), h
+
+            carry0 = (h0[slot], c0[slot])
+        else:
+            wb = b[slot, : 3 * hid]
+            rb = b[slot, 3 * hid :]
+            gx = x @ w[slot].T + wb  # [T, N, 3H] zrh
+
+            def cell(carry, g_t, rT=rT, rb=rb):
+                h = carry
+                gh = h @ rT
+                z = jax.nn.sigmoid(
+                    g_t[:, :hid] + gh[:, :hid] + rb[:hid]
+                )
+                rt = jax.nn.sigmoid(
+                    g_t[:, hid : 2 * hid] + gh[:, hid : 2 * hid]
+                    + rb[hid : 2 * hid]
+                )
+                if lbr:
+                    hh = jnp.tanh(
+                        g_t[:, 2 * hid :]
+                        + rt * (gh[:, 2 * hid :] + rb[2 * hid :])
+                    )
+                else:
+                    hh = jnp.tanh(
+                        g_t[:, 2 * hid :]
+                        + (rt * h) @ rT[:, 2 * hid :] + rb[2 * hid :]
+                    )
+                h = (1.0 - z) * hh + z * h
+                return h, h
+
+            carry0 = h0[slot]
+        carry, y = lax.scan(cell, carry0, gx, reverse=reverse)
+        ys.append(y)  # [T, N, H]
+        if kind == "LSTM":
+            hs.append(carry[0])
+            cs.append(carry[1])
+        else:
+            hs.append(carry)
+    y = jnp.stack(ys, axis=1)  # [T, D, N, H]
+    y_h = jnp.stack(hs, axis=0)
+    if kind == "LSTM":
+        return y, y_h, jnp.stack(cs, axis=0)
+    return y, y_h
+
+
+def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
+    """jnp twin of onnx_exec._eval_node — called when any tensor input is
+    traced. Shape-tensor arguments (Reshape target, Slice bounds, Resize
+    sizes, ...) must be static by then; _run raises otherwise."""
+    op = node.op_type
+    ins = [values[i] for i in node.inputs]
+
+    def put(*results):
+        for name, r in zip(node.outputs, results):
+            values[name] = r
+
+    def need_static(v, what):
+        if not _is_static(v):
+            raise UnsupportedOnnxOp(
+                f"{op}: {what} is data-dependent (traced) — the jitted "
+                "graph needs static shapes"
+            )
+        return v
+
+    if op == "Conv":
+        put(_conv(node, ins[0], ins[1], ins[2] if len(ins) > 2 else None))
+    elif op == "Gemm":
+        a, b_ = _f32(jnp.asarray(ins[0])), _f32(jnp.asarray(ins[1]))
+        if int(_attr(node, "transA", 0)):
+            a = a.T
+        if int(_attr(node, "transB", 0)):
+            b_ = b_.T
+        y = float(_attr(node, "alpha", 1.0)) * (a @ b_)
+        if len(ins) > 2 and ins[2] is not None:
+            y = y + float(_attr(node, "beta", 1.0)) * jnp.asarray(
+                ins[2], jnp.float32
+            )
+        put(y)
+    elif op == "MatMul":
+        put(jnp.matmul(_f32(jnp.asarray(ins[0])), _f32(jnp.asarray(ins[1]))))
+    elif op == "BatchNormalization":
+        x, scale, bias, mean, var = (jnp.asarray(v) for v in ins[:5])
+        eps = float(_attr(node, "epsilon", 1e-5))
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        put((x - mean.reshape(shape))
+            / jnp.sqrt(var.reshape(shape) + eps)
+            * scale.reshape(shape) + bias.reshape(shape))
+    elif op == "Relu":
+        put(jnp.maximum(ins[0], 0))
+    elif op == "LeakyRelu":
+        alpha = float(_attr(node, "alpha", 0.01))
+        put(jnp.where(ins[0] > 0, ins[0], alpha * ins[0]))
+    elif op == "Sigmoid":
+        put(jax.nn.sigmoid(_f32(jnp.asarray(ins[0]))))
+    elif op == "Tanh":
+        put(jnp.tanh(_f32(jnp.asarray(ins[0]))))
+    elif op == "Softmax":
+        put(jax.nn.softmax(_f32(jnp.asarray(ins[0])),
+                           axis=int(_attr(node, "axis", -1))))
+    elif op == "Exp":
+        put(jnp.exp(_f32(jnp.asarray(ins[0]))))
+    elif op == "Sqrt":
+        put(jnp.sqrt(_f32(jnp.asarray(ins[0]))))
+    elif op == "Pow":
+        put(jnp.power(_f32(jnp.asarray(ins[0])), jnp.asarray(ins[1])))
+    elif op == "Neg":
+        put(-ins[0])
+    elif op == "Erf":
+        put(lax.erf(_f32(jnp.asarray(ins[0]))))
+    elif op == "Clip":
+        lo = ins[1] if len(ins) > 1 and ins[1] is not None else -jnp.inf
+        hi = ins[2] if len(ins) > 2 and ins[2] is not None else jnp.inf
+        lo = _attr(node, "min", lo)
+        hi = _attr(node, "max", hi)
+        put(jnp.clip(ins[0], lo, hi))
+    elif op in ("Add", "Sub", "Mul", "Div", "Max", "Min"):
+        a, b_ = jnp.asarray(ins[0]), jnp.asarray(ins[1])
+        if op == "Add":
+            put(a + b_)
+        elif op == "Sub":
+            put(a - b_)
+        elif op == "Mul":
+            put(a * b_)
+        elif op == "Div":
+            if jnp.issubdtype(a.dtype, jnp.integer) and \
+                    jnp.issubdtype(b_.dtype, jnp.integer):
+                put(a // b_)
+            else:
+                put(a / b_)
+        elif op == "Max":
+            put(jnp.maximum(a, b_))
+        else:
+            put(jnp.minimum(a, b_))
+    elif op == "MaxPool":
+        put(_pool(node, ins[0], "max"))
+    elif op == "AveragePool":
+        put(_pool(node, ins[0], "avg"))
+    elif op == "GlobalAveragePool":
+        x = jnp.asarray(ins[0])
+        put(x.mean(axis=tuple(range(2, x.ndim)), keepdims=True))
+    elif op == "Concat":
+        put(jnp.concatenate([jnp.asarray(v) for v in ins],
+                            axis=int(_attr(node, "axis"))))
+    elif op == "Split":
+        axis = int(_attr(node, "axis", 0))
+        split = _attr(node, "split")
+        if split is None and len(ins) > 1 and ins[1] is not None:
+            split = [int(s) for s in need_static(ins[1], "split sizes")]
+        x = jnp.asarray(ins[0])
+        if split is None:
+            k = int(_attr(node, "num_outputs", len(node.outputs)))
+            length = x.shape[axis]
+            base = -(-length // k)
+            split = [base] * (k - 1) + [length - base * (k - 1)]
+        offs = np.cumsum([0] + list(split))
+        put(*[
+            lax.slice_in_dim(x, int(offs[i]), int(offs[i + 1]), axis=axis)
+            for i in range(len(split))
+        ])
+    elif op == "Slice":
+        if "starts" in node.attrs:  # opset < 10
+            put(_slice_op(jnp.asarray(ins[0]), _attr(node, "starts"),
+                          _attr(node, "ends"), _attr(node, "axes"), None))
+        else:
+            starts = need_static(ins[1], "starts")
+            ends = need_static(ins[2], "ends")
+            axes = need_static(ins[3], "axes") \
+                if len(ins) > 3 and ins[3] is not None else None
+            steps = need_static(ins[4], "steps") \
+                if len(ins) > 4 and ins[4] is not None else None
+            put(_slice_op(jnp.asarray(ins[0]), starts, ends, axes, steps))
+    elif op == "Reshape":
+        shape = [int(s) for s in need_static(ins[1], "target shape")]
+        x = jnp.asarray(ins[0])
+        if int(_attr(node, "allowzero", 0)) == 0:
+            shape = [x.shape[i] if s == 0 else s for i, s in enumerate(shape)]
+        put(x.reshape(shape))
+    elif op == "Transpose":
+        put(jnp.transpose(jnp.asarray(ins[0]), _attr(node, "perm")))
+    elif op == "Flatten":
+        ax = int(_attr(node, "axis", 1))
+        x = jnp.asarray(ins[0])
+        put(x.reshape(int(np.prod(x.shape[:ax], initial=1)), -1))
+    elif op == "Squeeze":
+        axes = _attr(node, "axes")
+        if axes is None and len(ins) > 1 and ins[1] is not None:
+            axes = [int(a) for a in need_static(ins[1], "axes")]
+        x = jnp.asarray(ins[0])
+        put(jnp.squeeze(x, axis=tuple(int(a) for a in axes))
+            if axes else jnp.squeeze(x))
+    elif op == "Unsqueeze":
+        axes = _attr(node, "axes")
+        if axes is None:
+            axes = [int(a) for a in need_static(ins[1], "axes")]
+        out = jnp.asarray(ins[0])
+        out_rank = out.ndim + len(axes)
+        for a in sorted(int(a) % out_rank for a in axes):
+            out = jnp.expand_dims(out, a)
+        put(out)
+    elif op == "Expand":
+        shape = tuple(int(s) for s in need_static(ins[1], "target shape"))
+        x = jnp.asarray(ins[0])
+        put(jnp.broadcast_to(x, np.broadcast_shapes(x.shape, shape)))
+    elif op == "Tile":
+        put(jnp.tile(jnp.asarray(ins[0]),
+                     [int(r) for r in need_static(ins[1], "repeats")]))
+    elif op == "Gather":
+        idx = ins[1]
+        idx = idx.astype(jnp.int32) if not _is_static(idx) \
+            else np.asarray(idx).astype(np.int64)
+        put(jnp.take(jnp.asarray(ins[0]), idx,
+                     axis=int(_attr(node, "axis", 0))))
+    elif op == "Cast":
+        to = int(_attr(node, "to"))
+        if to not in _CAST_DTYPES:
+            raise UnsupportedOnnxOp(f"Cast to TensorProto dtype code {to}")
+        put(jnp.asarray(ins[0]).astype(_CAST_DTYPES[to]))
+    elif op == "Resize":
+        scales = ins[2] if len(ins) > 2 and ins[2] is not None \
+            and np.size(ins[2]) else None
+        sizes = ins[3] if len(ins) > 3 and ins[3] is not None else None
+        if scales is not None:
+            scales = need_static(scales, "scales")
+        if sizes is not None:
+            sizes = need_static(sizes, "sizes")
+        put(_resize(node, jnp.asarray(ins[0]), scales, sizes))
+    elif op in ("ReduceMean", "ReduceSum", "ReduceMax"):
+        axes = _attr(node, "axes")
+        if axes is None and len(ins) > 1 and ins[1] is not None:
+            axes = [int(a) for a in need_static(ins[1], "axes")]
+        axes = tuple(axes) if axes else None
+        keep = bool(int(_attr(node, "keepdims", 1)))
+        fn = {"ReduceMean": jnp.mean, "ReduceSum": jnp.sum,
+              "ReduceMax": jnp.max}[op]
+        put(fn(jnp.asarray(ins[0]), axis=axes, keepdims=keep))
+    elif op in ("Identity", "Dropout"):
+        put(ins[0])
+    elif op == "Where":
+        put(jnp.where(jnp.asarray(ins[0]), jnp.asarray(ins[1]),
+                      jnp.asarray(ins[2])))
+    elif op == "Equal":
+        put(jnp.asarray(ins[0]) == jnp.asarray(ins[1]))
+    elif op == "LSTM":
+        put(*_rnn_scan(node, ins, "LSTM"))
+    elif op == "GRU":
+        put(*_rnn_scan(node, ins, "GRU"))
+    else:
+        raise UnsupportedOnnxOp(
+            f"op '{op}' (node '{node.name}') is outside the supported set"
+        )
+
+
+# nodes whose outputs stay concrete even when fed traced tensors: shape
+# machinery must constant-fold for the jitted program to be static-shaped
+_ALWAYS_STATIC = {"Shape"}
+
+
+def _run(g: OnnxGraph, feeds: Dict[str, object],
+         outputs: Optional[Sequence[str]] = None) -> List[object]:
+    """Trace-or-fold evaluation: nodes whose inputs are all concrete run
+    through onnx_exec._eval_node (compile-time constant folding); nodes
+    touching a traced tensor lower to jnp/lax via _eval_node_jax. ``Shape``
+    of a traced tensor returns its static trace-time shape concretely, so
+    shape math downstream stays folded."""
+    values: Dict[str, object] = {"": None}
+    values.update(g.initializers)
+    values.update(feeds)
+    missing = [i for i in g.inputs if i not in values]
+    if missing:
+        raise ValueError(f"missing graph inputs: {missing}")
+
+    pending: List[OnnxNode] = list(g.nodes)
+    while pending:
+        progressed = False
+        deferred: List[OnnxNode] = []
+        for node in pending:
+            if any(i and i not in values for i in node.inputs):
+                deferred.append(node)
+                continue
+            ins = [values[i] for i in node.inputs]
+            if node.op_type in _ALWAYS_STATIC:
+                # static trace-time shape, concrete result
+                values[node.outputs[0]] = np.asarray(
+                    np.shape(ins[0]), dtype=np.int64
+                )
+            elif all(_is_static(v) for v in ins):
+                _eval_node(node, values)
+            else:
+                _eval_node_jax(node, values)
+            progressed = True
+        if not progressed:
+            blocked = [n.op_type for n in deferred[:5]]
+            raise ValueError(
+                f"graph is not schedulable (cycle or missing producer); "
+                f"blocked at {blocked}"
+            )
+        pending = deferred
+
+    out_names = list(outputs) if outputs is not None else g.outputs
+    missing = [o for o in out_names if o not in values]
+    if missing:
+        raise ValueError(f"graph did not produce outputs: {missing}")
+    return [values[o] for o in out_names]
+
+
+def compile_graph(g: OnnxGraph, outputs: Optional[Sequence[str]] = None):
+    """Return ``fn(feeds) -> [outputs]`` suitable for ``jax.jit`` closure.
+
+    ``feeds`` maps graph input names to arrays (jnp tracers under jit).
+    The function re-traces per input shape — exactly the bucketed-compile
+    behavior the engines already manage."""
+    return partial(_run, g, outputs=outputs)
+
+
+def graph_input_name(g: OnnxGraph) -> str:
+    """The single data input of a serving graph (initializers are already
+    excluded by onnx_lite's reader)."""
+    if len(g.inputs) != 1:
+        raise ValueError(
+            f"expected a single-input serving graph, found inputs {g.inputs}"
+        )
+    return g.inputs[0]

@@ -1,0 +1,242 @@
+"""ONNX->JAX graph compiler fidelity (models/onnx_jax.py).
+
+The generic-graph serving path must agree with BOTH oracles:
+
+* torch itself (the exporter's semantics) — same harness as the numpy
+  executor's op gates;
+* the numpy executor ``onnx_exec.run_graph`` (already pinned op-by-op
+  against torch) — full-graph agreement at tight tolerance.
+
+Everything runs through ``jax.jit`` — the compiler's whole point is that
+an arbitrary user ONNX graph becomes ONE fused XLA program with static
+shapes (reference detector.py:484-609 serves arbitrary graphs through ONNX
+Runtime; this is the TPU-native counterpart).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_analytics_tpu.models.onnx_exec import run_graph  # noqa: E402
+from realtime_analytics_tpu.models.onnx_jax import (  # noqa: E402
+    compile_graph,
+    graph_input_name,
+)
+from realtime_analytics_tpu.models.onnx_lite import read_onnx_model  # noqa: E402
+
+from test_onnx_graph_exec import _export  # noqa: E402
+
+
+def _check_jax(model, x, path, atol=1e-4, fold=True):
+    """Export, compile with onnx_jax, run under jit, diff vs torch AND vs
+    the numpy executor."""
+    model = model.eval()
+    _export(model, x, str(path), fold=fold)
+    with torch.no_grad():
+        want = model(x)
+    wants = want if isinstance(want, (tuple, list)) else (want,)
+
+    g = read_onnx_model(str(path))
+    fn = compile_graph(g)
+    name = g.inputs[0]
+    jitted = jax.jit(lambda a: fn({name: a}))
+    outs = jitted(jnp.asarray(x.numpy()))
+    np_outs = run_graph(g, {name: x.numpy()})
+    assert len(outs) == len(wants) == len(np_outs)
+    for got, w, np_got in zip(outs, wants, np_outs):
+        got = np.asarray(got)
+        np.testing.assert_allclose(got, w.numpy(), atol=atol, rtol=1e-4)
+        np.testing.assert_allclose(got, np_got, atol=atol, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# op-level: the jnp twins agree with torch and the numpy executor
+
+
+def test_conv_variants(tmp_path):
+    torch.manual_seed(0)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.a = nn.Conv2d(3, 8, 3, stride=2, padding=1)
+            self.b = nn.Conv2d(8, 8, 3, padding=2, dilation=2, groups=8)
+            self.c = nn.Conv2d(8, 6, 1, bias=False)
+
+        def forward(self, x):
+            return self.c(self.b(self.a(x)))
+
+    _check_jax(M(), torch.rand(2, 3, 33, 47), tmp_path / "conv.onnx")
+
+
+def test_conv3d_and_pools(tmp_path):
+    torch.manual_seed(1)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.a = nn.Conv3d(2, 6, 3, stride=(1, 2, 2), padding=1)
+            self.b = nn.Conv3d(6, 6, (1, 3, 3), padding=(0, 1, 1), groups=3)
+
+        def forward(self, x):
+            y = torch.relu(self.a(x))
+            y = nn.functional.max_pool3d(y, (1, 2, 2))
+            y = self.b(y)
+            return nn.functional.avg_pool3d(y, 2, stride=1)
+
+    _check_jax(M(), torch.rand(2, 2, 5, 18, 21), tmp_path / "c3.onnx")
+
+
+def test_pool_ceil_and_pad(tmp_path):
+    torch.manual_seed(2)
+
+    class M(nn.Module):
+        def forward(self, x):
+            y = nn.functional.max_pool2d(x, 3, stride=2, padding=1)
+            y = nn.functional.max_pool2d(y, 3, stride=2, ceil_mode=True)
+            return nn.functional.avg_pool2d(y, 2, stride=2, ceil_mode=True)
+
+    _check_jax(M(), torch.rand(1, 3, 29, 31), tmp_path / "pool.onnx")
+
+
+def test_norm_linear_act_resize(tmp_path):
+    torch.manual_seed(3)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.bn = nn.BatchNorm2d(3)
+            self.fc = nn.Linear(3 * 8 * 8, 11)
+
+        def forward(self, x):
+            y = self.bn(x)
+            y = nn.functional.interpolate(y, scale_factor=2, mode="nearest")
+            y = nn.functional.interpolate(
+                y, size=(8, 8), mode="bilinear", align_corners=False
+            )
+            y = torch.sigmoid(y) * torch.tanh(y) + y.clamp(0.1, 0.7)
+            return nn.functional.softmax(self.fc(y.flatten(1)), dim=-1)
+
+    # BN stats need fold=False to survive as BatchNormalization
+    m = M().eval()
+    with torch.no_grad():
+        m.bn.running_mean.uniform_(-0.3, 0.3)
+        m.bn.running_var.uniform_(0.6, 1.5)
+    _check_jax(m, torch.rand(2, 3, 13, 9), tmp_path / "misc.onnx", fold=False)
+
+
+def test_shuffling_ops(tmp_path):
+    torch.manual_seed(4)
+
+    class M(nn.Module):
+        def forward(self, x):
+            a, b = torch.chunk(x, 2, dim=1)
+            y = torch.cat([b, a], dim=1).permute(0, 2, 3, 1)
+            y = y.reshape(y.shape[0], -1, y.shape[-1])
+            return y[:, 2:-2:2].unsqueeze(1).squeeze(1)
+
+    _check_jax(M(), torch.rand(2, 4, 9, 8), tmp_path / "shuf.onnx")
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_lstm_scan(bidirectional, tmp_path):
+    torch.manual_seed(5)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(10, 7, batch_first=True,
+                                bidirectional=bidirectional)
+
+        def forward(self, x):
+            hs, (h, c) = self.lstm(x)
+            return hs, h, c
+
+    _check_jax(M(), torch.rand(3, 6, 10), tmp_path / "lstm.onnx")
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_gru_scan(bidirectional, tmp_path):
+    torch.manual_seed(6)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gru = nn.GRU(8, 5, batch_first=True,
+                              bidirectional=bidirectional)
+
+        def forward(self, x):
+            hs, h = self.gru(x)
+            return hs, h
+
+    _check_jax(M(), torch.rand(2, 9, 8), tmp_path / "gru.onnx")
+
+
+def test_unsupported_op_raises(tmp_path):
+    from realtime_analytics_tpu.models.onnx_exec import UnsupportedOnnxOp
+
+    m = nn.ConvTranspose2d(2, 2, 3).eval()
+    _export(m, torch.rand(1, 2, 5, 5), str(tmp_path / "ct.onnx"))
+    g = read_onnx_model(str(tmp_path / "ct.onnx"))
+    fn = compile_graph(g)
+    with pytest.raises(UnsupportedOnnxOp, match="ConvTranspose"):
+        jax.jit(lambda a: fn({g.inputs[0]: a}))(
+            jnp.zeros((1, 2, 5, 5), jnp.float32)
+        )
+
+
+# ---------------------------------------------------------------------------
+# full-graph: one jitted XLA program per model family
+
+
+def test_full_yolo_graph_jits(tmp_path):
+    """The exported YOLO mirror (v8) compiles to ONE jitted program whose
+    outputs match the numpy executor's."""
+    from torch_mirror import TorchYoloMirror
+
+    from realtime_analytics_tpu.models.yolo import build_yolo
+
+    torch.manual_seed(7)
+    tm = TorchYoloMirror(build_yolo("yolov8", "n", nc=80)).eval()
+    path = tmp_path / "v8.onnx"
+    _export(tm, torch.rand(1, 3, 160, 160), str(path))
+    g = read_onnx_model(str(path))
+    x = np.random.default_rng(11).random((1, 3, 160, 160)).astype(np.float32)
+    fn = compile_graph(g)
+    jitted = jax.jit(lambda a: fn({g.inputs[0]: a}))
+    got = [np.asarray(o) for o in jitted(jnp.asarray(x))]
+    ref = run_graph(g, {g.inputs[0]: x})
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-3)
+
+
+def test_full_temporal_graphs_jit(tmp_path):
+    """All four temporal-family exports run as jitted programs and match
+    the numpy executor (LSTM scan, unrolled ConvGRU, 3-D convs)."""
+    from test_temporal_checkpoints import CLIP, MIRRORS
+
+    for i, (model_type, M) in enumerate(sorted(MIRRORS.items())):
+        torch.manual_seed(30 + i)
+        tm = M().eval()
+        clips = torch.rand(*CLIP)
+        path = tmp_path / f"{model_type}.onnx"
+        _export(tm, clips, str(path))
+        g = read_onnx_model(str(path))
+        fn = compile_graph(g)
+        name = graph_input_name(g)
+        jitted = jax.jit(lambda a, fn=fn, name=name: fn({name: a}))
+        (got,) = jitted(jnp.asarray(clips.numpy()))
+        (ref,) = run_graph(g, {name: clips.numpy()})
+        np.testing.assert_allclose(
+            np.asarray(got), ref, atol=1e-3, rtol=1e-3, err_msg=model_type
+        )
