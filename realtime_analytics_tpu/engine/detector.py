@@ -136,13 +136,48 @@ class JaxYoloEngine(BaseDetector):
         if params is None:
             params = load_yolo_checkpoint(self.model, config.model_path)
         if params is None:
+            # generic-graph fallback: the reference's ONNX backend serves
+            # ARBITRARY user graphs (reference detector.py:484-609); when
+            # the file matches no known checkpoint layout but carries a
+            # full graph, compile the graph itself (models/onnx_jax.py)
+            from ..models.onnx_graph_model import try_load_graph_model
+
+            gm = try_load_graph_model(
+                config.model_path, "yolo",
+                model_type=model_type, input_hw=tuple(self.input_hw),
+            )
+            if gm is not None:
+                logger.info(
+                    "'%s' matches no known checkpoint layout — serving its "
+                    "ONNX graph directly (generic ONNX->JAX path)",
+                    config.model_path,
+                )
+                self.model = gm
+                params = gm.init_params()
+        if params is None:
             logger.warning(
                 "No loadable weights at '%s' — using random init. Detections "
                 "will be meaningless until a checkpoint is provided.",
                 config.model_path,
             )
             params = self.model.init_params(jax.random.PRNGKey(0))
-        if config.precision == "int8":
+        graph_backed = getattr(self.model, "graph_backed", False)
+        # consulted by host_prepare and the exported-artifact meta (the
+        # stem-folding host paths need the native YOLO param tree)
+        self._graph_backed = graph_backed
+        if graph_backed and config.mesh_shape:
+            from ..config import ConfigError
+
+            raise ConfigError(
+                "mesh_shape is not supported with a generic ONNX graph "
+                "model — shard streams across chips with `--shards` instead"
+            )
+        if graph_backed and config.precision == "int8":
+            logger.warning(
+                "precision: int8 is not supported for generic ONNX graph "
+                "models — serving the graph in fp32"
+            )
+        if config.precision == "int8" and not graph_backed:
             from ..models.weights import (
                 calibrate_int8_activations,
                 quantize_params_int8,
@@ -168,7 +203,9 @@ class JaxYoloEngine(BaseDetector):
                 logger.exception(
                     "int8 calibration failed; using dynamic activation scales"
                 )
-        elif self.compute_dtype != jnp.float32:
+        elif self.compute_dtype != jnp.float32 and not graph_backed:
+            # graph-backed params stay fp32: a foreign graph's numerics are
+            # the user's contract (onnx_graph_model module docstring)
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
@@ -247,6 +284,12 @@ class JaxYoloEngine(BaseDetector):
         ~15.8 ms/step at b=128 for 854x480 sources vs the device-resize
         (Pallas bilinear) path, with a smaller upload too."""
         spec = letterbox_spec(src_hw, self.input_hw)
+        if getattr(self, "_graph_backed", False):
+            # the selected step folds BGR/255 into the YOLO stem conv —
+            # a foreign graph has no known stem; the device letterbox
+            # path serves it generically (exported artifacts carry the
+            # flag in meta so serve-time agrees with export-time)
+            return frames, False
         if self.config.host_select != "off":
             geom = self._select_geometry(spec)
             if geom is not None:
@@ -616,6 +659,9 @@ class JaxYoloEngine(BaseDetector):
         """Batch-predict same-resolution frames through the cheapest path
         (host pixel-pick > host letterbox resize > device letterbox)."""
         spec = letterbox_spec(shape, self.input_hw)
+        if getattr(self, "_graph_backed", False):
+            # no stem to fold BGR/255 into (host_prepare rationale)
+            return self._predict_prepared(np.stack(frames_list), shape, False)
         geom = None
         if self.config.host_select != "off":
             geom = self._select_geometry(spec)
@@ -664,7 +710,8 @@ class JaxYoloEngine(BaseDetector):
         spec = letterbox_spec((th, tw), self.input_hw)
         geom = (
             self._select_geometry(spec)
-            if self.config.host_select != "off" else None
+            if self.config.host_select != "off"
+            and not getattr(self, "_graph_backed", False) else None
         )
         selected = geom == (1, 0, 1, 0)
         # crop + predict in compile-bucket-sized chunks: materializing all
@@ -784,12 +831,31 @@ class JaxResNetEngine(BaseDetector):
         if params is None:
             params = load_resnet_checkpoint(self.model, config.model_path)
         if params is None:
+            # generic-graph fallback (reference serves arbitrary classifier
+            # graphs through ONNX Runtime, detector.py:1004-1134)
+            from ..models.onnx_graph_model import try_load_graph_model
+
+            gm = try_load_graph_model(
+                config.model_path, "classifier",
+                input_hw=tuple(self.input_hw),
+            )
+            if gm is not None:
+                logger.info(
+                    "'%s' matches no known checkpoint layout — serving its "
+                    "ONNX graph directly (generic ONNX->JAX path)",
+                    config.model_path,
+                )
+                self.model = gm
+                params = gm.init_params()
+        if params is None:
             logger.warning(
                 "No loadable ResNet weights at '%s' — using random init.",
                 config.model_path,
             )
             params = self.model.init_params(jax.random.PRNGKey(0))
-        if self.compute_dtype != jnp.float32:
+        if self.compute_dtype != jnp.float32 and not getattr(
+            self.model, "graph_backed", False
+        ):
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,

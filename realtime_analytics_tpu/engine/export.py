@@ -318,6 +318,9 @@ def _write_artifact_zip(
             "max_detections": cfg.max_detections,
             "host_select": cfg.host_select,
             "host_resize": cfg.host_resize,
+            # graph-backed engines exported only 'full' programs (no stem
+            # to fold) — serve-time host_prepare must agree
+            "graph_backed": bool(getattr(engine, "_graph_backed", False)),
             "classes": list(cfg.classes) if cfg.classes else None,
             "sequence_length": cfg.sequence_length,
             "resnet_top_k": cfg.resnet_top_k,
@@ -393,6 +396,9 @@ class _ArtifactMixin:
             for p in meta["programs"]
         }
         self.input_hw = (int(meta["input_size"][0]), int(meta["input_size"][1]))
+        # graph-backed artifacts carry no 'sel'/'rsz' programs; host_prepare
+        # must make the same decision it made at export time
+        self._graph_backed = bool(meta.get("graph_backed", False))
         if list(config.resolved_input_size) != list(self.input_hw):
             logger.warning(
                 "detector.input_size %s != artifact input_size %s — the "

@@ -68,12 +68,36 @@ class JaxTemporalEngine(BaseDetector):
 
         params = params or self._try_load(config.model_path)
         if params is None:
+            # generic-graph fallback: the reference's temporal detectors
+            # execute ARBITRARY user ONNX graphs through ONNX Runtime
+            # (temporal_detector.py:179-319) — when the file matches no
+            # documented layout but carries a full graph, compile the
+            # graph itself (models/onnx_jax.py) and serve it
+            from ..models.onnx_graph_model import try_load_graph_model
+
+            gm = try_load_graph_model(
+                config.model_path, "temporal",
+                model_type=config.model_type,
+                t_len=config.sequence_length,
+                input_hw=tuple(self.input_hw),
+            )
+            if gm is not None:
+                logger.info(
+                    "'%s' matches no known checkpoint layout — serving its "
+                    "ONNX graph directly (generic ONNX->JAX path)",
+                    config.model_path,
+                )
+                self.model = gm
+                params = gm.init_params()
+        if params is None:
             logger.warning(
                 "No loadable temporal weights at '%s' — using random init.",
                 config.model_path,
             )
             params = self.model.init_params(jax.random.PRNGKey(0))
-        if self.compute_dtype != jnp.float32:
+        if self.compute_dtype != jnp.float32 and not getattr(
+            self.model, "graph_backed", False
+        ):
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype)
                 if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,

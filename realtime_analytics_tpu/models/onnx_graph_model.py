@@ -1,0 +1,276 @@
+"""Graph-backed model adapters: serve an arbitrary user ONNX file.
+
+The reference's ONNX Runtime / OpenVINO backends execute whatever graph the
+user exported (reference detector.py:484-609 builds a session straight from
+the file; temporal_detector.py:179-319 likewise) — the architecture never
+has to match anything the framework knows. The named loaders in
+``models/weights.py`` cover the documented checkpoint layouts; these
+adapters cover the rest: when a ``.onnx`` matches no known layout, the
+engines fall back to compiling the **graph itself** with
+``models/onnx_jax.py`` and serving it inside the same fused jit steps
+(device preprocess + forward + NMS stay one XLA program).
+
+Batch handling. torch exports come in two shapes:
+
+* **dynamic-batch** exports (the reference's own temporal converter uses
+  ``dynamic_axes``): batch-dependent reshape targets arrive as Shape->
+  Gather->Concat subgraphs, which ``onnx_jax`` folds against the *serving*
+  shape at trace time — every bucket compiles correctly.
+* **static-batch** exports (e.g. stock Ultralytics ``yolov8n.onnx``,
+  batch 1 baked into every Reshape constant): the adapter detects this
+  with an abstract probe at a batch the export can't have used, and
+  serves through ``jax.vmap`` over a per-example call — XLA still emits
+  batched convolutions, so the MXU sees the full bucket.
+
+Weights device residency: float initializers are fed as runtime params
+(device-put by the engines like any checkpoint pytree) rather than baked
+into the executable as constants; shape-machinery tensors (int tensors,
+Resize scales, Range bounds) stay compile-time constants so the folding
+above works. Graphs serve in fp32 — a foreign graph's numerics are the
+user's contract, so the engines skip their bf16 param cast for these
+(``graph_backed`` attribute).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .onnx_exec import UnsupportedOnnxOp
+from .onnx_jax import compile_graph
+from .onnx_lite import OnnxGraph, read_onnx_model
+
+logger = logging.getLogger(__name__)
+
+# a batch size no sane export was traced at — used to probe batch dynamism
+_PROBE_BATCH = 3
+
+
+def serving_params(g: OnnxGraph) -> Dict[str, np.ndarray]:
+    """Float initializers that are safe to feed as runtime params: anything
+    consumed as a shape/scale argument (Resize scales/sizes, Range bounds,
+    ConstantOfShape shape) must stay a compile-time constant for the
+    static-shape folding in onnx_jax to work; int tensors stay constant
+    anyway (Reshape/Slice/Split arguments)."""
+    static_names = set()
+    for node in g.nodes:
+        if node.op_type == "Resize":
+            static_names.update(node.inputs[1:])
+        elif node.op_type in ("Range", "ConstantOfShape"):
+            static_names.update(node.inputs)
+    return {
+        k: v
+        for k, v in g.initializers.items()
+        if np.issubdtype(v.dtype, np.floating) and k not in static_names
+    }
+
+
+class OnnxGraphModel:
+    """Base adapter: compiled graph + batch-mode probe + param handling.
+
+    Exposes the same ``init_params`` / ``apply``-style surface the native
+    models do, so the engines' fused steps close over it unchanged."""
+
+    graph_backed = True
+
+    def __init__(self, graph: OnnxGraph, example_shape: Tuple[int, ...]):
+        """``example_shape``: graph-layout input shape WITHOUT the batch
+        dim (e.g. (3, 640, 640) for a detector)."""
+        if len(graph.inputs) != 1:
+            raise UnsupportedOnnxOp(
+                f"serving graphs must have exactly one data input, "
+                f"found {graph.inputs}"
+            )
+        self.graph = graph
+        self.input_name = graph.inputs[0]
+        self._params = serving_params(graph)
+        self._fn = compile_graph(graph)
+        self.example_shape = tuple(int(s) for s in example_shape)
+        self.dynamic_batch = self._probe_dynamic()
+        logger.info(
+            "ONNX graph model: %d nodes, %d param tensors, input '%s' %s, "
+            "batch mode: %s",
+            len(graph.nodes), len(self._params), self.input_name,
+            self.example_shape,
+            "dynamic" if self.dynamic_batch else "vmap (static-batch export)",
+        )
+
+    # -- engine surface -------------------------------------------------
+
+    def init_params(self, key=None) -> Dict[str, np.ndarray]:
+        """The graph's own weights — 'init' is a load, never random."""
+        return dict(self._params)
+
+    # -- internals --------------------------------------------------------
+
+    def _probe_dynamic(self) -> bool:
+        """True when the export is batch-polymorphic: an abstract trace at
+        a batch the export wasn't traced at succeeds AND the leading output
+        dim follows the batch (a batch-1-baked Reshape would either throw
+        or collapse the batch)."""
+        shape = (_PROBE_BATCH, *self.example_shape)
+        try:
+            outs = jax.eval_shape(
+                lambda a: self._run_direct(self._params, a),
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+            )
+            return all(
+                o.ndim >= 1 and o.shape[0] == _PROBE_BATCH for o in outs
+            )
+        except Exception:  # noqa: BLE001 — any trace failure = static export
+            return False
+
+    def _run_direct(self, params, x) -> List[jnp.ndarray]:
+        return self._fn({self.input_name: x, **params})
+
+    def run(self, params, x: jnp.ndarray) -> List[jnp.ndarray]:
+        """Run the graph on a batched graph-layout input [B, ...]."""
+        if self.dynamic_batch:
+            return self._run_direct(params, x)
+
+        def per_example(xi):
+            return self._run_direct(params, xi[None])
+
+        outs = jax.vmap(per_example)(x)
+        # each out is [B, 1, ...] (the export's baked batch-1 dim)
+        return [
+            jnp.squeeze(o, axis=1) if o.ndim >= 2 and o.shape[1] == 1 else o
+            for o in outs
+        ]
+
+
+class OnnxGraphYolo(OnnxGraphModel):
+    """Detection adapter: graph emits the reference's prediction matrix
+    (v8: ``[N, 4+nc, A]`` xywh + per-class scores; v5: ``[N, A, 5+nc]``
+    with objectness). Decode follows reference detector.py:266-338 —
+    with its v8 mis-decode fixed the same way models/yolo.py does (the
+    reference multiplies class 0 in as objectness whenever cols > 5)."""
+
+    def __init__(self, graph: OnnxGraph, model_type: str,
+                 input_hw: Tuple[int, int]):
+        self.model_type = model_type
+        super().__init__(graph, (3, *input_hw))
+
+    def apply(self, params, x: jnp.ndarray, reduce_scores: bool = False,
+              s2d: bool = False) -> Dict[str, jnp.ndarray]:
+        """x: [N, H, W, 3] RGB in [0, 1] (the engines' device preprocess
+        output). ``s2d`` is a native-backbone layout transform — a foreign
+        graph defines its own layout, so it is accepted and ignored."""
+        pred = self.run(params, jnp.transpose(
+            x.astype(jnp.float32), (0, 3, 1, 2)
+        ))[0].astype(jnp.float32)
+        if pred.ndim != 3:
+            raise UnsupportedOnnxOp(
+                f"detection graph output must be [N, C, A] or [N, A, C], "
+                f"got shape {pred.shape}"
+            )
+        # orientation: channels (4+nc / 5+nc) is always the smaller dim
+        # for real detectors (A >= 400 at 160px)
+        if pred.shape[1] < pred.shape[2]:
+            pred = jnp.transpose(pred, (0, 2, 1))  # -> [N, A, C]
+        xywh = pred[..., :4]
+        if self.model_type == "yolov5":
+            scores = pred[..., 4:5] * pred[..., 5:]
+        else:
+            scores = pred[..., 4:]
+        half = xywh[..., 2:] * 0.5
+        boxes = jnp.concatenate(
+            [xywh[..., :2] - half, xywh[..., :2] + half], axis=-1
+        )
+        if reduce_scores:
+            return {
+                "boxes_xyxy": boxes,
+                "conf": scores.max(axis=-1),
+                "cls": scores.argmax(axis=-1).astype(jnp.int32),
+            }
+        return {"boxes_xyxy": boxes, "scores": scores}
+
+
+class OnnxGraphTemporal(OnnxGraphModel):
+    """Temporal adapter. Input layout per family follows the reference:
+    CNN-LSTM / ConvGRU take ``[N, T, C, H, W]`` (temporal_detector.py:
+    330-373), 3D-CNN / SlowFast take ``[N, C, T, H, W]`` (:554-593).
+    Output: action logits ``[N, num_classes]``."""
+
+    def __init__(self, graph: OnnxGraph, model_type: str, t_len: int,
+                 input_hw: Tuple[int, int]):
+        self.channels_first_time = model_type in ("3d_cnn", "slow_fast")
+        shape = (3, t_len, *input_hw) if self.channels_first_time \
+            else (t_len, 3, *input_hw)
+        super().__init__(graph, shape)
+
+    def apply(self, params, clips: jnp.ndarray) -> jnp.ndarray:
+        """clips: [N, T, H, W, 3] normalized RGB (the temporal engine's
+        clip-head output layout)."""
+        perm = (0, 4, 1, 2, 3) if self.channels_first_time \
+            else (0, 1, 4, 2, 3)
+        logits = self.run(
+            params, jnp.transpose(clips.astype(jnp.float32), perm)
+        )[0]
+        return logits.astype(jnp.float32)
+
+
+class OnnxGraphClassifier(OnnxGraphModel):
+    """Classification adapter: ``[N, 3, H, W]`` ImageNet-normalized in,
+    logits out (reference ResNet-ONNX contract, detector.py:1004-1134)."""
+
+    def __init__(self, graph: OnnxGraph, input_hw: Tuple[int, int]):
+        super().__init__(graph, (3, *input_hw))
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [N, H, W, 3] normalized RGB (the engine's classify head)."""
+        logits = self.run(params, jnp.transpose(
+            x.astype(jnp.float32), (0, 3, 1, 2)
+        ))[0]
+        return logits.astype(jnp.float32)
+
+
+def try_load_graph_model(path: str, kind: str, **kwargs):
+    """Factory the engines call AFTER the named-layout loaders fail:
+    parse ``path``, build the ``kind`` adapter ('yolo' / 'temporal' /
+    'classifier'), and abstractly probe it. Returns None (with the reason
+    logged) when the file isn't a usable full graph — the engines then
+    fall through to their existing random-init warning."""
+    if not str(path).endswith(".onnx"):
+        return None
+    try:
+        graph = read_onnx_model(str(path))
+    except Exception as exc:  # noqa: BLE001 — unreadable/foreign file
+        logger.warning("'%s' did not parse as ONNX: %s", path, exc)
+        return None
+    if not graph.nodes:
+        return None  # weights-only container, nothing to execute
+    cls = {
+        "yolo": OnnxGraphYolo,
+        "temporal": OnnxGraphTemporal,
+        "classifier": OnnxGraphClassifier,
+    }[kind]
+    try:
+        model = cls(graph, **kwargs)
+        # probe the REAL serving call once (eval_shape: no FLOPs) so an
+        # unsupported op surfaces here, not at the first live batch
+        if kind == "temporal":
+            t_len = kwargs["t_len"]
+            hw = kwargs["input_hw"]
+            probe = jax.ShapeDtypeStruct((1, t_len, *hw, 3), jnp.float32)
+        else:
+            hw = kwargs["input_hw"]
+            probe = jax.ShapeDtypeStruct((1, *hw, 3), jnp.float32)
+        jax.eval_shape(lambda a: model.apply(model.init_params(), a), probe)
+        return model
+    except UnsupportedOnnxOp as exc:
+        logger.warning(
+            "'%s' has a full ONNX graph but it is not servable: %s — "
+            "falling back", path, exc,
+        )
+        return None
+    except Exception:  # noqa: BLE001
+        logger.exception(
+            "'%s': ONNX graph compilation failed — falling back", path
+        )
+        return None

@@ -1,0 +1,351 @@
+"""Generic ONNX-graph serving (models/onnx_graph_model.py).
+
+The reference's ONNX backends serve ARBITRARY user exports — the graph
+defines the architecture (reference detector.py:484-609,
+temporal_detector.py:179-319). These tests build torch models whose module
+naming matches NO documented checkpoint layout, export them to ONNX, and
+require each engine to fall back to compiling the graph itself and serve
+it with the same results as the pinned numpy executor / torch:
+
+* detection: engine detections vs a reference numpy path (onnx_exec +
+  reference-style decode + greedy NMS);
+* static-batch vs dynamic-batch exports (vmap vs direct serving);
+* temporal: clip predictions vs torch's own forward;
+* classification: top-k vs torch's own forward.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_analytics_tpu.config import DetectorConfig, StreamConfig  # noqa: E402
+from realtime_analytics_tpu.engine.detector import (  # noqa: E402
+    JaxResNetEngine,
+    JaxYoloEngine,
+)
+from realtime_analytics_tpu.engine.temporal import JaxTemporalEngine  # noqa: E402
+from realtime_analytics_tpu.models.onnx_exec import run_graph  # noqa: E402
+from realtime_analytics_tpu.models.onnx_lite import read_onnx_model  # noqa: E402
+from realtime_analytics_tpu.types import FramePacket  # noqa: E402
+
+from test_onnx_graph_exec import _export  # noqa: E402
+
+HW = (64, 64)
+NC = 6
+
+
+class ForeignDetector(nn.Module):
+    """A detector matching NO known layout: stride-8 conv head emitting
+    the v8-style prediction matrix [N, 4+nc, A] (xywh in input pixels,
+    post-sigmoid class scores)."""
+
+    def __init__(self, nc=NC, bake_batch=False):
+        super().__init__()
+        self.backbone = nn.Sequential(
+            nn.Conv2d(3, 16, 3, stride=2, padding=1), nn.ReLU(),
+            nn.Conv2d(16, 32, 3, stride=2, padding=1), nn.ReLU(),
+            nn.Conv2d(32, 32, 3, stride=2, padding=1), nn.ReLU(),
+        )
+        self.head = nn.Conv2d(32, 4 + nc, 1)
+        self.bake_batch = bake_batch
+        self.nc = nc
+
+    def forward(self, x):
+        p = self.head(self.backbone(x))  # [N, 4+nc, h, w]
+        if self.bake_batch:
+            # batch-1 baked into the reshape — how stock static Ultralytics
+            # exports look (the adapter must fall back to vmap serving)
+            p = p.reshape(1, 4 + self.nc, -1)
+        else:
+            p = p.flatten(2)  # [N, 4+nc, A]
+        size = float(HW[0])
+        xywh = torch.sigmoid(p[:, :4]) * size
+        cls = torch.sigmoid(p[:, 4:])
+        return torch.cat([xywh, cls], dim=1)
+
+
+def _reference_detections(path, frames, conf_thr, iou_thr, max_det):
+    """The oracle path: numpy graph evaluation + reference decode
+    (detector.py:266-338 with the v8 fix) + greedy NMS (:361-375).
+    Identity letterbox (frames already at input size): preprocess is
+    BGR->RGB + /255 only."""
+    g = read_onnx_model(path)
+    out = []
+    for f in frames:
+        x = (f[..., ::-1].astype(np.float32) / 255.0).transpose(2, 0, 1)
+        (pred,) = run_graph(g, {g.inputs[0]: x[None]})
+        pred = pred[0].T  # [A, 4+nc]
+        xywh, cls = pred[:, :4], pred[:, 4:]
+        conf = cls.max(axis=1)
+        ids = cls.argmax(axis=1)
+        keep = conf >= conf_thr
+        xywh, conf, ids = xywh[keep], conf[keep], ids[keep]
+        boxes = np.stack([
+            xywh[:, 0] - xywh[:, 2] / 2, xywh[:, 1] - xywh[:, 3] / 2,
+            xywh[:, 0] + xywh[:, 2] / 2, xywh[:, 1] + xywh[:, 3] / 2,
+        ], axis=1)
+        # clip to frame (reference _scale_boxes clips)
+        h, w = f.shape[:2]
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, w - 1)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, h - 1)
+        order = np.argsort(-conf)
+        kept = []
+        while order.size and len(kept) < max_det:
+            i = order[0]
+            kept.append(i)
+            rest = order[1:]
+            x1 = np.maximum(boxes[i, 0], boxes[rest, 0])
+            y1 = np.maximum(boxes[i, 1], boxes[rest, 1])
+            x2 = np.minimum(boxes[i, 2], boxes[rest, 2])
+            y2 = np.minimum(boxes[i, 3], boxes[rest, 3])
+            inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[rest, 2] - boxes[rest, 0]) * \
+                (boxes[rest, 3] - boxes[rest, 1])
+            iou = inter / (a + b - inter + 1e-9)
+            order = rest[iou <= iou_thr]
+        out.append((boxes[kept], conf[kept], ids[kept]))
+    return out
+
+
+def _engine_for(path, **over):
+    kw = dict(
+        model_path=str(path), model_type="yolov8", backend="onnx",
+        confidence_threshold=0.3, iou_threshold=0.45,
+        input_size=list(HW), max_batch_size=4, warmup=False,
+        precision="fp32", num_classes=NC,
+    )
+    kw.update(over)
+    return JaxYoloEngine(DetectorConfig(**kw))
+
+
+@pytest.fixture(scope="module")
+def foreign_onnx(tmp_path_factory):
+    d = tmp_path_factory.mktemp("foreign")
+    static = d / "static.onnx"
+    dynamic = d / "dynamic.onnx"
+    # identical weights, two export styles
+    torch.manual_seed(100)
+    m = ForeignDetector(bake_batch=True).eval()
+    _export(m, torch.rand(1, 3, *HW), str(static))
+    torch.manual_seed(100)
+    m = ForeignDetector(bake_batch=False).eval()
+    _export(m, torch.rand(1, 3, *HW), str(dynamic),
+            dynamic_axes={"x": {0: "n"}})
+    return {"static": str(static), "dynamic": str(dynamic)}
+
+
+@pytest.mark.parametrize("kind", ["static", "dynamic"])
+def test_foreign_detector_serves_via_graph(foreign_onnx, kind):
+    """An unknown-layout detection ONNX must serve through the generic
+    graph path with reference-faithful decode + NMS."""
+    eng = _engine_for(foreign_onnx[kind])
+    assert getattr(eng.model, "graph_backed", False), (
+        "engine did not fall back to the ONNX graph model"
+    )
+    # static-batch export must be detected and served via vmap
+    assert eng.model.dynamic_batch == (kind == "dynamic")
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (3, *HW, 3), dtype=np.uint8)
+    got = eng.predict_arrays(frames)
+    ref = _reference_detections(
+        foreign_onnx[kind], frames, eng.config.confidence_threshold,
+        eng.config.iou_threshold, eng.config.max_detections,
+    )
+    for i, (rb, rc, rid) in enumerate(ref):
+        n = int(got.num_valid[i])
+        assert n == len(rb), f"frame {i}: {n} detections vs oracle {len(rb)}"
+        order = np.argsort(-got.scores[i][:n])
+        np.testing.assert_allclose(
+            got.scores[i][:n][order], rc, atol=1e-3, rtol=1e-3
+        )
+        np.testing.assert_array_equal(got.class_ids[i][:n][order], rid)
+        np.testing.assert_allclose(
+            got.boxes_xyxy[i][:n][order], rb, atol=0.5
+        )
+
+
+def test_static_and_dynamic_exports_agree(foreign_onnx):
+    """vmap serving of a batch-1-baked export == direct serving of the
+    dynamic export, bit-for-bit on the same batch."""
+    e_static = _engine_for(foreign_onnx["static"])
+    e_dynamic = _engine_for(foreign_onnx["dynamic"])
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, (3, *HW, 3), dtype=np.uint8)
+    a = e_static.predict_arrays(frames)
+    b = e_dynamic.predict_arrays(frames)
+    np.testing.assert_array_equal(a.num_valid, b.num_valid)
+    np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+    np.testing.assert_allclose(a.boxes_xyxy, b.boxes_xyxy, atol=1e-2)
+
+
+class ForeignTemporal(nn.Module):
+    """cnn_lstm-family model with foreign module names ([N,T,C,H,W] in,
+    logits out — the reference's CNN-LSTM ONNX contract)."""
+
+    def __init__(self, nc=5, hid=24):
+        super().__init__()
+        self.enc = nn.Conv2d(3, 12, 3, stride=4, padding=1)
+        self.rnn = nn.LSTM(12, hid, batch_first=True)
+        self.cls = nn.Linear(hid, nc)
+
+    def forward(self, x):  # [N, T, C, H, W]
+        n, t = x.shape[0], x.shape[1]
+        y = torch.relu(self.enc(x.flatten(0, 1)))
+        y = y.mean(dim=(2, 3)).reshape(n, t, -1)
+        hs, _ = self.rnn(y)
+        return self.cls(hs[:, -1])
+
+
+def test_foreign_temporal_serves_via_graph(tmp_path):
+    torch.manual_seed(101)
+    t_len = 4
+    m = ForeignTemporal().eval()
+    path = tmp_path / "temporal.onnx"
+    _export(m, torch.rand(1, t_len, 3, 32, 32), str(path),
+            dynamic_axes={"x": {0: "n"}})
+
+    cfg = DetectorConfig(
+        model_path=str(path), model_type="cnn_lstm", backend="onnx",
+        input_size=[32, 32], sequence_length=t_len, sequence_stride=1,
+        num_action_classes=5, warmup=False, precision="fp32",
+        max_batch_size=2,
+        confidence_threshold=0.01,  # random-weight softmax over 5 ~ 0.2
+    )
+    eng = JaxTemporalEngine(cfg)
+    assert getattr(eng.model, "graph_backed", False)
+
+    rng = np.random.default_rng(7)
+    stream = StreamConfig(name="s", url="mem://")
+    seq = [
+        FramePacket(stream, rng.integers(0, 256, (32, 32, 3), np.uint8),
+                    i, time.time())
+        for i in range(t_len)
+    ]
+    dets = eng.predict_clips([seq])[0]
+    assert dets, "graph-backed temporal engine produced no detections"
+
+    # oracle: torch forward on the SAME preprocessing (ImageNet-normalized
+    # RGB, the engine's cnn_lstm contract)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    clip = np.stack([p.frame[..., ::-1].astype(np.float32) / 255.0
+                     for p in seq])
+    clip = (clip - mean) / std
+    with torch.no_grad():
+        logits = m(torch.from_numpy(
+            clip.transpose(0, 3, 1, 2)[None].astype(np.float32)
+        ))
+        probs = torch.softmax(logits, dim=-1)[0].numpy()
+    top = np.argsort(-probs)
+    for d, cls_id in zip(dets, top[: len(dets)]):
+        assert d.class_id == cls_id
+        np.testing.assert_allclose(d.confidence, probs[cls_id], atol=1e-3)
+
+
+class ForeignClassifier(nn.Module):
+    def __init__(self, nc=9):
+        super().__init__()
+        self.feat = nn.Sequential(
+            nn.Conv2d(3, 10, 5, stride=2, padding=2), nn.ReLU(),
+            nn.Conv2d(10, 20, 3, stride=2, padding=1), nn.ReLU(),
+        )
+        self.out = nn.Linear(20, nc)
+
+    def forward(self, x):
+        return self.out(self.feat(x).mean(dim=(2, 3)))
+
+
+def test_foreign_classifier_serves_via_graph(tmp_path):
+    torch.manual_seed(102)
+    m = ForeignClassifier().eval()
+    path = tmp_path / "cls.onnx"
+    _export(m, torch.rand(1, 3, 48, 48), str(path),
+            dynamic_axes={"x": {0: "n"}})
+
+    cfg = DetectorConfig(
+        model_path=str(path), model_type="resnet", backend="onnx",
+        input_size=[48, 48], num_classes=9, resnet_top_k=3,
+        warmup=False, precision="fp32", max_batch_size=2,
+        resnet_scores="softmax",  # positive scores so the confidence
+        confidence_threshold=0.001,  # threshold can stay in (0, 1]
+    )
+    eng = JaxResNetEngine(cfg)
+    assert getattr(eng.model, "graph_backed", False)
+
+    rng = np.random.default_rng(8)
+    frame = rng.integers(0, 256, (48, 48, 3), np.uint8)
+    stream = StreamConfig(name="s", url="mem://")
+    dets = eng.predict(FramePacket(stream, frame, 0, time.time()))
+    assert len(dets) == 3
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    x = (frame[..., ::-1].astype(np.float32) / 255.0 - mean) / std
+    with torch.no_grad():
+        logits = m(torch.from_numpy(
+            x.transpose(2, 0, 1)[None].astype(np.float32)
+        ))
+        probs = torch.softmax(logits, dim=-1)[0].numpy()
+    top = np.argsort(-probs)[:3]
+    for d, cls_id in zip(dets, top):
+        assert d.class_id == cls_id
+        np.testing.assert_allclose(d.confidence, probs[cls_id], atol=1e-3)
+
+
+def test_graph_backed_engine_exports_rvae(foreign_onnx, tmp_path):
+    """AOT `.rvae` export works for graph-backed engines too (jax.export
+    of the fused step — the graph is just another jittable closure):
+    exported serving must be bit-identical to the live graph engine."""
+    from realtime_analytics_tpu.engine.export import (
+        ExportedYoloEngine,
+        export_serving_artifact,
+    )
+
+    live = _engine_for(
+        foreign_onnx["dynamic"], batch_buckets=[2], max_batch_size=2
+    )
+    path = str(tmp_path / "foreign.rvae")
+    export_serving_artifact(live, path, src_hws=[HW])
+    exported = ExportedYoloEngine(DetectorConfig(
+        model_path=path, model_type="yolov8",
+        confidence_threshold=0.3, iou_threshold=0.45,
+        input_size=list(HW), max_batch_size=2, batch_buckets=[2],
+        warmup=False, precision="fp32", num_classes=NC,
+    ))
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (2, *HW, 3), dtype=np.uint8)
+    a = live.predict_arrays(frames)
+    b = exported.predict_arrays(frames)
+    np.testing.assert_array_equal(a.num_valid, b.num_valid)
+    np.testing.assert_allclose(a.scores, b.scores, atol=1e-6)
+    np.testing.assert_allclose(a.boxes_xyxy, b.boxes_xyxy, atol=1e-4)
+
+
+def test_documented_layout_still_prefers_native_model(tmp_path):
+    """A DOCUMENTED-layout weights-.onnx must keep loading through the
+    named ingestion path (native JAX model), not the graph fallback."""
+    from test_temporal_checkpoints import TorchCNNLSTM, _state_dict
+
+    from realtime_analytics_tpu.models.onnx_lite import write_onnx_initializers
+
+    torch.manual_seed(103)
+    tm = TorchCNNLSTM(nc=5).eval()
+    path = tmp_path / "named.onnx"
+    write_onnx_initializers(str(path), dict(_state_dict(tm)))
+    cfg = DetectorConfig(
+        model_path=str(path), model_type="cnn_lstm", backend="onnx",
+        input_size=[32, 32], sequence_length=4, num_action_classes=5,
+        warmup=False, precision="fp32",
+    )
+    eng = JaxTemporalEngine(cfg)
+    assert not getattr(eng.model, "graph_backed", False)
