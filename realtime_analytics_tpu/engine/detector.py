@@ -140,20 +140,14 @@ class JaxYoloEngine(BaseDetector):
             # ARBITRARY user graphs (reference detector.py:484-609); when
             # the file matches no known checkpoint layout but carries a
             # full graph, compile the graph itself (models/onnx_jax.py)
-            from ..models.onnx_graph_model import try_load_graph_model
+            from ..models.onnx_graph_model import load_graph_fallback
 
-            gm = try_load_graph_model(
+            loaded = load_graph_fallback(
                 config.model_path, "yolo",
                 model_type=model_type, input_hw=tuple(self.input_hw),
             )
-            if gm is not None:
-                logger.info(
-                    "'%s' matches no known checkpoint layout — serving its "
-                    "ONNX graph directly (generic ONNX->JAX path)",
-                    config.model_path,
-                )
-                self.model = gm
-                params = gm.init_params()
+            if loaded is not None:
+                self.model, params = loaded
         if params is None:
             logger.warning(
                 "No loadable weights at '%s' — using random init. Detections "
@@ -165,6 +159,11 @@ class JaxYoloEngine(BaseDetector):
         # consulted by host_prepare and the exported-artifact meta (the
         # stem-folding host paths need the native YOLO param tree)
         self._graph_backed = graph_backed
+        if graph_backed:
+            # fp32 end to end — params AND the device preprocess feeding
+            # the graph: a foreign graph's numerics are the user's contract
+            # (bf16 pixel rounding would diverge from their ORT baseline)
+            self.compute_dtype = jnp.float32
         if graph_backed and config.mesh_shape:
             from ..config import ConfigError
 
@@ -833,26 +832,25 @@ class JaxResNetEngine(BaseDetector):
         if params is None:
             # generic-graph fallback (reference serves arbitrary classifier
             # graphs through ONNX Runtime, detector.py:1004-1134)
-            from ..models.onnx_graph_model import try_load_graph_model
+            from ..models.onnx_graph_model import load_graph_fallback
 
-            gm = try_load_graph_model(
+            loaded = load_graph_fallback(
                 config.model_path, "classifier",
                 input_hw=tuple(self.input_hw),
             )
-            if gm is not None:
-                logger.info(
-                    "'%s' matches no known checkpoint layout — serving its "
-                    "ONNX graph directly (generic ONNX->JAX path)",
-                    config.model_path,
-                )
-                self.model = gm
-                params = gm.init_params()
+            if loaded is not None:
+                self.model, params = loaded
         if params is None:
             logger.warning(
                 "No loadable ResNet weights at '%s' — using random init.",
                 config.model_path,
             )
             params = self.model.init_params(jax.random.PRNGKey(0))
+        if getattr(self.model, "graph_backed", False):
+            # foreign graph numerics are the user's contract — fp32 end to
+            # end, including the normalize feeding it (detector.py YOLO
+            # engine carries the rationale)
+            self.compute_dtype = jnp.float32
         if self.compute_dtype != jnp.float32 and not getattr(
             self.model, "graph_backed", False
         ):

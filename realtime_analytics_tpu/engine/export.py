@@ -75,17 +75,28 @@ ARTIFACT_SUFFIX = ".rvae"
 # -- params (de)hydration -----------------------------------------------------
 
 
+def _esc_key(k: str) -> str:
+    """Percent-escape the segment separators in a dict key. Native
+    checkpoint trees never need this, but graph-backed engines carry raw
+    ONNX initializer names — torch 2.x constant-folded exports produce
+    '/'-scoped names like '/model.22/Constant_output_0'."""
+    return k.replace("%", "%25").replace("/", "%2F").replace("#", "%23")
+
+
+def _unesc_key(k: str) -> str:
+    return k.replace("%2F", "/").replace("%23", "#").replace("%25", "%")
+
+
 def _flatten_params(params, prefix: str = "") -> Dict[str, np.ndarray]:
     """Nested dict/list-of-arrays -> {'a/b/#0/c': array}. List nodes use
     '#<i>' segment keys so unflatten can rebuild them as lists (dict keys
     in YOLO param trees are layer-index strings, which would collide with
-    bare integer segments). '/' and '#' never appear in checkpoint keys."""
+    bare integer segments). Dict keys containing '/', '#', or '%' are
+    percent-escaped (ONNX initializer names in graph-backed engines)."""
     flat: Dict[str, np.ndarray] = {}
     if isinstance(params, dict):
         for k, v in params.items():
-            if "/" in str(k) or str(k).startswith("#"):
-                raise ValueError(f"unsupported param key {k!r}")
-            flat.update(_flatten_params(v, f"{prefix}{k}/"))
+            flat.update(_flatten_params(v, f"{prefix}{_esc_key(str(k))}/"))
         return flat
     if isinstance(params, (list, tuple)):
         for i, v in enumerate(params):
@@ -110,12 +121,15 @@ def _unflatten_params(flat: Dict[str, np.ndarray]) -> Dict:
     def rebuild(node):
         if not isinstance(node, dict):
             return node
+        # raw '#<i>' segments only come from the list encoding: escaped
+        # dict keys never start with '#' ('#' -> '%23'); unescape AFTER
+        # the list test so a literal '#foo' dict key cannot masquerade
         if node and all(k.startswith("#") for k in node):
             return [
                 rebuild(node[k])
                 for k in sorted(node, key=lambda s: int(s[1:]))
             ]
-        return {k: rebuild(v) for k, v in node.items()}
+        return {_unesc_key(k): rebuild(v) for k, v in node.items()}
 
     return rebuild(out)
 
@@ -430,7 +444,8 @@ class _ArtifactMixin:
                 )
         self.params = jax.device_put(_unflatten_params(flat), self.device)
         self.compute_dtype = (
-            jnp.float32 if meta["precision"] == "fp32" else jnp.bfloat16
+            jnp.float32 if meta["precision"] == "fp32" or self._graph_backed
+            else jnp.bfloat16
         )
         self._steps: Dict[Tuple, object] = {}
         self._bucket_cost_ms: Dict[Tuple[int, int], Dict[int, float]] = {}

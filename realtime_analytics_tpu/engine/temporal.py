@@ -73,28 +73,27 @@ class JaxTemporalEngine(BaseDetector):
             # (temporal_detector.py:179-319) — when the file matches no
             # documented layout but carries a full graph, compile the
             # graph itself (models/onnx_jax.py) and serve it
-            from ..models.onnx_graph_model import try_load_graph_model
+            from ..models.onnx_graph_model import load_graph_fallback
 
-            gm = try_load_graph_model(
+            loaded = load_graph_fallback(
                 config.model_path, "temporal",
                 model_type=config.model_type,
                 t_len=config.sequence_length,
                 input_hw=tuple(self.input_hw),
             )
-            if gm is not None:
-                logger.info(
-                    "'%s' matches no known checkpoint layout — serving its "
-                    "ONNX graph directly (generic ONNX->JAX path)",
-                    config.model_path,
-                )
-                self.model = gm
-                params = gm.init_params()
+            if loaded is not None:
+                self.model, params = loaded
         if params is None:
             logger.warning(
                 "No loadable temporal weights at '%s' — using random init.",
                 config.model_path,
             )
             params = self.model.init_params(jax.random.PRNGKey(0))
+        if getattr(self.model, "graph_backed", False):
+            # foreign graph numerics are the user's contract — fp32 end to
+            # end, including the clip normalize feeding it (detector.py
+            # YOLO engine carries the rationale)
+            self.compute_dtype = jnp.float32
         if self.compute_dtype != jnp.float32 and not getattr(
             self.model, "graph_backed", False
         ):

@@ -381,7 +381,8 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
 
     def put(*results):
         for name, r in zip(node.outputs, results):
-            values[name] = r
+            if name:  # "" = omitted optional output; never clobber the
+                values[name] = r  # values[""]=None absent-input sentinel
 
     if op == "Constant":
         v = _attr(node, "value")

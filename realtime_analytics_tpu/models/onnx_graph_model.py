@@ -51,6 +51,18 @@ logger = logging.getLogger(__name__)
 _PROBE_BATCH = 3
 
 
+def _abstract(params: Dict[str, np.ndarray]) -> Dict[str, jax.ShapeDtypeStruct]:
+    """Param tree as ShapeDtypeStructs. Probes MUST trace with abstract
+    params — live serving jits with params as traced arguments, so a graph
+    whose float initializer feeds a static-shape position (e.g. float ->
+    Cast(int64) -> Reshape target) must fail the probe the same way it
+    would fail the first live batch."""
+    return {
+        k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
+        for k, v in params.items()
+    }
+
+
 def serving_params(g: OnnxGraph) -> Dict[str, np.ndarray]:
     """Float initializers that are safe to feed as runtime params: anything
     consumed as a shape/scale argument (Resize scales/sizes, Range bounds,
@@ -116,7 +128,8 @@ class OnnxGraphModel:
         shape = (_PROBE_BATCH, *self.example_shape)
         try:
             outs = jax.eval_shape(
-                lambda a: self._run_direct(self._params, a),
+                self._run_direct,
+                _abstract(self._params),
                 jax.ShapeDtypeStruct(shape, jnp.float32),
             )
             return all(
@@ -261,7 +274,7 @@ def try_load_graph_model(path: str, kind: str, **kwargs):
         else:
             hw = kwargs["input_hw"]
             probe = jax.ShapeDtypeStruct((1, *hw, 3), jnp.float32)
-        jax.eval_shape(lambda a: model.apply(model.init_params(), a), probe)
+        jax.eval_shape(model.apply, _abstract(model.init_params()), probe)
         return model
     except UnsupportedOnnxOp as exc:
         logger.warning(
@@ -274,3 +287,19 @@ def try_load_graph_model(path: str, kind: str, **kwargs):
             "'%s': ONNX graph compilation failed — falling back", path
         )
         return None
+
+
+def load_graph_fallback(path: str, kind: str, **kwargs):
+    """The engines' shared last-resort loader: when no named checkpoint
+    layout matched, compile the file's own graph and serve it. Returns
+    ``(model, params)`` or None (engines then fall through to their
+    random-init warning). The log line is the documented serve-path
+    marker — keep it stable."""
+    gm = try_load_graph_model(path, kind, **kwargs)
+    if gm is None:
+        return None
+    logger.info(
+        "'%s' matches no known checkpoint layout — serving its ONNX "
+        "graph directly (generic ONNX->JAX path)", path,
+    )
+    return gm, gm.init_params()

@@ -80,7 +80,10 @@ def _conv(node, x, w, b):
     k = x.ndim - 2
     if k not in (2, 3):
         raise UnsupportedOnnxOp(f"Conv over {k}D input")
-    if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+    auto_pad = _attr(node, "auto_pad", "NOTSET")
+    if isinstance(auto_pad, bytes):  # keep acceptance identical to the
+        auto_pad = auto_pad.decode()  # oracle's (onnx_exec Conv branch)
+    if auto_pad not in ("NOTSET", ""):
         raise UnsupportedOnnxOp("Conv auto_pad")
     strides = [int(s) for s in _attr(node, "strides", [1] * k)]
     pads = [int(p) for p in _attr(node, "pads", [0] * (2 * k))]
@@ -289,7 +292,10 @@ def _rnn_scan(node, ins, kind):
 
             def cell(carry, g_t, rT=rT, rb=rb):
                 h = carry
-                gh = h @ rT
+                # lbr=1 needs all 3H recurrent columns (one fused matmul);
+                # lbr=0's candidate applies R AFTER the reset gate, so the
+                # scan only needs the z/r 2H columns of h @ R
+                gh = h @ (rT if lbr else rT[:, : 2 * hid])
                 z = jax.nn.sigmoid(
                     g_t[:, :hid] + gh[:, :hid] + rb[:hid]
                 )
@@ -334,7 +340,8 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
 
     def put(*results):
         for name, r in zip(node.outputs, results):
-            values[name] = r
+            if name:  # "" = omitted optional output; never clobber the
+                values[name] = r  # values[""]=None absent-input sentinel
 
     def need_static(v, what):
         if not _is_static(v):
@@ -562,9 +569,10 @@ def _run(g: OnnxGraph, feeds: Dict[str, object],
             ins = [values[i] for i in node.inputs]
             if node.op_type in _ALWAYS_STATIC:
                 # static trace-time shape, concrete result
-                values[node.outputs[0]] = np.asarray(
-                    np.shape(ins[0]), dtype=np.int64
-                )
+                if node.outputs[0]:
+                    values[node.outputs[0]] = np.asarray(
+                        np.shape(ins[0]), dtype=np.int64
+                    )
             elif all(_is_static(v) for v in ins):
                 _eval_node(node, values)
             else:

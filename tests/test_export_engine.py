@@ -82,6 +82,30 @@ def test_flatten_roundtrip_with_list_nodes():
     )
 
 
+def test_flatten_roundtrip_escapes_onnx_scoped_names():
+    """Graph-backed engines carry RAW ONNX initializer names as param
+    keys — torch 2.x constant-folded exports produce '/'-scoped names
+    like '/model.22/Constant_output_0'. Flatten must escape (not reject)
+    them, and unflatten must restore them exactly."""
+    params = {
+        "/model.22/Constant_output_0": np.arange(3, dtype=np.float32),
+        "#leading.hash": np.ones(2, np.float32),
+        "pct%2Fliteral": np.zeros(1, np.float32),
+        "plain.dotted": {"nested/slash": np.ones(1, np.float32)},
+    }
+    flat = _flatten_params(params)
+    back = _unflatten_params(flat)
+    assert set(back) == set(params)
+    np.testing.assert_array_equal(
+        back["/model.22/Constant_output_0"],
+        params["/model.22/Constant_output_0"],
+    )
+    np.testing.assert_array_equal(
+        back["plain.dotted"]["nested/slash"],
+        params["plain.dotted"]["nested/slash"],
+    )
+
+
 def test_artifact_contents(artifact):
     path, meta = artifact
     with zipfile.ZipFile(path) as zf:

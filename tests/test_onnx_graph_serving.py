@@ -349,3 +349,55 @@ def test_documented_layout_still_prefers_native_model(tmp_path):
     )
     eng = JaxTemporalEngine(cfg)
     assert not getattr(eng.model, "graph_backed", False)
+
+
+def test_probe_traces_params_abstract(monkeypatch, tmp_path):
+    """A graph whose FLOAT initializer feeds a static-shape position
+    (float -> Cast(int64) -> Reshape target) serves its params as traced
+    arguments at live jit time — the load-time probe must trace the same
+    way and reject the graph (fall back), not pass with concrete params
+    and crash at the first live batch."""
+    import realtime_analytics_tpu.models.onnx_graph_model as ogm
+    from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
+
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode("Cast", inputs=["tgt"], outputs=["tgt_i"],
+                     attrs={"to": 7}),  # float init -> int64
+            OnnxNode("Reshape", inputs=["x", "tgt_i"], outputs=["y"]),
+            OnnxNode("Mul", inputs=["y", "two"], outputs=["out"]),
+        ],
+        initializers={
+            "tgt": np.array([1.0, 12.0], np.float32),
+            "two": np.array(2.0, np.float32),
+        },
+        inputs=["x"], outputs=["out"],
+    )
+    monkeypatch.setattr(ogm, "read_onnx_model", lambda p: g)
+    got = ogm.try_load_graph_model(
+        str(tmp_path / "probe_trap.onnx"), "classifier", input_hw=(2, 2)
+    )
+    assert got is None, (
+        "probe passed a graph whose float param feeds a Reshape target — "
+        "it would raise UnsupportedOnnxOp at the first live jitted batch"
+    )
+
+
+def test_graph_backed_serves_fp32_under_default_precision(foreign_onnx):
+    """A foreign graph's numerics are the user's contract: the engine must
+    serve fp32 END TO END (params AND the device preprocess feeding the
+    graph) even under the default bf16 precision — bf16 pixel rounding
+    would diverge from the user's ONNX Runtime baseline."""
+    import jax.numpy as jnp
+
+    eng_bf16 = _engine_for(foreign_onnx["dynamic"], precision="bf16")
+    assert eng_bf16.compute_dtype == jnp.float32
+    eng_fp32 = _engine_for(foreign_onnx["dynamic"])  # precision="fp32"
+
+    rng = np.random.default_rng(10)
+    frames = rng.integers(0, 256, (2, *HW, 3), dtype=np.uint8)
+    a = eng_bf16.predict_arrays(frames)
+    b = eng_fp32.predict_arrays(frames)
+    np.testing.assert_array_equal(a.num_valid, b.num_valid)
+    np.testing.assert_array_equal(a.scores, b.scores)
+    np.testing.assert_array_equal(a.boxes_xyxy, b.boxes_xyxy)

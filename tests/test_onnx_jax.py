@@ -240,3 +240,53 @@ def test_full_temporal_graphs_jit(tmp_path):
         np.testing.assert_allclose(
             np.asarray(got), ref, atol=1e-3, rtol=1e-3, err_msg=model_type
         )
+
+
+# ---------------------------------------------------------------------------
+# optional-output / optional-input placeholders
+
+
+def test_omitted_optional_output_never_clobbers_absent_sentinel():
+    """ONNX marks an unused optional OUTPUT with the empty-string
+    placeholder — the same "" that marks an absent optional INPUT. A node
+    writing its omitted output must not overwrite the values[""] = None
+    sentinel, or every later omitted input receives that tensor (an LSTM
+    with Y unused followed by Clip with no min bound was the repro: the
+    Clip's min became the LSTM's full Y)."""
+    from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
+
+    torch.manual_seed(40)
+    hid, inp, t_len = 4, 3, 2
+    w = np.random.default_rng(12).standard_normal(
+        (1, 4 * hid, inp)).astype(np.float32)
+    r = np.random.default_rng(13).standard_normal(
+        (1, 4 * hid, hid)).astype(np.float32)
+    hi = np.float32(0.1)
+
+    def graph(y_name):
+        return OnnxGraph(
+            nodes=[
+                OnnxNode("LSTM", inputs=["x", "w", "r"],
+                         outputs=[y_name, "hn", "cn"],
+                         attrs={"hidden_size": hid}),
+                # Clip with min OMITTED ("") and max from initializer
+                OnnxNode("Clip", inputs=["hn", "", "hi"], outputs=["out"]),
+            ],
+            initializers={"w": w, "r": r, "hi": hi},
+            inputs=["x"], outputs=["out"],
+        )
+
+    x = np.random.default_rng(14).standard_normal(
+        (t_len, 1, inp)).astype(np.float32)
+    trap, control = graph(""), graph("y_unused")
+    (want,) = run_graph(control, {"x": x})
+
+    (got_np,) = run_graph(trap, {"x": x})
+    assert got_np.shape == want.shape, (
+        f"omitted LSTM Y leaked into Clip's min: shape {got_np.shape}"
+    )
+    np.testing.assert_allclose(got_np, want, atol=1e-6)
+
+    fn = compile_graph(trap)
+    (got_jax,) = jax.jit(lambda a: fn({"x": a}))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_jax), want, atol=1e-5)
