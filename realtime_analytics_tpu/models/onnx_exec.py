@@ -83,6 +83,38 @@ def _convnd(x, w, b, strides, pads, dilations, groups):
     return out
 
 
+def _conv_transpose_nd(x, w, b, strides, pads, out_pad, dilations, groups):
+    """ONNX ``ConvTranspose`` ([N, C, *sp] x W [C, M/g, *k]) as the
+    gradient-of-conv formulation: dilate the input by the stride (insert
+    stride-1 zeros), pad each side by (k_eff - 1 - pad) (+ output_padding
+    at the end), then run a stride-1 forward conv with the spatially
+    flipped, io-transposed kernel. Matches torch nn.ConvTranspose{2,3}d."""
+    k = x.ndim - 2
+    c_in = x.shape[1]
+    m_per_g = w.shape[1]
+    ks = w.shape[2:]
+    cg = c_in // groups
+    # flip spatial taps, swap io per group: [C, M/g, *k] -> [g*M/g, C/g, *k]
+    wf = w[(slice(None), slice(None)) + (slice(None, None, -1),) * k]
+    wf = wf.reshape((groups, cg, m_per_g) + ks)
+    wf = wf.transpose((0, 2, 1) + tuple(range(3, 3 + k)))
+    wf = wf.reshape((groups * m_per_g, cg) + ks)
+    # dilate input by stride: length (L-1)*s + 1
+    sp_dil = tuple((sp - 1) * s + 1 for sp, s in zip(x.shape[2:], strides))
+    xd = np.zeros(x.shape[:2] + sp_dil, dtype=x.dtype)
+    xd[(slice(None), slice(None))
+       + tuple(slice(None, None, s) for s in strides)] = x
+    k_eff = tuple((ki - 1) * d_ + 1 for ki, d_ in zip(ks, dilations))
+    conv_pads = (
+        [ke - 1 - p for ke, p in zip(k_eff, pads[:k])]
+        + [ke - 1 - p + op_ for ke, p, op_ in
+           zip(k_eff, pads[k:], out_pad)]
+    )
+    if any(p < 0 for p in conv_pads):
+        raise UnsupportedOnnxOp("ConvTranspose pads exceed kernel extent")
+    return _convnd(xd, wf, b, [1] * k, conv_pads, dilations, groups)
+
+
 def _poolnd(x, kernel, strides, pads, ceil_mode, op):
     """Max/average pool over any spatial rank (2-D and 3-D)."""
     k = len(kernel)
@@ -614,6 +646,208 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
 
         put(np.vectorize(math.erf, otypes=[np.float32])(
             ins[0].astype(np.float32)))
+    elif op == "ConvTranspose":
+        x, w = ins[0], ins[1]
+        b = ins[2] if len(ins) > 2 else None
+        if x.ndim not in (4, 5):
+            raise UnsupportedOnnxOp(f"ConvTranspose over {x.ndim - 2}D input")
+        if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+            raise UnsupportedOnnxOp("ConvTranspose auto_pad")
+        if _attr(node, "output_shape") is not None:
+            raise UnsupportedOnnxOp("ConvTranspose output_shape")
+        k = x.ndim - 2
+        put(_conv_transpose_nd(
+            x, w, b,
+            [int(s) for s in _attr(node, "strides", [1] * k)],
+            [int(p) for p in _attr(node, "pads", [0] * (2 * k))],
+            [int(p) for p in _attr(node, "output_padding", [0] * k)],
+            [int(d) for d in _attr(node, "dilations", [1] * k)],
+            int(_attr(node, "group", 1)),
+        ))
+    elif op == "InstanceNormalization":
+        x, scale, bias = (v.astype(np.float32) for v in ins[:3])
+        eps = float(_attr(node, "epsilon", 1e-5))
+        sp = tuple(range(2, x.ndim))
+        mean = x.mean(axis=sp, keepdims=True)
+        var = x.var(axis=sp, keepdims=True)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        put((x - mean) / np.sqrt(var + eps) * scale.reshape(shape)
+            + bias.reshape(shape))
+    elif op == "GroupNormalization":  # opset 18
+        x, scale, bias = (v.astype(np.float32) for v in ins[:3])
+        eps = float(_attr(node, "epsilon", 1e-5))
+        ng = int(_attr(node, "num_groups"))
+        n, c = x.shape[:2]
+        xg = x.reshape((n, ng, c // ng) + x.shape[2:])
+        red = tuple(range(2, xg.ndim))
+        mean = xg.mean(axis=red, keepdims=True)
+        var = xg.var(axis=red, keepdims=True)
+        y = ((xg - mean) / np.sqrt(var + eps)).reshape(x.shape)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        put(y * scale.reshape(shape) + bias.reshape(shape))
+    elif op == "LayerNormalization":  # opset 17
+        x = ins[0].astype(np.float32)
+        scale = ins[1].astype(np.float32)
+        bias = ins[2].astype(np.float32) \
+            if len(ins) > 2 and ins[2] is not None else None
+        eps = float(_attr(node, "epsilon", 1e-5))
+        axis = int(_attr(node, "axis", -1)) % x.ndim
+        red = tuple(range(axis, x.ndim))
+        mean = x.mean(axis=red, keepdims=True)
+        inv = 1.0 / np.sqrt(x.var(axis=red, keepdims=True) + eps)
+        y = (x - mean) * inv * scale
+        if bias is not None:
+            y = y + bias
+        put(y, mean, inv)
+    elif op == "HardSigmoid":
+        alpha = float(_attr(node, "alpha", 0.2))
+        beta = float(_attr(node, "beta", 0.5))
+        put(np.clip(alpha * ins[0].astype(np.float32) + beta, 0.0, 1.0))
+    elif op == "HardSwish":  # opset 14: x * hardsigmoid(x; 1/6, 1/2)
+        x = ins[0].astype(np.float32)
+        put(x * np.clip(x / 6.0 + 0.5, 0.0, 1.0))
+    elif op == "Elu":
+        alpha = float(_attr(node, "alpha", 1.0))
+        x = ins[0].astype(np.float32)
+        put(np.where(x > 0, x, alpha * (np.exp(x) - 1.0)))
+    elif op == "Softplus":
+        put(np.logaddexp(0.0, ins[0].astype(np.float32)).astype(np.float32))
+    elif op == "PRelu":
+        x, slope = ins[0], ins[1]
+        put(np.where(x < 0, slope * x, x))
+    elif op == "Gelu":  # opset 20
+        import math
+
+        x = ins[0].astype(np.float32)
+        if _attr(node, "approximate", "none") == "tanh":
+            put(0.5 * x * (1.0 + np.tanh(
+                np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3))))
+        else:
+            erf = np.vectorize(math.erf, otypes=[np.float32])
+            put(0.5 * x * (1.0 + erf(x / np.sqrt(2.0))))
+    elif op == "Mish":  # opset 18: x * tanh(softplus(x))
+        x = ins[0].astype(np.float32)
+        put(x * np.tanh(np.logaddexp(0.0, x)))
+    elif op in ("Abs", "Floor", "Ceil", "Round", "Sign", "Not"):
+        fn = {"Abs": np.abs, "Floor": np.floor, "Ceil": np.ceil,
+              "Round": np.round,  # numpy rounds half-to-even, like ONNX
+              "Sign": np.sign, "Not": np.logical_not}[op]
+        put(fn(ins[0]))
+    elif op in ("Log", "Sin", "Cos", "Reciprocal"):
+        x = ins[0].astype(np.float32)
+        put({"Log": np.log, "Sin": np.sin, "Cos": np.cos,
+             "Reciprocal": lambda v: 1.0 / v}[op](x))
+    elif op in ("Greater", "Less", "GreaterOrEqual", "LessOrEqual",
+                "And", "Or", "Xor"):
+        a, b = ins[0], ins[1]
+        put({"Greater": np.greater, "Less": np.less,
+             "GreaterOrEqual": np.greater_equal,
+             "LessOrEqual": np.less_equal, "And": np.logical_and,
+             "Or": np.logical_or, "Xor": np.logical_xor}[op](a, b))
+    elif op == "Mod":
+        a, b = ins[0], ins[1]
+        put(np.fmod(a, b) if int(_attr(node, "fmod", 0)) else np.mod(a, b))
+    elif op in ("ReduceMin", "ReduceProd", "ReduceL2"):
+        axes = _attr(node, "axes")
+        if axes is None and len(ins) > 1 and ins[1] is not None:
+            axes = [int(a) for a in ins[1]]
+        axes = tuple(axes) if axes else None
+        keep = bool(int(_attr(node, "keepdims", 1)))
+        if op == "ReduceL2":
+            put(np.sqrt(np.sum(
+                np.square(ins[0].astype(np.float32)),
+                axis=axes, keepdims=keep)))
+        else:
+            fn = {"ReduceMin": np.min, "ReduceProd": np.prod}[op]
+            put(fn(ins[0], axis=axes, keepdims=keep))
+    elif op in ("ArgMax", "ArgMin"):
+        if int(_attr(node, "select_last_index", 0)):
+            raise UnsupportedOnnxOp(f"{op} select_last_index")
+        axis = int(_attr(node, "axis", 0))
+        keep = bool(int(_attr(node, "keepdims", 1)))
+        fn = np.argmax if op == "ArgMax" else np.argmin
+        r = fn(ins[0], axis=axis).astype(np.int64)
+        put(np.expand_dims(r, axis) if keep else r)
+    elif op == "CumSum":
+        axis = int(np.asarray(ins[1]).item())
+        x = ins[0]
+        if int(_attr(node, "reverse", 0)):
+            x = np.flip(x, axis)
+        r = np.cumsum(x, axis=axis, dtype=x.dtype)
+        if int(_attr(node, "exclusive", 0)):
+            r = np.concatenate([
+                np.zeros_like(np.take(r, [0], axis=axis)),
+                _slice_op(r, [0], [x.shape[axis] - 1], [axis], None),
+            ], axis=axis)
+        if int(_attr(node, "reverse", 0)):
+            r = np.flip(r, axis)
+        put(r)
+    elif op == "Pad":
+        mode = _attr(node, "mode", "constant")
+        if "pads" in node.attrs:  # opset < 11
+            pads = [int(p) for p in _attr(node, "pads")]
+            cval = _attr(node, "value", 0.0)
+            axes = None
+        else:
+            pads = [int(p) for p in ins[1]]
+            cval = ins[2] if len(ins) > 2 and ins[2] is not None else 0.0
+            axes = [int(a) for a in ins[3]] \
+                if len(ins) > 3 and ins[3] is not None else None
+        x = ins[0]
+        if axes is None:
+            axes = list(range(x.ndim))
+        half = len(pads) // 2
+        cfg = [(0, 0)] * x.ndim
+        for i, ax in enumerate(axes):
+            cfg[ax % x.ndim] = (pads[i], pads[half + i])
+        np_mode = {"constant": "constant", "reflect": "reflect",
+                   "edge": "edge", "wrap": "wrap"}.get(mode)
+        if np_mode is None:
+            raise UnsupportedOnnxOp(f"Pad mode '{mode}'")
+        if np_mode == "constant":
+            put(np.pad(x, cfg, constant_values=np.asarray(cval).item()))
+        else:
+            put(np.pad(x, cfg, mode=np_mode))
+    elif op == "DepthToSpace":
+        bs = int(_attr(node, "blocksize"))
+        mode = _attr(node, "mode", "DCR")
+        n, c, h, w = ins[0].shape
+        if mode == "DCR":
+            y = ins[0].reshape(n, bs, bs, c // (bs * bs), h, w)
+            y = y.transpose(0, 3, 4, 1, 5, 2)
+        else:  # CRD (torch PixelShuffle)
+            y = ins[0].reshape(n, c // (bs * bs), bs, bs, h, w)
+            y = y.transpose(0, 1, 4, 2, 5, 3)
+        put(y.reshape(n, c // (bs * bs), h * bs, w * bs))
+    elif op == "SpaceToDepth":
+        bs = int(_attr(node, "blocksize"))
+        n, c, h, w = ins[0].shape
+        y = ins[0].reshape(n, c, h // bs, bs, w // bs, bs)
+        y = y.transpose(0, 3, 5, 1, 2, 4)
+        put(y.reshape(n, c * bs * bs, h // bs, w // bs))
+    elif op == "Einsum":
+        put(np.einsum(_attr(node, "equation"),
+                      *[v.astype(np.float32) for v in ins]))
+    elif op == "Trilu":
+        k = int(np.asarray(ins[1]).item()) \
+            if len(ins) > 1 and ins[1] is not None else 0
+        fn = np.triu if int(_attr(node, "upper", 1)) else np.tril
+        put(fn(ins[0], k))
+    elif op == "TopK":
+        x = ins[0]
+        k = int(np.asarray(ins[1]).item())
+        axis = int(_attr(node, "axis", -1)) % x.ndim
+        largest = int(_attr(node, "largest", 1))
+        # stable argsort on (-x | x): ties resolve to the lower index,
+        # matching ONNX Runtime
+        key = -x if largest else x
+        idx = np.argsort(key, axis=axis, kind="stable")
+        idx = _slice_op(idx, [0], [k], [axis], None)
+        put(np.take_along_axis(x, idx, axis=axis), idx.astype(np.int64))
+    elif op == "GatherElements":
+        put(np.take_along_axis(
+            ins[0], ins[1].astype(np.int64),
+            axis=int(_attr(node, "axis", 0))))
     else:
         raise UnsupportedOnnxOp(
             f"op '{op}' (node '{node.name}') is outside the supported set"

@@ -102,6 +102,52 @@ def _conv(node, x, w, b):
     return y
 
 
+def _conv_transpose(node, x, w, b):
+    """ONNX ``ConvTranspose`` as one ``lax.conv_general_dilated`` with
+    ``lhs_dilation`` (the gradient-of-conv formulation the MXU tiles
+    natively — no explicit zero-stuffed intermediate): kernel spatially
+    flipped and io-transposed per group, padding (k_eff - 1 - pad) per
+    side plus output_padding at the end. Twin of
+    onnx_exec._conv_transpose_nd."""
+    k = x.ndim - 2
+    if k not in (2, 3):
+        raise UnsupportedOnnxOp(f"ConvTranspose over {k}D input")
+    if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+        raise UnsupportedOnnxOp("ConvTranspose auto_pad")
+    if _attr(node, "output_shape") is not None:
+        raise UnsupportedOnnxOp("ConvTranspose output_shape")
+    strides = [int(s) for s in _attr(node, "strides", [1] * k)]
+    pads = [int(p) for p in _attr(node, "pads", [0] * (2 * k))]
+    out_pad = [int(p) for p in _attr(node, "output_padding", [0] * k)]
+    dils = [int(d) for d in _attr(node, "dilations", [1] * k)]
+    groups = int(_attr(node, "group", 1))
+    w = jnp.asarray(w)  # may be a traced param (graph-backed serving)
+    c_in, m_per_g = w.shape[0], w.shape[1]
+    ks = tuple(w.shape[2:])
+    cg = c_in // groups
+    wf = jnp.flip(w, axis=tuple(range(2, 2 + k)))
+    wf = wf.reshape((groups, cg, m_per_g) + ks)
+    wf = jnp.transpose(wf, (0, 2, 1) + tuple(range(3, 3 + k)))
+    wf = wf.reshape((groups * m_per_g, cg) + ks)
+    k_eff = [(ki - 1) * d + 1 for ki, d in zip(ks, dils)]
+    pad_pairs = [
+        (ke - 1 - pb, ke - 1 - pe + op_)
+        for ke, pb, pe, op_ in zip(k_eff, pads[:k], pads[k:], out_pad)
+    ]
+    if any(p < 0 for pair in pad_pairs for p in pair):
+        raise UnsupportedOnnxOp("ConvTranspose pads exceed kernel extent")
+    spec = ("NCHW", "OIHW", "NCHW") if k == 2 else ("NCDHW", "OIDHW", "NCDHW")
+    y = lax.conv_general_dilated(
+        _f32(x), _f32(jnp.asarray(wf)),
+        window_strides=[1] * k, padding=pad_pairs,
+        lhs_dilation=strides, rhs_dilation=dils,
+        feature_group_count=groups, dimension_numbers=spec,
+    )
+    if b is not None:
+        y = y + jnp.asarray(b, jnp.float32).reshape((1, -1) + (1,) * k)
+    return y
+
+
 def _pool(node, x, op):
     kernel = [int(v) for v in _attr(node, "kernel_shape")]
     k = len(kernel)
@@ -533,6 +579,197 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
         put(*_rnn_scan(node, ins, "LSTM"))
     elif op == "GRU":
         put(*_rnn_scan(node, ins, "GRU"))
+    elif op == "ConvTranspose":
+        put(_conv_transpose(node, ins[0], ins[1],
+                            ins[2] if len(ins) > 2 else None))
+    elif op == "InstanceNormalization":
+        x, scale, bias = (_f32(jnp.asarray(v)) for v in ins[:3])
+        eps = float(_attr(node, "epsilon", 1e-5))
+        sp = tuple(range(2, x.ndim))
+        mean = x.mean(axis=sp, keepdims=True)
+        var = x.var(axis=sp, keepdims=True)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        put((x - mean) / jnp.sqrt(var + eps) * scale.reshape(shape)
+            + bias.reshape(shape))
+    elif op == "GroupNormalization":  # opset 18
+        x, scale, bias = (_f32(jnp.asarray(v)) for v in ins[:3])
+        eps = float(_attr(node, "epsilon", 1e-5))
+        ng = int(_attr(node, "num_groups"))
+        n, c = x.shape[:2]
+        xg = x.reshape((n, ng, c // ng) + x.shape[2:])
+        red = tuple(range(2, xg.ndim))
+        mean = xg.mean(axis=red, keepdims=True)
+        var = xg.var(axis=red, keepdims=True)
+        y = ((xg - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        put(y * scale.reshape(shape) + bias.reshape(shape))
+    elif op == "LayerNormalization":  # opset 17
+        x = _f32(jnp.asarray(ins[0]))
+        scale = _f32(jnp.asarray(ins[1]))
+        bias = _f32(jnp.asarray(ins[2])) \
+            if len(ins) > 2 and ins[2] is not None else None
+        eps = float(_attr(node, "epsilon", 1e-5))
+        axis = int(_attr(node, "axis", -1)) % x.ndim
+        red = tuple(range(axis, x.ndim))
+        mean = x.mean(axis=red, keepdims=True)
+        inv = 1.0 / jnp.sqrt(x.var(axis=red, keepdims=True) + eps)
+        y = (x - mean) * inv * scale
+        if bias is not None:
+            y = y + bias
+        put(y, mean, inv)
+    elif op == "HardSigmoid":
+        alpha = float(_attr(node, "alpha", 0.2))
+        beta = float(_attr(node, "beta", 0.5))
+        put(jnp.clip(alpha * _f32(jnp.asarray(ins[0])) + beta, 0.0, 1.0))
+    elif op == "HardSwish":  # opset 14: x * hardsigmoid(x; 1/6, 1/2)
+        x = _f32(jnp.asarray(ins[0]))
+        put(x * jnp.clip(x / 6.0 + 0.5, 0.0, 1.0))
+    elif op == "Elu":
+        alpha = float(_attr(node, "alpha", 1.0))
+        x = _f32(jnp.asarray(ins[0]))
+        put(jnp.where(x > 0, x, alpha * (jnp.exp(x) - 1.0)))
+    elif op == "Softplus":
+        put(jnp.logaddexp(0.0, _f32(jnp.asarray(ins[0]))))
+    elif op == "PRelu":
+        x, slope = jnp.asarray(ins[0]), jnp.asarray(ins[1])
+        put(jnp.where(x < 0, slope * x, x))
+    elif op == "Gelu":  # opset 20
+        x = _f32(jnp.asarray(ins[0]))
+        if _attr(node, "approximate", "none") == "tanh":
+            put(0.5 * x * (1.0 + jnp.tanh(
+                np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3))))
+        else:
+            put(0.5 * x * (1.0 + lax.erf(x / np.sqrt(2.0))))
+    elif op == "Mish":  # opset 18: x * tanh(softplus(x))
+        x = _f32(jnp.asarray(ins[0]))
+        put(x * jnp.tanh(jnp.logaddexp(0.0, x)))
+    elif op in ("Abs", "Floor", "Ceil", "Round", "Sign", "Not"):
+        fn = {"Abs": jnp.abs, "Floor": jnp.floor, "Ceil": jnp.ceil,
+              "Round": jnp.round,  # rounds half-to-even, like ONNX
+              "Sign": jnp.sign, "Not": jnp.logical_not}[op]
+        put(fn(jnp.asarray(ins[0])))
+    elif op in ("Log", "Sin", "Cos", "Reciprocal"):
+        x = _f32(jnp.asarray(ins[0]))
+        put({"Log": jnp.log, "Sin": jnp.sin, "Cos": jnp.cos,
+             "Reciprocal": lambda v: 1.0 / v}[op](x))
+    elif op in ("Greater", "Less", "GreaterOrEqual", "LessOrEqual",
+                "And", "Or", "Xor"):
+        a, b_ = jnp.asarray(ins[0]), jnp.asarray(ins[1])
+        put({"Greater": jnp.greater, "Less": jnp.less,
+             "GreaterOrEqual": jnp.greater_equal,
+             "LessOrEqual": jnp.less_equal, "And": jnp.logical_and,
+             "Or": jnp.logical_or, "Xor": jnp.logical_xor}[op](a, b_))
+    elif op == "Mod":
+        a, b_ = jnp.asarray(ins[0]), jnp.asarray(ins[1])
+        put(jnp.fmod(a, b_) if int(_attr(node, "fmod", 0))
+            else jnp.mod(a, b_))
+    elif op in ("ReduceMin", "ReduceProd", "ReduceL2"):
+        axes = _attr(node, "axes")
+        if axes is None and len(ins) > 1 and ins[1] is not None:
+            axes = [int(a) for a in need_static(ins[1], "axes")]
+        axes = tuple(axes) if axes else None
+        keep = bool(int(_attr(node, "keepdims", 1)))
+        if op == "ReduceL2":
+            put(jnp.sqrt(jnp.sum(
+                jnp.square(_f32(jnp.asarray(ins[0]))),
+                axis=axes, keepdims=keep)))
+        else:
+            fn = {"ReduceMin": jnp.min, "ReduceProd": jnp.prod}[op]
+            put(fn(jnp.asarray(ins[0]), axis=axes, keepdims=keep))
+    elif op in ("ArgMax", "ArgMin"):
+        if int(_attr(node, "select_last_index", 0)):
+            raise UnsupportedOnnxOp(f"{op} select_last_index")
+        axis = int(_attr(node, "axis", 0))
+        keep = bool(int(_attr(node, "keepdims", 1)))
+        fn = jnp.argmax if op == "ArgMax" else jnp.argmin
+        r = fn(jnp.asarray(ins[0]), axis=axis).astype(jnp.int64)
+        put(jnp.expand_dims(r, axis) if keep else r)
+    elif op == "CumSum":
+        axis = int(np.asarray(need_static(ins[1], "axis")).item())
+        x = jnp.asarray(ins[0])
+        if int(_attr(node, "reverse", 0)):
+            x = jnp.flip(x, axis)
+        r = jnp.cumsum(x, axis=axis, dtype=x.dtype)
+        if int(_attr(node, "exclusive", 0)):
+            r = jnp.concatenate([
+                jnp.zeros_like(lax.slice_in_dim(r, 0, 1, axis=axis)),
+                lax.slice_in_dim(r, 0, x.shape[axis] - 1, axis=axis),
+            ], axis=axis)
+        if int(_attr(node, "reverse", 0)):
+            r = jnp.flip(r, axis)
+        put(r)
+    elif op == "Pad":
+        mode = _attr(node, "mode", "constant")
+        if "pads" in node.attrs:  # opset < 11
+            pads = [int(p) for p in _attr(node, "pads")]
+            cval = _attr(node, "value", 0.0)
+            axes = None
+        else:
+            pads = [int(p) for p in need_static(ins[1], "pads")]
+            cval = ins[2] if len(ins) > 2 and ins[2] is not None else 0.0
+            axes = [int(a) for a in need_static(ins[3], "axes")] \
+                if len(ins) > 3 and ins[3] is not None else None
+        x = jnp.asarray(ins[0])
+        if axes is None:
+            axes = list(range(x.ndim))
+        half = len(pads) // 2
+        cfg = [(0, 0)] * x.ndim
+        for i, ax in enumerate(axes):
+            cfg[ax % x.ndim] = (pads[i], pads[half + i])
+        jmode = {"constant": "constant", "reflect": "reflect",
+                 "edge": "edge", "wrap": "wrap"}.get(mode)
+        if jmode is None:
+            raise UnsupportedOnnxOp(f"Pad mode '{mode}'")
+        if jmode == "constant":
+            put(jnp.pad(x, cfg, constant_values=np.asarray(
+                need_static(cval, "constant value")).item()))
+        else:
+            put(jnp.pad(x, cfg, mode=jmode))
+    elif op == "DepthToSpace":
+        bs = int(_attr(node, "blocksize"))
+        mode = _attr(node, "mode", "DCR")
+        x = jnp.asarray(ins[0])
+        n, c, h, w = x.shape
+        if mode == "DCR":
+            y = x.reshape(n, bs, bs, c // (bs * bs), h, w)
+            y = y.transpose(0, 3, 4, 1, 5, 2)
+        else:  # CRD (torch PixelShuffle)
+            y = x.reshape(n, c // (bs * bs), bs, bs, h, w)
+            y = y.transpose(0, 1, 4, 2, 5, 3)
+        put(y.reshape(n, c // (bs * bs), h * bs, w * bs))
+    elif op == "SpaceToDepth":
+        bs = int(_attr(node, "blocksize"))
+        x = jnp.asarray(ins[0])
+        n, c, h, w = x.shape
+        y = x.reshape(n, c, h // bs, bs, w // bs, bs)
+        y = y.transpose(0, 3, 5, 1, 2, 4)
+        put(y.reshape(n, c * bs * bs, h // bs, w // bs))
+    elif op == "Einsum":
+        put(jnp.einsum(_attr(node, "equation"),
+                       *[_f32(jnp.asarray(v)) for v in ins]))
+    elif op == "Trilu":
+        k = int(np.asarray(need_static(
+            ins[1], "diagonal offset")).item()) \
+            if len(ins) > 1 and ins[1] is not None else 0
+        fn = jnp.triu if int(_attr(node, "upper", 1)) else jnp.tril
+        put(fn(jnp.asarray(ins[0]), k))
+    elif op == "TopK":
+        x = jnp.asarray(ins[0])
+        k = int(np.asarray(need_static(ins[1], "k")).item())
+        axis = int(_attr(node, "axis", -1)) % x.ndim
+        largest = int(_attr(node, "largest", 1))
+        xl = jnp.moveaxis(x, axis, -1)
+        # lax.top_k resolves ties to the lower index, matching the
+        # oracle's stable argsort (and ONNX Runtime)
+        vals, idx = lax.top_k(xl if largest else -xl, k)
+        if not largest:
+            vals = -vals
+        put(jnp.moveaxis(vals, -1, axis),
+            jnp.moveaxis(idx, -1, axis).astype(jnp.int64))
+    elif op == "GatherElements":
+        x, idx = jnp.asarray(ins[0]), jnp.asarray(ins[1])
+        put(jnp.take_along_axis(x, idx.astype(jnp.int32),
+                                axis=int(_attr(node, "axis", 0))))
     else:
         raise UnsupportedOnnxOp(
             f"op '{op}' (node '{node.name}') is outside the supported set"

@@ -553,3 +553,52 @@ def test_mesh_engine_refuses_export(live_engine, tmp_path):
             )
     finally:
         live_engine.mesh = mesh
+
+
+def test_graph_backed_export_roundtrip(tmp_path):
+    """A foreign-architecture ONNX served through the generic graph path
+    must export to .rvae and reload bit-identically — its raw ONNX
+    initializer names ('/model.22/...'-style after torch constant folding)
+    ride the escaped flatten keys, and the reloaded engine serves fp32
+    regardless of the artifact's precision field (the foreign-graph
+    numerics contract)."""
+    import sys
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import torch
+
+    from test_onnx_graph_serving import HW, NC, ForeignDetector, _export
+
+    torch.manual_seed(100)
+    m = ForeignDetector(bake_batch=False).eval()
+    onnx_path = str(tmp_path / "foreign.onnx")
+    _export(m, torch.rand(1, 3, *HW), onnx_path,
+            dynamic_axes={"x": {0: "n"}})
+
+    live = JaxYoloEngine(DetectorConfig(
+        model_path=onnx_path, model_type="yolov8", backend="onnx",
+        confidence_threshold=0.3, iou_threshold=0.45, input_size=list(HW),
+        batch_buckets=[2], max_batch_size=2, num_classes=NC, warmup=False,
+    ))
+    assert getattr(live.model, "graph_backed", False)
+
+    path = str(tmp_path / "foreign.rvae")
+    meta = export_serving_artifact(live, path, src_hws=[HW])
+    assert meta["graph_backed"] is True
+
+    served = create_detector(DetectorConfig(
+        model_path=path, model_type="yolov8", input_size=list(HW),
+        confidence_threshold=0.3, iou_threshold=0.45, num_classes=NC,
+        warmup=False,
+    ))
+    assert isinstance(served, ExportedYoloEngine)
+    assert served.compute_dtype == jnp.float32
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (*HW, 3), np.uint8) for _ in range(2)]
+    a = live.predict_packets(_packets(frames))
+    b = served.predict_packets(_packets(frames))
+    assert sum(len(r) for r in a) > 0
+    for ra, rb in zip(a, b):
+        _dets_equal(ra, rb)

@@ -203,11 +203,45 @@ def test_tensor_shuffling_ops_match_torch(tmp_path):
 def test_unsupported_op_raises_clearly(tmp_path):
     from realtime_analytics_tpu.models.onnx_exec import UnsupportedOnnxOp
 
-    m = nn.ConvTranspose2d(2, 2, 3).eval()  # exports; not in the op set
-    _export(m, torch.rand(1, 2, 5, 5), str(tmp_path / "ct.onnx"))
-    with pytest.raises(UnsupportedOnnxOp, match="ConvTranspose"):
-        run_graph(str(tmp_path / "ct.onnx"),
+    class M(nn.Module):  # torch.nonzero -> ONNX NonZero: dynamic output
+        def forward(self, x):  # shape, deliberately outside the op set
+            return torch.nonzero(x > 0.5)
+
+    _export(M().eval(), torch.rand(1, 2, 5, 5), str(tmp_path / "nz.onnx"))
+    with pytest.raises(UnsupportedOnnxOp, match="NonZero"):
+        run_graph(str(tmp_path / "nz.onnx"),
                   {"x": np.zeros((1, 2, 5, 5), np.float32)})
+
+
+def test_conv_transpose_variants_match_torch(tmp_path):
+    """ONNX ConvTranspose (decoder/U-Net upsampling): strides,
+    output_padding, groups, dilation, and the 3-D variant."""
+    torch.manual_seed(21)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.a = nn.ConvTranspose2d(6, 8, 4, stride=2, padding=1)
+            self.b = nn.ConvTranspose2d(8, 8, 3, stride=2, padding=1,
+                                        output_padding=1, groups=4)
+            self.c = nn.ConvTranspose2d(8, 5, 3, dilation=2, padding=2,
+                                        bias=False)
+
+        def forward(self, x):
+            return self.c(self.b(self.a(x)))
+
+    _check(M(), torch.rand(2, 6, 7, 9), tmp_path / "convt.onnx")
+
+    class M3(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.a = nn.ConvTranspose3d(3, 4, (1, 4, 4), stride=(1, 2, 2),
+                                        padding=(0, 1, 1))
+
+        def forward(self, x):
+            return self.a(x)
+
+    _check(M3(), torch.rand(1, 3, 4, 6, 5), tmp_path / "convt3.onnx")
 
 
 def test_conv3d_variants_match_torch(tmp_path):

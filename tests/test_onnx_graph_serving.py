@@ -401,3 +401,100 @@ def test_graph_backed_serves_fp32_under_default_precision(foreign_onnx):
     np.testing.assert_array_equal(a.num_valid, b.num_valid)
     np.testing.assert_array_equal(a.scores, b.scores)
     np.testing.assert_array_equal(a.boxes_xyxy, b.boxes_xyxy)
+
+
+class ForeignMobileNetV3(nn.Module):
+    """MobileNetV3-class classifier: depthwise conv, HardSwish/HardSigmoid,
+    squeeze-excite — the round-4 op-set additions, end to end through the
+    serving engine."""
+
+    def __init__(self, nc=7):
+        super().__init__()
+        self.stem = nn.Conv2d(3, 16, 3, stride=2, padding=1)
+        self.dw = nn.Conv2d(16, 16, 3, padding=1, groups=16)
+        self.se1 = nn.Conv2d(16, 8, 1)
+        self.se2 = nn.Conv2d(8, 16, 1)
+        self.proj = nn.Conv2d(16, 24, 1)
+        self.act = nn.Hardswish()
+        self.out = nn.Linear(24, nc)
+
+    def forward(self, x):
+        y = self.act(self.stem(x))
+        y = self.act(self.dw(y))
+        s = y.mean((2, 3), keepdim=True)
+        y = y * torch.nn.functional.hardsigmoid(
+            self.se2(torch.relu(self.se1(s))))
+        y = self.act(self.proj(y))
+        return self.out(y.mean(dim=(2, 3)))
+
+
+class ForeignViT(nn.Module):
+    """ViT-class classifier: conv patch embed, LayerNorm (native ONNX op
+    at opset 17), einsum attention, GELU MLP."""
+
+    def __init__(self, nc=7, d=24, heads=3):
+        super().__init__()
+        self.patch = nn.Conv2d(3, d, 8, stride=8)
+        self.ln1 = nn.LayerNorm(d)
+        self.qkv = nn.Linear(d, 3 * d)
+        self.proj = nn.Linear(d, d)
+        self.ln2 = nn.LayerNorm(d)
+        self.mlp = nn.Sequential(nn.Linear(d, 2 * d), nn.GELU(),
+                                 nn.Linear(2 * d, d))
+        self.head = nn.Linear(d, nc)
+        self.d, self.heads = d, heads
+
+    def forward(self, x):
+        n = x.shape[0]
+        y = self.patch(x).flatten(2).transpose(1, 2)  # [N, T, D]
+        t = y.shape[1]
+        h = self.ln1(y)
+        qkv = self.qkv(h).reshape(n, t, 3, self.heads, self.d // self.heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        att = torch.einsum("nqhd,nkhd->nhqk", q, k) \
+            / (self.d // self.heads) ** 0.5
+        att = torch.softmax(att, dim=-1)
+        out = torch.einsum("nhqk,nkhd->nqhd", att, v).reshape(n, t, self.d)
+        y = y + self.proj(out)
+        y = y + self.mlp(self.ln2(y))
+        return self.head(y.mean(dim=1))
+
+
+@pytest.mark.parametrize("family", ["mobilenetv3", "vit"])
+def test_modern_classifier_families_serve_via_graph(family, tmp_path):
+    """MobileNetV3- and ViT-class exports (the op families added in
+    round 4) serve end to end through the classifier engine and match
+    torch's own probabilities."""
+    torch.manual_seed(110)
+    m = (ForeignMobileNetV3() if family == "mobilenetv3"
+         else ForeignViT()).eval()
+    path = tmp_path / f"{family}.onnx"
+    _export(m, torch.rand(1, 3, 48, 48), str(path),
+            dynamic_axes={"x": {0: "n"}})
+
+    cfg = DetectorConfig(
+        model_path=str(path), model_type="resnet", backend="onnx",
+        input_size=[48, 48], num_classes=7, resnet_top_k=3,
+        warmup=False, precision="fp32", max_batch_size=2,
+        resnet_scores="softmax", confidence_threshold=0.001,
+    )
+    eng = JaxResNetEngine(cfg)
+    assert getattr(eng.model, "graph_backed", False)
+
+    rng = np.random.default_rng(11)
+    frame = rng.integers(0, 256, (48, 48, 3), np.uint8)
+    stream = StreamConfig(name="s", url="mem://")
+    dets = eng.predict(FramePacket(stream, frame, 0, time.time()))
+    assert len(dets) == 3
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    x = (frame[..., ::-1].astype(np.float32) / 255.0 - mean) / std
+    with torch.no_grad():
+        logits = m(torch.from_numpy(
+            x.transpose(2, 0, 1)[None].astype(np.float32)))
+        probs = torch.softmax(logits, dim=-1)[0].numpy()
+    top = np.argsort(-probs)[:3]
+    for d, cls_id in zip(dets, top):
+        assert d.class_id == cls_id
+        np.testing.assert_allclose(d.confidence, probs[cls_id], atol=1e-3)

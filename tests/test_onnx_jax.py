@@ -185,11 +185,14 @@ def test_gru_scan(bidirectional, tmp_path):
 def test_unsupported_op_raises(tmp_path):
     from realtime_analytics_tpu.models.onnx_exec import UnsupportedOnnxOp
 
-    m = nn.ConvTranspose2d(2, 2, 3).eval()
-    _export(m, torch.rand(1, 2, 5, 5), str(tmp_path / "ct.onnx"))
-    g = read_onnx_model(str(tmp_path / "ct.onnx"))
+    class M(nn.Module):  # torch.nonzero -> ONNX NonZero: dynamic output
+        def forward(self, x):  # shape, unjittable by design
+            return torch.nonzero(x > 0.5)
+
+    _export(M().eval(), torch.rand(1, 2, 5, 5), str(tmp_path / "nz.onnx"))
+    g = read_onnx_model(str(tmp_path / "nz.onnx"))
     fn = compile_graph(g)
-    with pytest.raises(UnsupportedOnnxOp, match="ConvTranspose"):
+    with pytest.raises(UnsupportedOnnxOp, match="NonZero"):
         jax.jit(lambda a: fn({g.inputs[0]: a}))(
             jnp.zeros((1, 2, 5, 5), jnp.float32)
         )
@@ -290,3 +293,163 @@ def test_omitted_optional_output_never_clobbers_absent_sentinel():
     fn = compile_graph(trap)
     (got_jax,) = jax.jit(lambda a: fn({"x": a}))(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got_jax), want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# broadened op set: the export families real users bring (MobileNet-class,
+# ViT-class, U-Net/decoder-class) must serve through the generic path
+
+
+def test_mobilenetv3_block(tmp_path):
+    """MobileNetV3 building block: depthwise conv + HardSwish/HardSigmoid
+    + squeeze-excite (GlobalAveragePool path) + residual."""
+    torch.manual_seed(50)
+
+    class SE(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.fc1 = nn.Conv2d(c, c // 4, 1)
+            self.fc2 = nn.Conv2d(c // 4, c, 1)
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            s = torch.relu(self.fc1(s))
+            return x * torch.nn.functional.hardsigmoid(self.fc2(s))
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.expand = nn.Conv2d(8, 24, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(24)
+            self.dw = nn.Conv2d(24, 24, 5, padding=2, groups=24, bias=False)
+            self.bn2 = nn.BatchNorm2d(24)
+            self.se = SE(24)
+            self.project = nn.Conv2d(24, 8, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(8)
+            self.act = nn.Hardswish()
+
+        def forward(self, x):
+            y = self.act(self.bn1(self.expand(x)))
+            y = self.act(self.bn2(self.dw(y)))
+            y = self.se(y)
+            return x + self.bn3(self.project(y))
+
+    _check_jax(M(), torch.rand(2, 8, 14, 17), tmp_path / "mnv3.onnx")
+
+
+def test_vit_encoder_block(tmp_path):
+    """ViT-class encoder block: LayerNormalization (native at opset 17),
+    einsum attention, GELU (erf decomposition) MLP, residuals."""
+    torch.manual_seed(51)
+    d, heads = 32, 4
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln1 = nn.LayerNorm(d)
+            self.qkv = nn.Linear(d, 3 * d)
+            self.proj = nn.Linear(d, d)
+            self.ln2 = nn.LayerNorm(d)
+            self.mlp = nn.Sequential(
+                nn.Linear(d, 2 * d), nn.GELU(), nn.Linear(2 * d, d)
+            )
+
+        def forward(self, x):  # [N, T, D]
+            n, t, _ = x.shape
+            h = self.ln1(x)
+            qkv = self.qkv(h).reshape(n, t, 3, heads, d // heads)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            att = torch.einsum("nqhd,nkhd->nhqk", q, k) / (d // heads) ** 0.5
+            att = torch.softmax(att, dim=-1)
+            out = torch.einsum("nhqk,nkhd->nqhd", att, v).reshape(n, t, d)
+            x = x + self.proj(out)
+            return x + self.mlp(self.ln2(x))
+
+    _check_jax(M(), torch.rand(2, 9, d), tmp_path / "vit.onnx")
+
+
+def test_unet_decoder_block(tmp_path):
+    """Decoder-class exports: ConvTranspose upsampling, reflect Pad, skip
+    concat, InstanceNorm, GroupNorm, PixelShuffle (DepthToSpace), Elu."""
+    torch.manual_seed(52)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.up = nn.ConvTranspose2d(16, 8, 4, stride=2, padding=1)
+            self.inorm = nn.InstanceNorm2d(8, affine=True)
+            self.conv = nn.Conv2d(16, 16, 3, padding=0)
+            self.gn = nn.GroupNorm(4, 16)
+            self.shuffle = nn.PixelShuffle(2)
+
+        def forward(self, x, skip):
+            y = torch.nn.functional.elu(self.inorm(self.up(x)))
+            y = torch.cat([y, skip], dim=1)
+            y = torch.nn.functional.pad(y, (1, 1, 1, 1), mode="reflect")
+            y = self.gn(self.conv(y))
+            return self.shuffle(y)  # [N, 4, 2H, 2W]
+
+    m = M().eval()
+    x, skip = torch.rand(2, 16, 6, 7), torch.rand(2, 8, 12, 14)
+    path = tmp_path / "unet.onnx"
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda b, c: b
+    try:
+        torch.onnx.export(m, (x, skip), str(path), opset_version=17,
+                          dynamo=False, input_names=["x", "skip"])
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+    with torch.no_grad():
+        want = m(x, skip)
+    g = read_onnx_model(str(path))
+    fn = compile_graph(g)
+    jitted = jax.jit(lambda a, b: fn({"x": a, "skip": b}))
+    (got,) = jitted(jnp.asarray(x.numpy()), jnp.asarray(skip.numpy()))
+    (np_got,) = run_graph(g, {"x": x.numpy(), "skip": skip.numpy()})
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np_got,
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_elementwise_and_compare_ops(tmp_path):
+    torch.manual_seed(53)
+
+    class M(nn.Module):
+        def forward(self, x):
+            a = torch.abs(x) + torch.floor(x) - torch.ceil(x)
+            b = torch.round(x) * torch.sign(x)
+            c = torch.log(torch.abs(x) + 1.0) + torch.reciprocal(x + 3.0)
+            d = torch.sin(x) * torch.cos(x)
+            e = torch.where((x > 0.5) & (x < 0.9), a, b)
+            f = torch.where((x <= 0.2) | (x >= 0.8), c, d)
+            g_ = torch.nn.functional.softplus(x) + torch.nn.functional.elu(
+                x - 0.5
+            )
+            h = torch.remainder(x * 7.0, 3.0) + torch.fmod(x * 5.0 - 2.0, 2.0)
+            return e + f + g_ + h
+
+    _check_jax(M(), torch.rand(3, 4, 5), tmp_path / "elem.onnx")
+
+
+def test_reduce_arg_topk_ops(tmp_path):
+    torch.manual_seed(54)
+
+    class M(nn.Module):
+        def forward(self, x):
+            mins = x.amin(dim=2, keepdim=True)
+            prods = (1.0 + x * 0.1).prod(dim=1, keepdim=True)
+            l2 = torch.norm(x, p=2, dim=2, keepdim=True)
+            am = x.argmax(dim=2).to(torch.float32)
+            cs = torch.cumsum(x, dim=2)
+            vals, idx = torch.topk(x, k=3, dim=2)
+            tri = torch.tril(x.mean(dim=0))
+            gathered = torch.gather(
+                x, 2, torch.argsort(x, dim=2)[:, :, :2]
+            )
+            return (mins + prods + l2, am.unsqueeze(2) + cs,
+                    vals + idx.to(torch.float32), tri, gathered)
+
+    _check_jax(M(), torch.rand(2, 6, 8), tmp_path / "reduce.onnx")
