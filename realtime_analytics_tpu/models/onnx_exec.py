@@ -848,6 +848,24 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         put(np.take_along_axis(
             ins[0], ins[1].astype(np.int64),
             axis=int(_attr(node, "axis", 0))))
+    elif op == "LogSoftmax":
+        x = ins[0].astype(np.float32)
+        axis = int(_attr(node, "axis", -1))
+        shifted = x - x.max(axis=axis, keepdims=True)
+        put(shifted - np.log(
+            np.exp(shifted).sum(axis=axis, keepdims=True)))
+    elif op == "GlobalMaxPool":
+        put(ins[0].max(axis=tuple(range(2, ins[0].ndim)), keepdims=True))
+    elif op == "Selu":
+        alpha = float(_attr(node, "alpha", 1.6732631921768188))
+        gamma = float(_attr(node, "gamma", 1.0507009873554805))
+        x = ins[0].astype(np.float32)
+        put(gamma * np.where(x > 0, x, alpha * (np.exp(x) - 1.0)))
+    elif op == "Celu":
+        alpha = float(_attr(node, "alpha", 1.0))
+        x = ins[0].astype(np.float32)
+        put(np.maximum(x, 0) + np.minimum(
+            0, alpha * (np.exp(x / alpha) - 1.0)))
     else:
         raise UnsupportedOnnxOp(
             f"op '{op}' (node '{node.name}') is outside the supported set"

@@ -770,6 +770,22 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
         x, idx = jnp.asarray(ins[0]), jnp.asarray(ins[1])
         put(jnp.take_along_axis(x, idx.astype(jnp.int32),
                                 axis=int(_attr(node, "axis", 0))))
+    elif op == "LogSoftmax":
+        put(jax.nn.log_softmax(_f32(jnp.asarray(ins[0])),
+                               axis=int(_attr(node, "axis", -1))))
+    elif op == "GlobalMaxPool":
+        x = jnp.asarray(ins[0])
+        put(x.max(axis=tuple(range(2, x.ndim)), keepdims=True))
+    elif op == "Selu":
+        alpha = float(_attr(node, "alpha", 1.6732631921768188))
+        gamma = float(_attr(node, "gamma", 1.0507009873554805))
+        x = _f32(jnp.asarray(ins[0]))
+        put(gamma * jnp.where(x > 0, x, alpha * (jnp.exp(x) - 1.0)))
+    elif op == "Celu":
+        alpha = float(_attr(node, "alpha", 1.0))
+        x = _f32(jnp.asarray(ins[0]))
+        put(jnp.maximum(x, 0) + jnp.minimum(
+            0, alpha * (jnp.exp(x / alpha) - 1.0)))
     else:
         raise UnsupportedOnnxOp(
             f"op '{op}' (node '{node.name}') is outside the supported set"

@@ -53,6 +53,9 @@ def _unary_ops(rng, shape):
         ("Gelu", {"approximate":
                   "tanh" if rng.integers(2) else "none"}, {}),
         ("Softmax", {"axis": axis}, {}),
+        ("LogSoftmax", {"axis": axis}, {}),
+        ("Selu", {}, {}),
+        ("Celu", {"alpha": float(rng.uniform(0.5, 2.0))}, {}),
         ("Erf", {}, {}),
         ("Identity", {}, {}),
     ]

@@ -453,3 +453,22 @@ def test_reduce_arg_topk_ops(tmp_path):
                     vals + idx.to(torch.float32), tri, gathered)
 
     _check_jax(M(), torch.rand(2, 6, 8), tmp_path / "reduce.onnx")
+
+
+def test_activation_tail_ops(tmp_path):
+    """LogSoftmax / GlobalMaxPool / Selu / Celu — the classifier-head and
+    exotic-activation glue."""
+    torch.manual_seed(55)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(3, 6, 3, padding=1)
+
+        def forward(self, x):
+            y = torch.selu(self.conv(x))
+            y = torch.celu(y, alpha=0.7)
+            pooled = torch.nn.functional.adaptive_max_pool2d(y, 1)
+            return torch.log_softmax(pooled.flatten(1), dim=-1)
+
+    _check_jax(M(), torch.rand(2, 3, 9, 11), tmp_path / "tail.onnx")
