@@ -472,3 +472,75 @@ def test_activation_tail_ops(tmp_path):
             return torch.log_softmax(pooled.flatten(1), dim=-1)
 
     _check_jax(M(), torch.rand(2, 3, 9, 11), tmp_path / "tail.onnx")
+
+
+def test_cumsum_exclusive_reverse_combos():
+    """torch only exports exclusive=0/reverse=0 — pin the other three
+    combos on hand-built graphs against a manual reference, in both
+    executors."""
+    from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
+
+    x = np.arange(1, 13, dtype=np.float32).reshape(3, 4)
+
+    def manual(exclusive, reverse, axis=1):
+        out = np.zeros_like(x)
+        n = x.shape[axis]
+        for i in range(n):
+            if reverse:
+                sl = slice(i + 1, None) if exclusive else slice(i, None)
+            else:
+                sl = slice(0, i) if exclusive else slice(0, i + 1)
+            out[:, i] = x[:, sl].sum(axis=axis)
+        return out
+
+    for exclusive in (0, 1):
+        for reverse in (0, 1):
+            g = OnnxGraph(
+                nodes=[OnnxNode("CumSum", inputs=["x", "ax"],
+                                outputs=["y"],
+                                attrs={"exclusive": exclusive,
+                                       "reverse": reverse})],
+                initializers={"ax": np.array(1, np.int64)},
+                inputs=["x"], outputs=["y"],
+            )
+            want = manual(exclusive, reverse)
+            (got_np,) = run_graph(g, {"x": x})
+            np.testing.assert_allclose(
+                got_np, want, err_msg=f"oracle ex={exclusive} rev={reverse}"
+            )
+            fn = compile_graph(g)
+            (got_jax,) = jax.jit(lambda a, fn=fn: fn({"x": a}))(
+                jnp.asarray(x))
+            np.testing.assert_allclose(
+                np.asarray(got_jax), want,
+                err_msg=f"jax ex={exclusive} rev={reverse}",
+            )
+
+
+def test_conv_transpose_asymmetric_pads():
+    """ONNX allows asymmetric ConvTranspose pads (torch never emits them);
+    pin both executors on a hand-built graph against the dilate-pad-conv
+    definition computed with torch's functional conv."""
+    from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
+
+    rng = np.random.default_rng(60)
+    x = rng.standard_normal((1, 2, 5, 6)).astype(np.float32)
+    w = rng.standard_normal((2, 3, 3, 3)).astype(np.float32)  # [C, M, kH, kW]
+    g = OnnxGraph(
+        nodes=[OnnxNode("ConvTranspose", inputs=["x", "w"], outputs=["y"],
+                        attrs={"strides": [2, 2], "pads": [1, 0, 2, 1]})],
+        initializers={"w": w},
+        inputs=["x"], outputs=["y"],
+    )
+    # reference: zero-stuff by stride, then full conv with flipped kernel,
+    # then crop pads from each edge
+    xt = torch.from_numpy(x)
+    wt = torch.from_numpy(w)
+    full = torch.nn.functional.conv_transpose2d(xt, wt, stride=2)
+    want = full[:, :, 1 : full.shape[2] - 2, 0 : full.shape[3] - 1].numpy()
+
+    (got_np,) = run_graph(g, {"x": x})
+    np.testing.assert_allclose(got_np, want, atol=1e-5)
+    fn = compile_graph(g)
+    (got_jax,) = jax.jit(lambda a: fn({"x": a}))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_jax), want, atol=1e-4)
