@@ -185,3 +185,156 @@ def test_fuzz_twin_executors_agree(seed):
         err_msg=f"twin executors diverge on fuzz seed {seed}: "
                 f"ops={[n.op_type for n in g.nodes]}",
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy-op fuzz: random conv/pool/norm/resize stacks with tracked shapes
+
+
+def _heavy_layer(rng, shape, i):
+    """Pick a random heavy op valid for ``shape``; returns
+    (node, extra_inits, out_shape)."""
+    n, c, h, w = shape
+    choices = ["conv", "convT", "pool", "bn", "inorm", "resize"]
+    if c % 2 == 0:
+        choices.append("gnorm")
+    kind = choices[int(rng.integers(len(choices)))]
+    if kind == "conv":
+        m = int(rng.integers(2, 7))
+        k = int(rng.integers(1, min(4, h, w) + 1))
+        s = int(rng.integers(1, 3))
+        p = int(rng.integers(0, 2))
+        groups = c if (rng.integers(4) == 0 and m % c == 0) else 1
+        wgt = rng.standard_normal(
+            (m, c // groups, k, k)).astype(np.float32) * 0.3
+        b = rng.standard_normal(m).astype(np.float32) * 0.1
+        oh = (h + 2 * p - k) // s + 1
+        ow = (w + 2 * p - k) // s + 1
+        if oh < 1 or ow < 1:
+            return None
+        node = OnnxNode("Conv", inputs=[f"in{i}", f"w{i}", f"bias{i}"],
+                        outputs=[f"out{i}"],
+                        attrs={"strides": [s, s], "pads": [p, p, p, p],
+                               "group": groups})
+        return node, {f"w{i}": wgt, f"bias{i}": b}, (n, m, oh, ow)
+    if kind == "convT":
+        m = int(rng.integers(2, 6))
+        k = int(rng.integers(2, 4))
+        s = int(rng.integers(1, 3))
+        p = int(rng.integers(0, k))  # conv-transpose pad must be < k_eff
+        op_ = int(rng.integers(0, s))
+        wgt = rng.standard_normal((c, m, k, k)).astype(np.float32) * 0.3
+        oh = (h - 1) * s - 2 * p + k + op_
+        ow = (w - 1) * s - 2 * p + k + op_
+        if oh < 1 or ow < 1 or k - 1 - p < 0:
+            return None
+        node = OnnxNode("ConvTranspose", inputs=[f"in{i}", f"w{i}"],
+                        outputs=[f"out{i}"],
+                        attrs={"strides": [s, s], "pads": [p, p, p, p],
+                               "output_padding": [op_, op_]})
+        return node, {f"w{i}": wgt}, (n, m, oh, ow)
+    if kind == "pool":
+        if min(h, w) < 2:
+            return None
+        k = int(rng.integers(2, min(4, h, w) + 1))
+        s = int(rng.integers(1, 3))
+        op = "MaxPool" if rng.integers(2) else "AveragePool"
+        attrs = {"kernel_shape": [k, k], "strides": [s, s]}
+        if op == "AveragePool":
+            attrs["count_include_pad"] = 1
+        oh = (h - k) // s + 1
+        ow = (w - k) // s + 1
+        if oh < 1 or ow < 1:
+            return None
+        node = OnnxNode(op, inputs=[f"in{i}"], outputs=[f"out{i}"],
+                        attrs=attrs)
+        return node, {}, (n, c, oh, ow)
+    if kind == "bn":
+        extras = {
+            f"scale{i}": rng.uniform(0.5, 1.5, c).astype(np.float32),
+            f"bias{i}": rng.uniform(-0.3, 0.3, c).astype(np.float32),
+            f"mean{i}": rng.uniform(-0.3, 0.3, c).astype(np.float32),
+            f"var{i}": rng.uniform(0.5, 1.5, c).astype(np.float32),
+        }
+        node = OnnxNode(
+            "BatchNormalization",
+            inputs=[f"in{i}", f"scale{i}", f"bias{i}", f"mean{i}",
+                    f"var{i}"],
+            outputs=[f"out{i}"], attrs={"epsilon": 1e-5},
+        )
+        return node, extras, shape
+    if kind == "inorm":
+        extras = {
+            f"scale{i}": rng.uniform(0.5, 1.5, c).astype(np.float32),
+            f"bias{i}": rng.uniform(-0.3, 0.3, c).astype(np.float32),
+        }
+        node = OnnxNode(
+            "InstanceNormalization",
+            inputs=[f"in{i}", f"scale{i}", f"bias{i}"],
+            outputs=[f"out{i}"], attrs={"epsilon": 1e-5},
+        )
+        return node, extras, shape
+    if kind == "gnorm":
+        extras = {
+            f"scale{i}": rng.uniform(0.5, 1.5, c).astype(np.float32),
+            f"bias{i}": rng.uniform(-0.3, 0.3, c).astype(np.float32),
+        }
+        node = OnnxNode(
+            "GroupNormalization",
+            inputs=[f"in{i}", f"scale{i}", f"bias{i}"],
+            outputs=[f"out{i}"],
+            attrs={"epsilon": 1e-5, "num_groups": 2},
+        )
+        return node, extras, shape
+    # resize
+    mode = "linear" if rng.integers(2) else "nearest"
+    sc = float(rng.choice([0.5, 2.0]))
+    oh, ow = int(np.floor(h * sc)), int(np.floor(w * sc))
+    if oh < 1 or ow < 1:
+        return None
+    node = OnnxNode(
+        "Resize", inputs=[f"in{i}", "", f"sc{i}"], outputs=[f"out{i}"],
+        attrs={"mode": mode,
+               "coordinate_transformation_mode":
+               "half_pixel" if mode == "linear" else "asymmetric",
+               "nearest_mode": "floor"},
+    )
+    return node, {f"sc{i}": np.array([1, 1, sc, sc], np.float32)}, \
+        (n, c, oh, ow)
+
+
+@pytest.mark.parametrize("seed", range(100, 125))
+def test_fuzz_heavy_op_stacks_agree(seed):
+    rng = np.random.default_rng(seed)
+    shape = (int(rng.integers(1, 3)), int(rng.integers(1, 3)) * 2,
+             int(rng.integers(6, 13)), int(rng.integers(6, 13)))
+    x = rng.standard_normal(shape).astype(np.float32)
+    nodes, inits = [], {}
+    cur_shape = shape
+    made = 0
+    for i in range(4):
+        got = _heavy_layer(rng, cur_shape, i)
+        if got is None:
+            continue
+        node, extras, cur_shape = got
+        node.inputs[0] = "x" if made == 0 else f"out{made - 1}"
+        # rename output to a dense chain
+        node.outputs[0] = f"out{made}"
+        # remap the declared extras (they used index i; keep names)
+        nodes.append(node)
+        inits.update(extras)
+        made += 1
+    if made == 0:
+        pytest.skip("no valid layer drawn for this seed")
+    nodes.append(OnnxNode("Tanh", inputs=[f"out{made - 1}"],
+                          outputs=["y"]))
+    g = OnnxGraph(nodes=nodes, initializers=inits,
+                  inputs=["x"], outputs=["y"])
+    (want,) = run_graph(g, {"x": x})
+    fn = compile_graph(g)
+    (got,) = jax.jit(lambda a: fn({"x": a}))(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got), want, atol=2e-4, rtol=1e-3,
+        err_msg=f"heavy fuzz seed {seed}: "
+                f"ops={[n.op_type for n in g.nodes]}",
+    )
