@@ -333,8 +333,14 @@ def _write_artifact_zip(
             "host_select": cfg.host_select,
             "host_resize": cfg.host_resize,
             # graph-backed engines exported only 'full' programs (no stem
-            # to fold) — serve-time host_prepare must agree
-            "graph_backed": bool(getattr(engine, "_graph_backed", False)),
+            # to fold) — serve-time host_prepare must agree. Only the YOLO
+            # engine caches _graph_backed; ResNet/temporal engines consult
+            # their model's flag, so check both
+            "graph_backed": bool(
+                getattr(engine, "_graph_backed", False)
+                or getattr(getattr(engine, "model", None), "graph_backed",
+                           False)
+            ),
             "classes": list(cfg.classes) if cfg.classes else None,
             "sequence_length": cfg.sequence_length,
             "resnet_top_k": cfg.resnet_top_k,

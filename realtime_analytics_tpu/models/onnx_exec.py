@@ -115,9 +115,13 @@ def _conv_transpose_nd(x, w, b, strides, pads, out_pad, dilations, groups):
     return _convnd(xd, wf, b, [1] * k, conv_pads, dilations, groups)
 
 
-def _poolnd(x, kernel, strides, pads, ceil_mode, op):
-    """Max/average pool over any spatial rank (2-D and 3-D)."""
+def _poolnd(x, kernel, strides, pads, ceil_mode, op, dilations=None):
+    """Max/average pool over any spatial rank (2-D and 3-D). ``dilations``
+    (MaxPool only): windows sample every d-th element; all output-size /
+    ceil-mode math uses the effective extent (k-1)*d+1."""
     k = len(kernel)
+    dils = list(dilations) if dilations is not None else [1] * k
+    ek = [(kernel[i] - 1) * dils[i] + 1 for i in range(k)]
     in_sp = x.shape[2:]
     begins, ends = list(pads[:k]), list(pads[k:])
     ext = [0] * k  # ceil-mode extension (beyond the explicit pads)
@@ -125,8 +129,8 @@ def _poolnd(x, kernel, strides, pads, ceil_mode, op):
         # extend padding so the last partial window is included
         for i in range(k):
             span = in_sp[i] + begins[i] + ends[i]
-            r = (span - kernel[i]) % strides[i]
-            ext[i] = (-(span - kernel[i]) % strides[i]) if r else 0
+            r = (span - ek[i]) % strides[i]
+            ext[i] = (-(span - ek[i]) % strides[i]) if r else 0
     fill = -np.inf if op == "max" else 0.0
     if any(begins) or any(e + x2 for e, x2 in zip(ends, ext)):
         x = np.pad(
@@ -139,7 +143,10 @@ def _poolnd(x, kernel, strides, pads, ceil_mode, op):
         slice(None, None, s) for s in strides
     )
     win_axes = tuple(range(-k, 0))
-    v = sliding_window_view(x, kernel, axis=tuple(range(2, 2 + k)))[stride_idx]
+    v = sliding_window_view(x, ek, axis=tuple(range(2, 2 + k)))[stride_idx]
+    if any(d != 1 for d in dils):
+        # subsample inside each (effective-extent) window
+        v = v[(Ellipsis,) + tuple(slice(None, None, d) for d in dils)]
     if ceil_mode:
         # torch/ONNX-runtime drop rule: a ceil-extended window whose START
         # lies entirely in the end padding is not emitted — the last
@@ -173,6 +180,10 @@ def _poolnd(x, kernel, strides, pads, ceil_mode, op):
 
 
 def _resize(x, scales, sizes, mode, coord_mode, nearest_mode):
+    if x.ndim != 4:
+        raise UnsupportedOnnxOp(
+            f"Resize over {x.ndim - 2} spatial dims (only 2-D supported)"
+        )
     n, c, h, w = x.shape
     if sizes is not None and len(sizes):
         oh, ow = int(sizes[-2]), int(sizes[-1])
@@ -435,7 +446,7 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         b = ins[2] if len(ins) > 2 else None
         if x.ndim not in (4, 5):
             raise UnsupportedOnnxOp(f"Conv over {x.ndim - 2}D input")
-        if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", "", b"NOTSET"):
+        if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
             raise UnsupportedOnnxOp("Conv auto_pad")
         k = x.ndim - 2
         put(_convnd(
@@ -497,11 +508,15 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         elif op == "Mul":
             put(a * b)
         elif op == "Div":
-            r = a / b
             if np.issubdtype(np.asarray(a).dtype, np.integer) and \
                     np.issubdtype(np.asarray(b).dtype, np.integer):
-                r = (np.asarray(a) // np.asarray(b))
-            put(r)
+                # ONNX integer Div truncates toward zero; numpy // floors
+                a_, b_ = np.asarray(a), np.asarray(b)
+                q = a_ // b_
+                adj = (a_ % b_ != 0) & ((a_ < 0) != (b_ < 0))
+                put(q + adj.astype(q.dtype))
+            else:
+                put(a / b)
         elif op == "Max":
             put(np.maximum(a, b))
         else:
@@ -509,15 +524,22 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
     elif op == "MaxPool":
         kernel = _attr(node, "kernel_shape")
         k = len(kernel)
+        if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+            raise UnsupportedOnnxOp("MaxPool auto_pad")
         put(_poolnd(
             ins[0], kernel,
             _attr(node, "strides", [1] * k),
             _attr(node, "pads", [0] * (2 * k)),
             int(_attr(node, "ceil_mode", 0)), "max",
+            dilations=_attr(node, "dilations", [1] * k),
         ))
     elif op == "AveragePool":
         kernel = _attr(node, "kernel_shape")
         k = len(kernel)
+        if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+            raise UnsupportedOnnxOp("AveragePool auto_pad")
+        if any(int(d) != 1 for d in _attr(node, "dilations", [1] * k)):
+            raise UnsupportedOnnxOp("AveragePool dilations")
         if int(_attr(node, "count_include_pad", 0)) == 0 and any(
             _attr(node, "pads", [0] * (2 * k))
         ):
@@ -596,7 +618,13 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         put(np.take(ins[0], ins[1].astype(np.int64),
                     axis=int(_attr(node, "axis", 0))))
     elif op == "Shape":
-        put(np.asarray(ins[0].shape, dtype=np.int64))
+        # opset-15 optional start/end attributes slice the returned shape
+        shp = np.asarray(ins[0].shape, dtype=np.int64)
+        start, end = _attr(node, "start"), _attr(node, "end")
+        if start is not None or end is not None:
+            shp = shp[slice(int(start) if start is not None else None,
+                            int(end) if end is not None else None)]
+        put(shp)
     elif op == "Cast":
         to = int(_attr(node, "to"))
         if to not in _CAST_DTYPES:

@@ -75,6 +75,11 @@ def serving_params(g: OnnxGraph) -> Dict[str, np.ndarray]:
             static_names.update(node.inputs[1:])
         elif node.op_type in ("Range", "ConstantOfShape"):
             static_names.update(node.inputs)
+        elif node.op_type == "Pad":
+            # constant_value (3rd input) is a float scalar the executor
+            # needs static (jnp.pad constant); pads/axes are ints and
+            # stay constant anyway
+            static_names.update(node.inputs[2:3])
     return {
         k: v
         for k, v in g.initializers.items()
@@ -167,7 +172,16 @@ class OnnxGraphYolo(OnnxGraphModel):
     def __init__(self, graph: OnnxGraph, model_type: str,
                  input_hw: Tuple[int, int]):
         self.model_type = model_type
+        self.input_hw = tuple(int(v) for v in input_hw)
         super().__init__(graph, (3, *input_hw))
+
+    def _expected_anchors(self) -> int:
+        """Anchor count of a standard 3-level (stride 8/16/32) head at this
+        input size — v5 predicts 3 anchors per cell, v8 one. Used to pick
+        the [N, C, A] vs [N, A, C] orientation deterministically."""
+        h, w = self.input_hw
+        cells = sum((h // s) * (w // s) for s in (8, 16, 32))
+        return 3 * cells if self.model_type == "yolov5" else cells
 
     def apply(self, params, x: jnp.ndarray, reduce_scores: bool = False,
               s2d: bool = False) -> Dict[str, jnp.ndarray]:
@@ -182,10 +196,18 @@ class OnnxGraphYolo(OnnxGraphModel):
                 f"detection graph output must be [N, C, A] or [N, A, C], "
                 f"got shape {pred.shape}"
             )
-        # orientation: channels (4+nc / 5+nc) is always the smaller dim
-        # for real detectors (A >= 400 at 160px)
-        if pred.shape[1] < pred.shape[2]:
-            pred = jnp.transpose(pred, (0, 2, 1))  # -> [N, A, C]
+        # orientation: match the dim that equals the standard head's anchor
+        # count at this input size (deterministic even when 4+nc exceeds A,
+        # e.g. many-class models at small inputs); fall back to the
+        # smaller-dim-is-channels heuristic for non-standard heads
+        a_exp = self._expected_anchors()
+        d1, d2 = pred.shape[1], pred.shape[2]
+        if d2 == a_exp and d1 != a_exp:
+            pred = jnp.transpose(pred, (0, 2, 1))  # [N, C, A] -> [N, A, C]
+        elif d1 == a_exp and d2 != a_exp:
+            pass  # already [N, A, C]
+        elif d1 < d2:
+            pred = jnp.transpose(pred, (0, 2, 1))
         xywh = pred[..., :4]
         if self.model_type == "yolov5":
             scores = pred[..., 4:5] * pred[..., 5:]

@@ -80,10 +80,7 @@ def _conv(node, x, w, b):
     k = x.ndim - 2
     if k not in (2, 3):
         raise UnsupportedOnnxOp(f"Conv over {k}D input")
-    auto_pad = _attr(node, "auto_pad", "NOTSET")
-    if isinstance(auto_pad, bytes):  # keep acceptance identical to the
-        auto_pad = auto_pad.decode()  # oracle's (onnx_exec Conv branch)
-    if auto_pad not in ("NOTSET", ""):
+    if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
         raise UnsupportedOnnxOp("Conv auto_pad")
     strides = [int(s) for s in _attr(node, "strides", [1] * k)]
     pads = [int(p) for p in _attr(node, "pads", [0] * (2 * k))]
@@ -151,13 +148,21 @@ def _conv_transpose(node, x, w, b):
 def _pool(node, x, op):
     kernel = [int(v) for v in _attr(node, "kernel_shape")]
     k = len(kernel)
+    if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+        raise UnsupportedOnnxOp(f"{node.op_type} auto_pad")
     strides = [int(s) for s in _attr(node, "strides", [1] * k)]
     pads = [int(p) for p in _attr(node, "pads", [0] * (2 * k))]
+    dils = [int(d) for d in _attr(node, "dilations", [1] * k)]
+    if op == "avg" and any(d != 1 for d in dils):
+        raise UnsupportedOnnxOp("AveragePool dilations")
     ceil_mode = int(_attr(node, "ceil_mode", 0))
     if op == "avg" and int(_attr(node, "count_include_pad", 0)) == 0 and any(
         pads
     ):
         raise UnsupportedOnnxOp("AveragePool count_include_pad=0 w/ pads")
+    # effective window extent under dilation — all output-size / ceil-mode
+    # math uses it (ONNX: out = floor((in + pads - ((k-1)*d+1)) / s) + 1)
+    ek = [(kernel[i] - 1) * dils[i] + 1 for i in range(k)]
     in_sp = x.shape[2:]
     begins, ends = list(pads[:k]), list(pads[k:])
     ext = [0] * k
@@ -165,13 +170,13 @@ def _pool(node, x, op):
     if ceil_mode:
         for i in range(k):
             span = in_sp[i] + begins[i] + ends[i]
-            if (span - kernel[i]) % strides[i]:
-                ext[i] = -(span - kernel[i]) % strides[i]
+            if (span - ek[i]) % strides[i]:
+                ext[i] = -(span - ek[i]) % strides[i]
         # ONNX/torch drop rule: ceil-extended windows must START inside
         # in + pad_begin (onnx_exec._poolnd carries the derivation)
         out_keep = tuple(
             sum(1 for j in range(
-                (in_sp[d] + begins[d] + ends[d] + ext[d] - kernel[d])
+                (in_sp[d] + begins[d] + ends[d] + ext[d] - ek[d])
                 // strides[d] + 1
             ) if j * strides[d] < in_sp[d] + begins[d])
             for d in range(k)
@@ -185,8 +190,10 @@ def _pool(node, x, op):
         xf = jnp.pad(xf, pad_cfg, constant_values=fill)
     dims = (1, 1) + tuple(kernel)
     strd = (1, 1) + tuple(strides)
+    wdil = (1, 1) + tuple(dils)
     if op == "max":
-        y = lax.reduce_window(xf, -jnp.inf, lax.max, dims, strd, "VALID")
+        y = lax.reduce_window(xf, -jnp.inf, lax.max, dims, strd, "VALID",
+                              window_dilation=wdil)
     else:
         y = lax.reduce_window(xf, 0.0, lax.add, dims, strd, "VALID")
         if any(ext):
@@ -211,6 +218,10 @@ def _resize(node, x, scales, sizes):
     mode = _attr(node, "mode", "nearest")
     coord = _attr(node, "coordinate_transformation_mode", "half_pixel")
     nearest_mode = _attr(node, "nearest_mode", "round_prefer_floor")
+    if x.ndim != 4:
+        raise UnsupportedOnnxOp(
+            f"Resize over {x.ndim - 2} spatial dims (only 2-D supported)"
+        )
     n, c, h, w = x.shape
     if sizes is not None and np.size(sizes):
         oh, ow = int(sizes[-2]), int(sizes[-1])
@@ -459,7 +470,12 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
         elif op == "Div":
             if jnp.issubdtype(a.dtype, jnp.integer) and \
                     jnp.issubdtype(b_.dtype, jnp.integer):
-                put(a // b_)
+                # ONNX integer Div truncates toward zero (C semantics);
+                # // floors — adjust when signs differ and there is a
+                # remainder (twin: onnx_exec Div branch)
+                q = a // b_
+                adj = (a % b_ != 0) & ((a < 0) != (b_ < 0))
+                put(q + adj.astype(q.dtype))
             else:
                 put(a / b_)
         elif op == "Max":
@@ -821,11 +837,18 @@ def _run(g: OnnxGraph, feeds: Dict[str, object],
                 continue
             ins = [values[i] for i in node.inputs]
             if node.op_type in _ALWAYS_STATIC:
-                # static trace-time shape, concrete result
+                # static trace-time shape, concrete result; opset-15
+                # Shape carries optional start/end slicing attributes
                 if node.outputs[0]:
-                    values[node.outputs[0]] = np.asarray(
-                        np.shape(ins[0]), dtype=np.int64
-                    )
+                    shp = np.asarray(np.shape(ins[0]), dtype=np.int64)
+                    start = node.attrs.get("start")
+                    end = node.attrs.get("end")
+                    if start is not None or end is not None:
+                        shp = shp[slice(
+                            int(start) if start is not None else None,
+                            int(end) if end is not None else None,
+                        )]
+                    values[node.outputs[0]] = shp
             elif all(_is_static(v) for v in ins):
                 _eval_node(node, values)
             else:

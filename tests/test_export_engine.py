@@ -602,3 +602,47 @@ def test_graph_backed_export_roundtrip(tmp_path):
     assert sum(len(r) for r in a) > 0
     for ra, rb in zip(a, b):
         _dets_equal(ra, rb)
+
+
+def test_graph_backed_resnet_export_meta(tmp_path):
+    """Only the YOLO engine caches ``_graph_backed``; ResNet/temporal
+    engines carry the flag on their model. The artifact meta must record
+    graph_backed=True for them too, or the reloaded engine re-applies the
+    bf16 cast the live engine explicitly skipped (foreign-graph fp32
+    contract)."""
+    import sys
+
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_onnx_graph_serving import ForeignClassifier, _export
+
+    from realtime_analytics_tpu.engine.detector import JaxResNetEngine
+
+    torch.manual_seed(11)
+    m = ForeignClassifier().eval()
+    onnx_path = str(tmp_path / "fcls.onnx")
+    _export(m, torch.rand(1, 3, 48, 48), onnx_path,
+            dynamic_axes={"x": {0: "n"}})
+    live = JaxResNetEngine(DetectorConfig(
+        model_path=onnx_path, model_type="resnet", backend="onnx",
+        input_size=[48, 48], num_classes=9, warmup=False,
+        precision="bf16",  # the engine must override to fp32 AND record it
+        max_batch_size=2, batch_buckets=[2],
+        confidence_threshold=0.001, resnet_scores="softmax",
+    ))
+    assert getattr(live.model, "graph_backed", False)
+    assert live.compute_dtype == jnp.float32
+
+    meta = export_serving_artifact(
+        live, str(tmp_path / "fcls.rvae"), src_hws=[(48, 48)]
+    )
+    assert meta["graph_backed"] is True
+
+    served = create_detector(DetectorConfig(
+        model_path=str(tmp_path / "fcls.rvae"), model_type="resnet",
+        input_size=[48, 48], num_classes=9, warmup=False,
+        confidence_threshold=0.001, resnet_scores="softmax",
+    ))
+    assert served.compute_dtype == jnp.float32

@@ -240,10 +240,17 @@ def _heavy_layer(rng, shape, i):
         s = int(rng.integers(1, 3))
         op = "MaxPool" if rng.integers(2) else "AveragePool"
         attrs = {"kernel_shape": [k, k], "strides": [s, s]}
+        ek = k
         if op == "AveragePool":
             attrs["count_include_pad"] = 1
-        oh = (h - k) // s + 1
-        ow = (w - k) // s + 1
+        elif rng.integers(2):  # MaxPool dilations (round-4 review fix)
+            d = int(rng.integers(1, 3))
+            ek = (k - 1) * d + 1
+            if ek > min(h, w):
+                return None
+            attrs["dilations"] = [d, d]
+        oh = (h - ek) // s + 1
+        ow = (w - ek) // s + 1
         if oh < 1 or ow < 1:
             return None
         node = OnnxNode(op, inputs=[f"in{i}"], outputs=[f"out{i}"],

@@ -26,6 +26,9 @@ import torch.nn as nn  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
 from realtime_analytics_tpu.config import DetectorConfig, StreamConfig  # noqa: E402
 from realtime_analytics_tpu.engine.detector import (  # noqa: E402
     JaxResNetEngine,
@@ -557,3 +560,130 @@ def test_foreign_3dcnn_serves_via_graph(tmp_path):
     for d, cls_id in zip(dets, top[: len(dets)]):
         assert d.class_id == cls_id
         np.testing.assert_allclose(d.confidence, probs[cls_id], atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# round-4 review regressions
+
+
+def test_pad_float_cval_initializer_stays_static(monkeypatch, tmp_path):
+    """torch constant-folded exports of F.pad(value=c) carry the pad value
+    as a float scalar INITIALIZER; serving_params must keep it static (the
+    executor needs a concrete jnp.pad constant) or the probe rejects a
+    perfectly servable graph and the engine silently serves random init."""
+    import realtime_analytics_tpu.models.onnx_graph_model as ogm
+    from realtime_analytics_tpu.models.onnx_graph_model import serving_params
+    from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
+
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode("Pad", inputs=["x", "pads", "cval"], outputs=["y"]),
+            OnnxNode("Mul", inputs=["y", "w"], outputs=["out"]),
+        ],
+        initializers={
+            "pads": np.array([0, 0, 1, 1, 0, 0, 1, 1], np.int64),
+            "cval": np.array(0.5, np.float32),
+            "w": np.array(2.0, np.float32),
+        },
+        inputs=["x"], outputs=["out"],
+    )
+    sp = serving_params(g)
+    assert "cval" not in sp, "Pad constant_value must stay compile-time"
+    assert "w" in sp, "ordinary float weights still ride as params"
+
+    monkeypatch.setattr(ogm, "read_onnx_model", lambda p: g)
+    gm = ogm.try_load_graph_model(
+        str(tmp_path / "pad.onnx"), "classifier", input_hw=(4, 4)
+    )
+    assert gm is not None, "Pad float constant_value rejected the graph"
+    x = np.random.default_rng(5).random((2, 4, 4, 3)).astype(np.float32)
+    got = np.asarray(jax.jit(gm.apply)(gm.init_params(), jnp.asarray(x)))
+    # ImageNet-normalized NCHW is the classifier-adapter input contract;
+    # apply() only transposes, so mirror with numpy
+    xn = x.transpose(0, 3, 1, 2)
+    want = np.pad(xn, ((0, 0), (0, 0), (1, 1), (1, 1)),
+                  constant_values=0.5) * 2.0
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_pad_float_constant_value_torch_export(tmp_path):
+    """End to end on a real torch export containing F.pad(value=0.5)."""
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(3, 4, 3)
+            self.fc = nn.Linear(4, 5)
+
+        def forward(self, x):
+            y = nn.functional.pad(x, (1, 1, 1, 1), value=0.5)
+            y = torch.relu(self.conv(y))
+            return self.fc(y.mean(dim=(2, 3)))
+
+    from realtime_analytics_tpu.models.onnx_graph_model import (
+        try_load_graph_model,
+    )
+
+    torch.manual_seed(7)
+    m = M().eval()
+    path = tmp_path / "padded.onnx"
+    _export(m, torch.rand(1, 3, *HW), str(path),
+            dynamic_axes={"x": {0: "n"}})
+    gm = try_load_graph_model(str(path), "classifier", input_hw=HW)
+    assert gm is not None
+    x = np.random.default_rng(6).random((2, *HW, 3)).astype(np.float32)
+    got = np.asarray(jax.jit(gm.apply)(gm.init_params(), jnp.asarray(x)))
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_orientation_matches_anchor_count(monkeypatch, tmp_path):
+    """A many-class head at a small input makes 4+nc EXCEED the anchor
+    count; the [N, C, A] vs [N, A, C] orientation must match against the
+    standard head's anchor count, not assume channels is the smaller dim."""
+    import realtime_analytics_tpu.models.onnx_graph_model as ogm
+    from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
+
+    hw = (64, 64)
+    nc = 100
+    ch = 4 + nc                                        # 104 channels
+    anchors = sum((64 // s) ** 2 for s in (8, 16, 32))  # 84 anchors
+    assert ch > anchors, "test needs the pathological orientation"
+    bias = np.zeros((ch, anchors), np.float32)
+    bias[0], bias[1] = 10.0, 10.0   # xywh identical at every anchor
+    bias[2], bias[3] = 4.0, 4.0
+    bias[4:] = 0.1
+    bias[4 + 7] = 0.9               # class 7 wins everywhere
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode("ReduceMean", inputs=["x"], outputs=["m"],
+                     attrs={"axes": [2, 3], "keepdims": 0}),
+            OnnxNode("Gemm", inputs=["m", "w", "b"], outputs=["flat"]),
+            OnnxNode("Reshape", inputs=["flat", "tgt"], outputs=["out"]),
+        ],
+        initializers={
+            "w": np.zeros((3, ch * anchors), np.float32),
+            "b": bias.reshape(-1),
+            "tgt": np.array([-1, ch, anchors], np.int64),
+        },
+        inputs=["x"], outputs=["out"],
+    )
+    monkeypatch.setattr(ogm, "read_onnx_model", lambda p: g)
+    gm = ogm.try_load_graph_model(
+        str(tmp_path / "many.onnx"), "yolo",
+        model_type="yolov8", input_hw=hw,
+    )
+    assert gm is not None
+    out = jax.jit(lambda p, a: gm.apply(p, a, reduce_scores=True))(
+        gm.init_params(), jnp.zeros((2, *hw, 3), jnp.float32)
+    )
+    boxes = np.asarray(out["boxes_xyxy"])
+    np.testing.assert_allclose(
+        boxes,
+        np.broadcast_to(np.array([8.0, 8.0, 12.0, 12.0], np.float32),
+                        boxes.shape),
+        atol=1e-5,
+    )
+    assert np.all(np.asarray(out["cls"]) == 7)
+    np.testing.assert_allclose(np.asarray(out["conf"]), 0.9, atol=1e-6)

@@ -544,3 +544,122 @@ def test_conv_transpose_asymmetric_pads():
     fn = compile_graph(g)
     (got_jax,) = jax.jit(lambda a: fn({"x": a}))(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got_jax), want, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# round-4 review regressions: pool dilations/auto_pad, integer Div
+# truncation, Shape start/end, N-D Resize guard
+
+
+def test_maxpool_dilations(tmp_path):
+    """torch MaxPool2d(dilation=...) exports MaxPool dilations — both
+    executors must honor them (previously silently pooled undilated)."""
+    torch.manual_seed(41)
+
+    class M(nn.Module):
+        def forward(self, x):
+            y = nn.functional.max_pool2d(x, 3, stride=2, dilation=2)
+            return nn.functional.max_pool2d(
+                y, 3, stride=2, padding=1, dilation=2, ceil_mode=True
+            )
+
+    _check_jax(M(), torch.rand(2, 3, 37, 41), tmp_path / "mpd.onnx")
+
+
+def _expect_unsupported_both(g, feeds):
+    """Both executors must REJECT the graph (clean fallback), never run it
+    with silently wrong semantics."""
+    from realtime_analytics_tpu.models.onnx_exec import UnsupportedOnnxOp
+
+    with pytest.raises(UnsupportedOnnxOp):
+        run_graph(g, feeds)
+    fn = compile_graph(g)
+    with pytest.raises(UnsupportedOnnxOp):
+        jax.jit(lambda a: fn({"x": a}))(jnp.asarray(feeds["x"]))
+
+
+def test_pool_unsupported_attrs_rejected():
+    """auto_pad on pools and AveragePool dilations are out of the supported
+    set: both executors raise UnsupportedOnnxOp instead of pooling with
+    wrong windows."""
+    from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
+
+    x = np.random.default_rng(42).standard_normal((1, 2, 8, 8)).astype(
+        np.float32
+    )
+    for op, attrs in [
+        ("MaxPool", {"kernel_shape": [3, 3], "auto_pad": "SAME_UPPER"}),
+        ("AveragePool", {"kernel_shape": [3, 3], "auto_pad": "SAME_LOWER"}),
+        ("AveragePool", {"kernel_shape": [2, 2], "dilations": [2, 2]}),
+    ]:
+        g = OnnxGraph(
+            nodes=[OnnxNode(op, inputs=["x"], outputs=["y"], attrs=attrs)],
+            inputs=["x"], outputs=["y"],
+        )
+        _expect_unsupported_both(g, {"x": x})
+
+
+def test_resize_3d_rejected():
+    """5-D (trilinear) Resize must raise the clean UnsupportedOnnxOp (the
+    designed fallback contract), not a ValueError from tuple unpacking."""
+    from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
+
+    x = np.random.default_rng(43).standard_normal((1, 2, 3, 4, 4)).astype(
+        np.float32
+    )
+    g = OnnxGraph(
+        nodes=[OnnxNode(
+            "Resize", inputs=["x", "", "scales"], outputs=["y"],
+            attrs={"mode": "nearest"},
+        )],
+        initializers={
+            "scales": np.array([1, 1, 2, 2, 2], np.float32),
+        },
+        inputs=["x"], outputs=["y"],
+    )
+    _expect_unsupported_both(g, {"x": x})
+
+
+def test_integer_div_truncates_toward_zero():
+    """ONNX Div on ints truncates toward zero (C semantics, what ONNX
+    Runtime does); numpy/jnp // floors — both executors must adjust."""
+    from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
+
+    x = np.array([[-7, -7, 7], [7, -9, 9]], np.int64)
+    d = np.array([2, -2, -4], np.int64)
+    want = np.trunc(x / d).astype(np.int64)  # [[-3, 3, -1], [3, 4, -2]]
+    g = OnnxGraph(
+        nodes=[OnnxNode("Div", inputs=["x", "d"], outputs=["y"])],
+        initializers={"d": d},
+        inputs=["x"], outputs=["y"],
+    )
+    (got_np,) = run_graph(g, {"x": x})
+    np.testing.assert_array_equal(got_np, want)
+    assert got_np.dtype == np.int64
+    fn = compile_graph(g)
+    (got_jax,) = jax.jit(lambda a: fn({"x": a}))(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(got_jax), want)
+
+
+def test_shape_start_end_attrs():
+    """opset-15 Shape start/end slice the returned shape — the static fold
+    must honor them or all downstream shape math silently corrupts."""
+    from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
+
+    x = np.zeros((2, 3, 4, 5), np.float32)
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode("Shape", inputs=["x"], outputs=["s1"],
+                     attrs={"start": 1}),
+            OnnxNode("Shape", inputs=["x"], outputs=["s2"],
+                     attrs={"start": 1, "end": 3}),
+            OnnxNode("Shape", inputs=["x"], outputs=["s3"],
+                     attrs={"end": -1}),
+        ],
+        inputs=["x"], outputs=["s1", "s2", "s3"],
+    )
+    for got in (run_graph(g, {"x": x}),
+                compile_graph(g)({"x": jnp.asarray(x)})):
+        np.testing.assert_array_equal(np.asarray(got[0]), [3, 4, 5])
+        np.testing.assert_array_equal(np.asarray(got[1]), [3, 4])
+        np.testing.assert_array_equal(np.asarray(got[2]), [2, 3, 4])
