@@ -85,6 +85,7 @@ REAL_WINDOW_SECONDS = float(os.environ.get("RVA_BENCH_REAL_SECONDS", "15"))
 PIPELINE_STREAMS = int(os.environ.get("RVA_BENCH_STREAMS", str(N_STREAMS)))
 BENCH_TEMPORAL = os.environ.get("RVA_BENCH_TEMPORAL", "1") == "1"
 BENCH_RESNET = os.environ.get("RVA_BENCH_RESNET", "1") == "1"
+BENCH_GRAPH = os.environ.get("RVA_BENCH_GRAPH", "1") == "1"
 PCIE_GBPS = 10.0  # conservative TPU-VM host->device bandwidth for projection
 V5E_BF16_PEAK_TFLOPS = 197.0  # published v5e peak, for the MFU figure
 
@@ -683,6 +684,90 @@ def bench_resnet() -> dict:
     }
 
 
+def bench_graph_onnx(side: int = 256, batch: int = 32) -> dict:
+    """Generic ONNX-graph serving (the reference ONNX-backend analog,
+    detector.py:484-609): a foreign-architecture torch export served
+    through the fused graph step, fp32 (the default numerics contract)
+    vs the opt-in ``graph_precision: bf16`` mixed policy — the TPU analog
+    of building an FP16 TensorRT engine from a user's fp32 ONNX."""
+    import tempfile
+
+    import jax
+    import torch
+    import torch.nn as nn
+
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+
+    nc = 8
+
+    class ForeignDet(nn.Module):
+        """Unknown-layout stride-16 detector emitting the v8-style
+        [N, 4+nc, A] matrix; enough channels that the MXU dominates."""
+
+        def __init__(self):
+            super().__init__()
+            self.body = nn.Sequential(
+                nn.Conv2d(3, 32, 3, stride=2, padding=1), nn.SiLU(),
+                nn.Conv2d(32, 64, 3, stride=2, padding=1), nn.SiLU(),
+                nn.Conv2d(64, 128, 3, stride=2, padding=1), nn.SiLU(),
+                nn.Conv2d(128, 128, 3, stride=2, padding=1), nn.SiLU(),
+                nn.Conv2d(128, 128, 3, padding=1), nn.SiLU(),
+            )
+            self.head = nn.Conv2d(128, 4 + nc, 1)
+
+        def forward(self, x):
+            p = self.head(self.body(x)).flatten(2)
+            xywh = torch.sigmoid(p[:, :4]) * float(side)
+            return torch.cat([xywh, torch.sigmoid(p[:, 4:])], dim=1)
+
+    torch.manual_seed(0)
+    m = ForeignDet().eval()
+    path = os.path.join(tempfile.mkdtemp(prefix="rva_bench_"), "fdet.onnx")
+    # export without the `onnx` package (not in the image): the final
+    # _add_onnxscript_fn hop only splices custom onnxscript functions in
+    # (a no-op for stock ops) but imports `onnx` unconditionally
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda b, c: b
+    try:
+        torch.onnx.export(
+            m, (torch.rand(1, 3, side, side),), path, input_names=["x"],
+            dynamic_axes={"x": {0: "n"}}, opset_version=17, dynamo=False,
+        )
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (batch, side, side, 3), dtype=np.uint8)
+    rows = {}
+    for gp in ("fp32", "bf16"):
+        engine = JaxYoloEngine(DetectorConfig(
+            model_path=path, model_type="yolov8", backend="onnx",
+            input_size=[side, side], num_classes=nc, warmup=False,
+            graph_precision=gp, confidence_threshold=0.25,
+            batch_buckets=[batch], max_batch_size=batch,
+        ))
+        if not getattr(engine.model, "graph_backed", False):
+            return {"error": "graph fallback did not engage"}
+        xd = jax.device_put(x, engine.device)
+        step = engine._get_step(batch, (side, side))
+        ms, seq_ms = _diff_time_step(step, engine.params, xd)
+        rows[gp] = {
+            "batch_ms": round(ms, 2),
+            "frames_per_s": round(batch / ms * 1e3, 1),
+            "seq_ms_per_batch": round(seq_ms, 2),
+        }
+        del engine, xd
+    if "fp32" in rows and "bf16" in rows:
+        rows["bf16_speedup"] = round(
+            rows["fp32"]["batch_ms"] / rows["bf16"]["batch_ms"], 2
+        )
+    rows["model"] = f"foreign 6-conv detector @ {side}, b={batch}"
+    return rows
+
+
 def main() -> None:
     import jax
 
@@ -807,6 +892,14 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 resnet = {"error": str(exc)[:200]}
 
+    # --- section 4: generic ONNX-graph serving, fp32 vs bf16 policy ---
+    graph_onnx = {}
+    if platform == "tpu" and BENCH_GRAPH:
+        try:
+            graph_onnx = bench_graph_onnx()
+        except Exception as exc:  # noqa: BLE001
+            graph_onnx = {"error": str(exc)[:200]}
+
     print(
         json.dumps(
             {
@@ -831,6 +924,7 @@ def main() -> None:
                 "real_engine_window": real_window,
                 "temporal": temporal,
                 "resnet": resnet,
+                "graph_onnx": graph_onnx,
                 "platform": platform,
             }
         )

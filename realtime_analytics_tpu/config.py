@@ -222,6 +222,16 @@ class DetectorConfig:
     # vanishingly rare at production thresholds (raise for low-conf sweeps)
     pre_nms_topk: int = 512
     precision: str = "bf16"  # bf16 | fp32 | int8
+    # Precision for GENERIC ONNX-GRAPH serving (unknown-layout user .onnx
+    # files compiled by models/onnx_jax.py). Independent of `precision`
+    # because a foreign graph's numerics are the user's contract: default
+    # fp32 matches their ONNX Runtime baseline bit-for-bit-ish; "bf16"
+    # opts into mixed precision (bf16 MXU operands, fp32 accumulation,
+    # fp32 islands for norms/softmax/reductions) — the TPU analog of
+    # building an FP16 TensorRT engine from a user's fp32 ONNX export
+    # (reference detector.py:382-466). ~2x MXU rate, ~bf16-level (1e-2
+    # relative) output tolerance.
+    graph_precision: str = "fp32"  # fp32 | bf16
     mesh_shape: Optional[List[int]] = None  # e.g. [4, 2] for (dp, tp); None = 1 chip
     compile_cache_dir: Optional[str] = None  # persistent jit cache (≙ .engine files)
     pallas_preprocess: str = "auto"  # auto | on | off: fused MXU letterbox kernel
@@ -326,6 +336,8 @@ class DetectorConfig:
             raise ConfigError("tiling_overlap must be in [0, 0.8]")
         if self.precision not in {"bf16", "fp32", "int8"}:
             raise ConfigError("precision must be one of: bf16, fp32, int8")
+        if self.graph_precision not in {"fp32", "bf16"}:
+            raise ConfigError("graph_precision must be 'fp32' or 'bf16'")
         if self.num_classes <= 0:
             raise ConfigError("num_classes must be > 0")
         if self.pre_nms_topk <= 0:

@@ -140,11 +140,15 @@ class JaxYoloEngine(BaseDetector):
             # ARBITRARY user graphs (reference detector.py:484-609); when
             # the file matches no known checkpoint layout but carries a
             # full graph, compile the graph itself (models/onnx_jax.py)
-            from ..models.onnx_graph_model import load_graph_fallback
+            from ..models.onnx_graph_model import (
+                graph_dtype,
+                load_graph_fallback,
+            )
 
             loaded = load_graph_fallback(
                 config.model_path, "yolo",
                 model_type=model_type, input_hw=tuple(self.input_hw),
+                compute_dtype=graph_dtype(config.graph_precision),
             )
             if loaded is not None:
                 self.model, params = loaded
@@ -160,10 +164,12 @@ class JaxYoloEngine(BaseDetector):
         # stem-folding host paths need the native YOLO param tree)
         self._graph_backed = graph_backed
         if graph_backed:
-            # fp32 end to end — params AND the device preprocess feeding
-            # the graph: a foreign graph's numerics are the user's contract
-            # (bf16 pixel rounding would diverge from their ORT baseline)
-            self.compute_dtype = jnp.float32
+            # fp32 end to end by default — params AND the device preprocess
+            # feeding the graph: a foreign graph's numerics are the user's
+            # contract (bf16 pixel rounding would diverge from their ORT
+            # baseline). `graph_precision: bf16` opts into the mixed policy
+            # (onnx_jax.graph_compute_dtype), ~2x MXU rate.
+            self.compute_dtype = self.model.compute_dtype
         if graph_backed and config.mesh_shape:
             from ..config import ConfigError
 
@@ -174,7 +180,8 @@ class JaxYoloEngine(BaseDetector):
         if graph_backed and config.precision == "int8":
             logger.warning(
                 "precision: int8 is not supported for generic ONNX graph "
-                "models — serving the graph in fp32"
+                "models — serving the graph at graph_precision (%s)",
+                config.graph_precision,
             )
         if config.precision == "int8" and not graph_backed:
             from ..models.weights import (
@@ -202,9 +209,9 @@ class JaxYoloEngine(BaseDetector):
                 logger.exception(
                     "int8 calibration failed; using dynamic activation scales"
                 )
-        elif self.compute_dtype != jnp.float32 and not graph_backed:
-            # graph-backed params stay fp32: a foreign graph's numerics are
-            # the user's contract (onnx_graph_model module docstring)
+        elif self.compute_dtype != jnp.float32:
+            # (graph-backed reaches here only under graph_precision: bf16 —
+            # params then ride HBM at half width like native engines')
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
@@ -832,11 +839,15 @@ class JaxResNetEngine(BaseDetector):
         if params is None:
             # generic-graph fallback (reference serves arbitrary classifier
             # graphs through ONNX Runtime, detector.py:1004-1134)
-            from ..models.onnx_graph_model import load_graph_fallback
+            from ..models.onnx_graph_model import (
+                graph_dtype,
+                load_graph_fallback,
+            )
 
             loaded = load_graph_fallback(
                 config.model_path, "classifier",
                 input_hw=tuple(self.input_hw),
+                compute_dtype=graph_dtype(config.graph_precision),
             )
             if loaded is not None:
                 self.model, params = loaded
@@ -848,12 +859,11 @@ class JaxResNetEngine(BaseDetector):
             params = self.model.init_params(jax.random.PRNGKey(0))
         if getattr(self.model, "graph_backed", False):
             # foreign graph numerics are the user's contract — fp32 end to
-            # end, including the normalize feeding it (detector.py YOLO
-            # engine carries the rationale)
-            self.compute_dtype = jnp.float32
-        if self.compute_dtype != jnp.float32 and not getattr(
-            self.model, "graph_backed", False
-        ):
+            # end by default, including the normalize feeding it;
+            # graph_precision: bf16 opts into the mixed policy (detector.py
+            # YOLO engine carries the rationale)
+            self.compute_dtype = self.model.compute_dtype
+        if self.compute_dtype != jnp.float32:
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,

@@ -341,6 +341,10 @@ def _write_artifact_zip(
                 or getattr(getattr(engine, "model", None), "graph_backed",
                            False)
             ),
+            # graph-backed serve-time compute dtype (fp32 default, bf16
+            # under graph_precision: bf16) — baked into the exported
+            # programs' input specs, so reload must agree
+            "graph_precision": cfg.graph_precision,
             "classes": list(cfg.classes) if cfg.classes else None,
             "sequence_length": cfg.sequence_length,
             "resnet_top_k": cfg.resnet_top_k,
@@ -449,10 +453,18 @@ class _ArtifactMixin:
                     meta.get(knob),
                 )
         self.params = jax.device_put(_unflatten_params(flat), self.device)
-        self.compute_dtype = (
-            jnp.float32 if meta["precision"] == "fp32" or self._graph_backed
-            else jnp.bfloat16
-        )
+        if self._graph_backed:
+            # fp32 unless the artifact was exported under the opt-in
+            # graph_precision: bf16 mixed policy (dtype is baked into the
+            # serialized programs' input specs)
+            self.compute_dtype = (
+                jnp.bfloat16
+                if meta.get("graph_precision") == "bf16" else jnp.float32
+            )
+        else:
+            self.compute_dtype = (
+                jnp.float32 if meta["precision"] == "fp32" else jnp.bfloat16
+            )
         self._steps: Dict[Tuple, object] = {}
         self._bucket_cost_ms: Dict[Tuple[int, int], Dict[int, float]] = {}
         self.last_infer_ms = 0.0

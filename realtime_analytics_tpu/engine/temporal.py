@@ -73,13 +73,17 @@ class JaxTemporalEngine(BaseDetector):
             # (temporal_detector.py:179-319) — when the file matches no
             # documented layout but carries a full graph, compile the
             # graph itself (models/onnx_jax.py) and serve it
-            from ..models.onnx_graph_model import load_graph_fallback
+            from ..models.onnx_graph_model import (
+                graph_dtype,
+                load_graph_fallback,
+            )
 
             loaded = load_graph_fallback(
                 config.model_path, "temporal",
                 model_type=config.model_type,
                 t_len=config.sequence_length,
                 input_hw=tuple(self.input_hw),
+                compute_dtype=graph_dtype(config.graph_precision),
             )
             if loaded is not None:
                 self.model, params = loaded
@@ -91,12 +95,11 @@ class JaxTemporalEngine(BaseDetector):
             params = self.model.init_params(jax.random.PRNGKey(0))
         if getattr(self.model, "graph_backed", False):
             # foreign graph numerics are the user's contract — fp32 end to
-            # end, including the clip normalize feeding it (detector.py
+            # end by default, including the clip normalize feeding it;
+            # graph_precision: bf16 opts into the mixed policy (detector.py
             # YOLO engine carries the rationale)
-            self.compute_dtype = jnp.float32
-        if self.compute_dtype != jnp.float32 and not getattr(
-            self.model, "graph_backed", False
-        ):
+            self.compute_dtype = self.model.compute_dtype
+        if self.compute_dtype != jnp.float32:
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype)
                 if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,

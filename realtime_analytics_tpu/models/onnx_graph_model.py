@@ -26,9 +26,13 @@ Weights device residency: float initializers are fed as runtime params
 (device-put by the engines like any checkpoint pytree) rather than baked
 into the executable as constants; shape-machinery tensors (int tensors,
 Resize scales, Range bounds) stay compile-time constants so the folding
-above works. Graphs serve in fp32 — a foreign graph's numerics are the
-user's contract, so the engines skip their bf16 param cast for these
-(``graph_backed`` attribute).
+above works. Graphs serve in fp32 by default — a foreign graph's numerics
+are the user's contract, so the engines skip their bf16 param cast for
+these (``graph_backed`` attribute). ``detector.graph_precision: bf16``
+opts into the mixed-precision policy (``onnx_jax.graph_compute_dtype``):
+bf16 MXU operands with fp32 accumulation and fp32 islands for the
+numerically sensitive ops — the TPU analog of the reference building an
+FP16 TensorRT engine from a user's fp32 ONNX (detector.py:382-466).
 """
 
 from __future__ import annotations
@@ -42,13 +46,19 @@ import jax
 import jax.numpy as jnp
 
 from .onnx_exec import UnsupportedOnnxOp
-from .onnx_jax import compile_graph
+from .onnx_jax import compile_graph, graph_compute_dtype
 from .onnx_lite import OnnxGraph, read_onnx_model
 
 logger = logging.getLogger(__name__)
 
 # a batch size no sane export was traced at — used to probe batch dynamism
 _PROBE_BATCH = 3
+
+
+def graph_dtype(graph_precision: str):
+    """Map the ``detector.graph_precision`` knob to the adapters'
+    ``compute_dtype`` (config validation already rejects other values)."""
+    return jnp.bfloat16 if graph_precision == "bf16" else jnp.float32
 
 
 def _abstract(params: Dict[str, np.ndarray]) -> Dict[str, jax.ShapeDtypeStruct]:
@@ -95,9 +105,12 @@ class OnnxGraphModel:
 
     graph_backed = True
 
-    def __init__(self, graph: OnnxGraph, example_shape: Tuple[int, ...]):
+    def __init__(self, graph: OnnxGraph, example_shape: Tuple[int, ...],
+                 compute_dtype=jnp.float32):
         """``example_shape``: graph-layout input shape WITHOUT the batch
-        dim (e.g. (3, 640, 640) for a detector)."""
+        dim (e.g. (3, 640, 640) for a detector). ``compute_dtype``:
+        ``jnp.float32`` (default, exact) or ``jnp.bfloat16`` (the opt-in
+        ``graph_precision: bf16`` mixed policy — see module docstring)."""
         if len(graph.inputs) != 1:
             raise UnsupportedOnnxOp(
                 f"serving graphs must have exactly one data input, "
@@ -105,16 +118,18 @@ class OnnxGraphModel:
             )
         self.graph = graph
         self.input_name = graph.inputs[0]
+        self.compute_dtype = compute_dtype
         self._params = serving_params(graph)
         self._fn = compile_graph(graph)
         self.example_shape = tuple(int(s) for s in example_shape)
         self.dynamic_batch = self._probe_dynamic()
         logger.info(
             "ONNX graph model: %d nodes, %d param tensors, input '%s' %s, "
-            "batch mode: %s",
+            "batch mode: %s, compute %s",
             len(graph.nodes), len(self._params), self.input_name,
             self.example_shape,
             "dynamic" if self.dynamic_batch else "vmap (static-batch export)",
+            jnp.dtype(compute_dtype).name,
         )
 
     # -- engine surface -------------------------------------------------
@@ -144,7 +159,8 @@ class OnnxGraphModel:
             return False
 
     def _run_direct(self, params, x) -> List[jnp.ndarray]:
-        return self._fn({self.input_name: x, **params})
+        with graph_compute_dtype(self.compute_dtype):
+            return self._fn({self.input_name: x, **params})
 
     def run(self, params, x: jnp.ndarray) -> List[jnp.ndarray]:
         """Run the graph on a batched graph-layout input [B, ...]."""
@@ -170,10 +186,10 @@ class OnnxGraphYolo(OnnxGraphModel):
     reference multiplies class 0 in as objectness whenever cols > 5)."""
 
     def __init__(self, graph: OnnxGraph, model_type: str,
-                 input_hw: Tuple[int, int]):
+                 input_hw: Tuple[int, int], compute_dtype=jnp.float32):
         self.model_type = model_type
         self.input_hw = tuple(int(v) for v in input_hw)
-        super().__init__(graph, (3, *input_hw))
+        super().__init__(graph, (3, *input_hw), compute_dtype=compute_dtype)
 
     def _expected_anchors(self) -> int:
         """Anchor count of a standard 3-level (stride 8/16/32) head at this
@@ -189,7 +205,7 @@ class OnnxGraphYolo(OnnxGraphModel):
         output). ``s2d`` is a native-backbone layout transform — a foreign
         graph defines its own layout, so it is accepted and ignored."""
         pred = self.run(params, jnp.transpose(
-            x.astype(jnp.float32), (0, 3, 1, 2)
+            x.astype(self.compute_dtype), (0, 3, 1, 2)
         ))[0].astype(jnp.float32)
         if pred.ndim != 3:
             raise UnsupportedOnnxOp(
@@ -233,11 +249,11 @@ class OnnxGraphTemporal(OnnxGraphModel):
     Output: action logits ``[N, num_classes]``."""
 
     def __init__(self, graph: OnnxGraph, model_type: str, t_len: int,
-                 input_hw: Tuple[int, int]):
+                 input_hw: Tuple[int, int], compute_dtype=jnp.float32):
         self.channels_first_time = model_type in ("3d_cnn", "slow_fast")
         shape = (3, t_len, *input_hw) if self.channels_first_time \
             else (t_len, 3, *input_hw)
-        super().__init__(graph, shape)
+        super().__init__(graph, shape, compute_dtype=compute_dtype)
 
     def apply(self, params, clips: jnp.ndarray) -> jnp.ndarray:
         """clips: [N, T, H, W, 3] normalized RGB (the temporal engine's
@@ -245,7 +261,7 @@ class OnnxGraphTemporal(OnnxGraphModel):
         perm = (0, 4, 1, 2, 3) if self.channels_first_time \
             else (0, 1, 4, 2, 3)
         logits = self.run(
-            params, jnp.transpose(clips.astype(jnp.float32), perm)
+            params, jnp.transpose(clips.astype(self.compute_dtype), perm)
         )[0]
         return logits.astype(jnp.float32)
 
@@ -254,13 +270,14 @@ class OnnxGraphClassifier(OnnxGraphModel):
     """Classification adapter: ``[N, 3, H, W]`` ImageNet-normalized in,
     logits out (reference ResNet-ONNX contract, detector.py:1004-1134)."""
 
-    def __init__(self, graph: OnnxGraph, input_hw: Tuple[int, int]):
-        super().__init__(graph, (3, *input_hw))
+    def __init__(self, graph: OnnxGraph, input_hw: Tuple[int, int],
+                 compute_dtype=jnp.float32):
+        super().__init__(graph, (3, *input_hw), compute_dtype=compute_dtype)
 
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, H, W, 3] normalized RGB (the engine's classify head)."""
         logits = self.run(params, jnp.transpose(
-            x.astype(jnp.float32), (0, 3, 1, 2)
+            x.astype(self.compute_dtype), (0, 3, 1, 2)
         ))[0]
         return logits.astype(jnp.float32)
 

@@ -38,7 +38,9 @@ Usage::
 
 from __future__ import annotations
 
+import contextlib
 import logging
+from contextvars import ContextVar
 from functools import partial
 from typing import Dict, List, Optional, Sequence
 
@@ -52,6 +54,71 @@ from .onnx_exec import UnsupportedOnnxOp, _eval_node
 from .onnx_lite import OnnxGraph, OnnxNode
 
 logger = logging.getLogger(__name__)
+
+# Active mixed-precision policy for graph tracing. None (the default)
+# serves the graph in the exported dtype — fp32 end to end, the
+# foreign-graph numerics contract. jnp.bfloat16 is the opt-in
+# ``detector.graph_precision: bf16`` policy (≙ the reference building an
+# FP16 TensorRT engine from a user's fp32 ONNX, detector.py:382-466):
+#   * MXU ops (Conv/ConvTranspose/MatMul/Gemm/Einsum) take bf16 operands
+#     and emit bf16 — the MXU accumulates partial sums in f32 internally
+#     (the native engines' conv2d carries the measurement), ~2x the fp32
+#     FLOP rate and half the HBM bytes per activation;
+#   * ACCUMULATION-sensitive ops (norms, softmax, mean/sum reductions,
+#     avg pools, LSTM/GRU scans, Pow) compute in fp32 islands — they
+#     upcast internally via ``_f32`` / ``_acc``. Pointwise activations
+#     (sigmoid/tanh/exp/gelu/...) ride bf16: bf16 keeps f32's full
+#     exponent range, and an fp32 island there costs a convert pair per
+#     op — measured to cancel the MXU win on conv nets;
+#   * every traced float node output is downcast back to bf16 by ``_run``,
+#     so elementwise chains and HBM traffic ride bf16 between islands.
+_COMPUTE: ContextVar = ContextVar("onnx_graph_compute_dtype", default=None)
+
+
+@contextlib.contextmanager
+def graph_compute_dtype(dtype):
+    """Trace-time precision policy scope; fp32 (or None) = legacy exact
+    path, bf16 = the mixed policy described on ``_COMPUTE``."""
+    tok = _COMPUTE.set(None if dtype in (None, jnp.float32) else
+                       jnp.dtype(dtype))
+    try:
+        yield
+    finally:
+        _COMPUTE.reset(tok)
+
+
+def _mxu(x):
+    """Operand prep for MXU ops AND pointwise-safe activations: under the
+    bf16 policy keep/cast float operands to bf16 (MXU accumulation stays
+    fp32 via ``preferred_element_type``; pointwise ops like sigmoid/tanh/
+    exp are range-safe in bf16 — it has f32's full exponent range — and
+    upcasting them costs a convert pair per op, measured to cancel the
+    MXU win); otherwise the legacy fp32 upcast."""
+    cd = _COMPUTE.get()
+    x = jnp.asarray(x)
+    if cd is not None and jnp.issubdtype(x.dtype, jnp.floating):
+        return x if x.dtype == cd else x.astype(cd)
+    return _f32(x)
+
+
+def _pref():
+    """``preferred_element_type`` for MXU ops: under the bf16 policy the
+    output IS bf16 — the MXU accumulates partial sums in f32 internally
+    regardless (models/layers.py:conv2d carries the measurement: emitting
+    bf16 halves every activation tensor in HBM, and forcing f32 outputs
+    + converts measured SLOWER than fp32 serving, 0.82x). None = legacy
+    operand-dtype default."""
+    return _COMPUTE.get()
+
+
+def _acc(x):
+    """Accumulation-sensitive input (BatchNorm stats, ReduceMean/Sum/Prod,
+    GlobalAveragePool): upcast to fp32 under the bf16 policy; identity
+    otherwise (legacy dtype semantics preserved for fp32/f64 graphs)."""
+    x = jnp.asarray(x)
+    if _COMPUTE.get() is not None and jnp.issubdtype(x.dtype, jnp.floating):
+        return _f32(x)
+    return x
 
 # ONNX TensorProto.DataType codes used by Cast
 _CAST_DTYPES = {
@@ -89,13 +156,13 @@ def _conv(node, x, w, b):
     pad_pairs = list(zip(pads[:k], pads[k:]))
     spec = ("NCHW", "OIHW", "NCHW") if k == 2 else ("NCDHW", "OIDHW", "NCDHW")
     y = lax.conv_general_dilated(
-        _f32(x), _f32(jnp.asarray(w)),
+        _mxu(x), _mxu(w),
         window_strides=strides, padding=pad_pairs,
         rhs_dilation=dils, feature_group_count=groups,
-        dimension_numbers=spec,
+        dimension_numbers=spec, preferred_element_type=_pref(),
     )
     if b is not None:
-        y = y + jnp.asarray(b, jnp.float32).reshape((1, -1) + (1,) * k)
+        y = y + jnp.asarray(b).astype(y.dtype).reshape((1, -1) + (1,) * k)
     return y
 
 
@@ -135,13 +202,14 @@ def _conv_transpose(node, x, w, b):
         raise UnsupportedOnnxOp("ConvTranspose pads exceed kernel extent")
     spec = ("NCHW", "OIHW", "NCHW") if k == 2 else ("NCDHW", "OIDHW", "NCDHW")
     y = lax.conv_general_dilated(
-        _f32(x), _f32(jnp.asarray(wf)),
+        _mxu(x), _mxu(wf),
         window_strides=[1] * k, padding=pad_pairs,
         lhs_dilation=strides, rhs_dilation=dils,
         feature_group_count=groups, dimension_numbers=spec,
+        preferred_element_type=_pref(),
     )
     if b is not None:
-        y = y + jnp.asarray(b, jnp.float32).reshape((1, -1) + (1,) * k)
+        y = y + jnp.asarray(b).astype(y.dtype).reshape((1, -1) + (1,) * k)
     return y
 
 
@@ -185,7 +253,9 @@ def _pool(node, x, op):
     pad_cfg = [(0, 0), (0, 0)] + [
         (b_, e_ + x_) for b_, e_, x_ in zip(begins, ends, ext)
     ]
-    xf = _f32(x)
+    # max pool is order-insensitive — it rides the policy dtype; avg pool
+    # accumulates, so it stays an fp32 island under the bf16 policy
+    xf = _mxu(x) if op == "max" else _f32(x)
     if any(p != (0, 0) for p in pad_cfg):
         xf = jnp.pad(xf, pad_cfg, constant_values=fill)
     dims = (1, 1) + tuple(kernel)
@@ -411,21 +481,24 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
     if op == "Conv":
         put(_conv(node, ins[0], ins[1], ins[2] if len(ins) > 2 else None))
     elif op == "Gemm":
-        a, b_ = _f32(jnp.asarray(ins[0])), _f32(jnp.asarray(ins[1]))
+        a, b_ = _mxu(ins[0]), _mxu(ins[1])
         if int(_attr(node, "transA", 0)):
             a = a.T
         if int(_attr(node, "transB", 0)):
             b_ = b_.T
-        y = float(_attr(node, "alpha", 1.0)) * (a @ b_)
+        y = float(_attr(node, "alpha", 1.0)) * jnp.matmul(
+            a, b_, preferred_element_type=_pref()
+        )
         if len(ins) > 2 and ins[2] is not None:
             y = y + float(_attr(node, "beta", 1.0)) * jnp.asarray(
-                ins[2], jnp.float32
-            )
+                ins[2]
+            ).astype(y.dtype)
         put(y)
     elif op == "MatMul":
-        put(jnp.matmul(_f32(jnp.asarray(ins[0])), _f32(jnp.asarray(ins[1]))))
+        put(jnp.matmul(_mxu(ins[0]), _mxu(ins[1]),
+                       preferred_element_type=_pref()))
     elif op == "BatchNormalization":
-        x, scale, bias, mean, var = (jnp.asarray(v) for v in ins[:5])
+        x, scale, bias, mean, var = (_acc(v) for v in ins[:5])
         eps = float(_attr(node, "epsilon", 1e-5))
         shape = (1, -1) + (1,) * (x.ndim - 2)
         put((x - mean.reshape(shape))
@@ -437,22 +510,22 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
         alpha = float(_attr(node, "alpha", 0.01))
         put(jnp.where(ins[0] > 0, ins[0], alpha * ins[0]))
     elif op == "Sigmoid":
-        put(jax.nn.sigmoid(_f32(jnp.asarray(ins[0]))))
+        put(jax.nn.sigmoid(_mxu(ins[0])))
     elif op == "Tanh":
-        put(jnp.tanh(_f32(jnp.asarray(ins[0]))))
+        put(jnp.tanh(_mxu(ins[0])))
     elif op == "Softmax":
         put(jax.nn.softmax(_f32(jnp.asarray(ins[0])),
                            axis=int(_attr(node, "axis", -1))))
     elif op == "Exp":
-        put(jnp.exp(_f32(jnp.asarray(ins[0]))))
+        put(jnp.exp(_mxu(ins[0])))
     elif op == "Sqrt":
-        put(jnp.sqrt(_f32(jnp.asarray(ins[0]))))
+        put(jnp.sqrt(_mxu(ins[0])))
     elif op == "Pow":
         put(jnp.power(_f32(jnp.asarray(ins[0])), jnp.asarray(ins[1])))
     elif op == "Neg":
         put(-ins[0])
     elif op == "Erf":
-        put(lax.erf(_f32(jnp.asarray(ins[0]))))
+        put(lax.erf(_mxu(ins[0])))
     elif op == "Clip":
         lo = ins[1] if len(ins) > 1 and ins[1] is not None else -jnp.inf
         hi = ins[2] if len(ins) > 2 and ins[2] is not None else jnp.inf
@@ -487,7 +560,7 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
     elif op == "AveragePool":
         put(_pool(node, ins[0], "avg"))
     elif op == "GlobalAveragePool":
-        x = jnp.asarray(ins[0])
+        x = _acc(ins[0])
         put(x.mean(axis=tuple(range(2, x.ndim)), keepdims=True))
     elif op == "Concat":
         put(jnp.concatenate([jnp.asarray(v) for v in ins],
@@ -583,7 +656,8 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
         keep = bool(int(_attr(node, "keepdims", 1)))
         fn = {"ReduceMean": jnp.mean, "ReduceSum": jnp.sum,
               "ReduceMax": jnp.max}[op]
-        put(fn(jnp.asarray(ins[0]), axis=axes, keepdims=keep))
+        x = jnp.asarray(ins[0]) if op == "ReduceMax" else _acc(ins[0])
+        put(fn(x, axis=axes, keepdims=keep))
     elif op in ("Identity", "Dropout"):
         put(ins[0])
     elif op == "Where":
@@ -636,28 +710,28 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
     elif op == "HardSigmoid":
         alpha = float(_attr(node, "alpha", 0.2))
         beta = float(_attr(node, "beta", 0.5))
-        put(jnp.clip(alpha * _f32(jnp.asarray(ins[0])) + beta, 0.0, 1.0))
+        put(jnp.clip(alpha * _mxu(ins[0]) + beta, 0.0, 1.0))
     elif op == "HardSwish":  # opset 14: x * hardsigmoid(x; 1/6, 1/2)
-        x = _f32(jnp.asarray(ins[0]))
+        x = _mxu(ins[0])
         put(x * jnp.clip(x / 6.0 + 0.5, 0.0, 1.0))
     elif op == "Elu":
         alpha = float(_attr(node, "alpha", 1.0))
-        x = _f32(jnp.asarray(ins[0]))
+        x = _mxu(ins[0])
         put(jnp.where(x > 0, x, alpha * (jnp.exp(x) - 1.0)))
     elif op == "Softplus":
-        put(jnp.logaddexp(0.0, _f32(jnp.asarray(ins[0]))))
+        put(jnp.logaddexp(0.0, _mxu(ins[0])))
     elif op == "PRelu":
         x, slope = jnp.asarray(ins[0]), jnp.asarray(ins[1])
         put(jnp.where(x < 0, slope * x, x))
     elif op == "Gelu":  # opset 20
-        x = _f32(jnp.asarray(ins[0]))
+        x = _mxu(ins[0])
         if _attr(node, "approximate", "none") == "tanh":
             put(0.5 * x * (1.0 + jnp.tanh(
                 np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3))))
         else:
             put(0.5 * x * (1.0 + lax.erf(x / np.sqrt(2.0))))
     elif op == "Mish":  # opset 18: x * tanh(softplus(x))
-        x = _f32(jnp.asarray(ins[0]))
+        x = _mxu(ins[0])
         put(x * jnp.tanh(jnp.logaddexp(0.0, x)))
     elif op in ("Abs", "Floor", "Ceil", "Round", "Sign", "Not"):
         fn = {"Abs": jnp.abs, "Floor": jnp.floor, "Ceil": jnp.ceil,
@@ -665,7 +739,7 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
               "Sign": jnp.sign, "Not": jnp.logical_not}[op]
         put(fn(jnp.asarray(ins[0])))
     elif op in ("Log", "Sin", "Cos", "Reciprocal"):
-        x = _f32(jnp.asarray(ins[0]))
+        x = _mxu(ins[0])
         put({"Log": jnp.log, "Sin": jnp.sin, "Cos": jnp.cos,
              "Reciprocal": lambda v: 1.0 / v}[op](x))
     elif op in ("Greater", "Less", "GreaterOrEqual", "LessOrEqual",
@@ -691,7 +765,8 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
                 axis=axes, keepdims=keep)))
         else:
             fn = {"ReduceMin": jnp.min, "ReduceProd": jnp.prod}[op]
-            put(fn(jnp.asarray(ins[0]), axis=axes, keepdims=keep))
+            x = _acc(ins[0]) if op == "ReduceProd" else jnp.asarray(ins[0])
+            put(fn(x, axis=axes, keepdims=keep))
     elif op in ("ArgMax", "ArgMin"):
         if int(_attr(node, "select_last_index", 0)):
             raise UnsupportedOnnxOp(f"{op} select_last_index")
@@ -761,8 +836,8 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
         y = y.transpose(0, 3, 5, 1, 2, 4)
         put(y.reshape(n, c * bs * bs, h // bs, w // bs))
     elif op == "Einsum":
-        put(jnp.einsum(_attr(node, "equation"),
-                       *[_f32(jnp.asarray(v)) for v in ins]))
+        put(jnp.einsum(_attr(node, "equation"), *[_mxu(v) for v in ins],
+                       preferred_element_type=_pref()))
     elif op == "Trilu":
         k = int(np.asarray(need_static(
             ins[1], "diagonal offset")).item()) \
@@ -795,11 +870,11 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
     elif op == "Selu":
         alpha = float(_attr(node, "alpha", 1.6732631921768188))
         gamma = float(_attr(node, "gamma", 1.0507009873554805))
-        x = _f32(jnp.asarray(ins[0]))
+        x = _mxu(ins[0])
         put(gamma * jnp.where(x > 0, x, alpha * (jnp.exp(x) - 1.0)))
     elif op == "Celu":
         alpha = float(_attr(node, "alpha", 1.0))
-        x = _f32(jnp.asarray(ins[0]))
+        x = _mxu(ins[0])
         put(jnp.maximum(x, 0) + jnp.minimum(
             0, alpha * (jnp.exp(x / alpha) - 1.0)))
     else:
@@ -826,6 +901,7 @@ def _run(g: OnnxGraph, feeds: Dict[str, object],
     missing = [i for i in g.inputs if i not in values]
     if missing:
         raise ValueError(f"missing graph inputs: {missing}")
+    cd = _COMPUTE.get()  # bf16 policy: downcast traced float outputs
 
     pending: List[OnnxNode] = list(g.nodes)
     while pending:
@@ -853,6 +929,18 @@ def _run(g: OnnxGraph, feeds: Dict[str, object],
                 _eval_node(node, values)
             else:
                 _eval_node_jax(node, values)
+                if cd is not None:
+                    # fp32 islands emit fp32; bring every traced float
+                    # back to the policy dtype so elementwise chains and
+                    # HBM traffic between islands ride bf16
+                    for o in node.outputs:
+                        v = values.get(o) if o else None
+                        if (
+                            isinstance(v, (jax.Array, jax.core.Tracer))
+                            and jnp.issubdtype(v.dtype, jnp.floating)
+                            and v.dtype != cd
+                        ):
+                            values[o] = v.astype(cd)
             progressed = True
         if not progressed:
             blocked = [n.op_type for n in deferred[:5]]
