@@ -45,10 +45,13 @@ class UnsupportedOnnxOp(NotImplementedError):
     pass
 
 
-def _convnd(x, w, b, strides, pads, dilations, groups):
+def _convnd(x, w, b, strides, pads, dilations, groups, acc=np.float32):
     """[N, C, *spatial] x [M, C/g, *k] -> [N, M, *out] via windowed matmul,
     any spatial rank (2-D and 3-D convs both export as ONNX ``Conv``).
-    Explicit ONNX pads: [*dim_begins, *dim_ends]."""
+    Explicit ONNX pads: [*dim_begins, *dim_ends]. ``acc``: accumulation
+    dtype — float32 for float convs, int64 for the exact integer
+    accumulation ConvInteger/QLinearConv require (float32 loses bits past
+    2^24, reachable at ~260 uint8*int8 taps)."""
     k = x.ndim - 2
     n = x.shape[0]
     m, cg = w.shape[0], w.shape[1]
@@ -66,7 +69,7 @@ def _convnd(x, w, b, strides, pads, dilations, groups):
     v = v[idx]
     out_sp = v.shape[2 : 2 + k]
     taps = cg * int(np.prod(ks))
-    out = np.empty((n, m) + out_sp, dtype=np.float32)
+    out = np.empty((n, m) + out_sp, dtype=acc)
     mg = m // groups
     # [N, *out, cg, *ks] ordering for the column matmul
     perm = (0,) + tuple(range(2, 2 + k)) + (1,) + tuple(range(2 + k, 2 + 2 * k))
@@ -76,7 +79,7 @@ def _convnd(x, w, b, strides, pads, dilations, groups):
         cols = vg.transpose(perm).reshape((n,) + out_sp + (taps,))
         wg = w[g * mg : (g + 1) * mg].reshape(mg, taps).T
         out[:, g * mg : (g + 1) * mg] = (
-            cols.astype(np.float32) @ wg.astype(np.float32)
+            cols.astype(acc) @ wg.astype(acc)
         ).transpose(dst)
     if b is not None:
         out += b.reshape((1, m) + (1,) * k)
@@ -113,6 +116,81 @@ def _conv_transpose_nd(x, w, b, strides, pads, out_pad, dilations, groups):
     if any(p < 0 for p in conv_pads):
         raise UnsupportedOnnxOp("ConvTranspose pads exceed kernel extent")
     return _convnd(xd, wf, b, [1] * k, conv_pads, dilations, groups)
+
+
+def _qaxis(nd, scale, zp, axis):
+    """ONNX Q/DQ scale + zero-point pair (scalar or 1-D per-axis),
+    reshaped to broadcast against a rank-``nd`` tensor along ``axis``.
+    Returns (float32 scale, int32 zero_point). The quantized-model
+    interchange contract the reference's RKNN backend consumes
+    pre-converted (reference detector.py:705-869)."""
+    scale = np.asarray(scale, dtype=np.float32)
+    zp32 = np.asarray(0 if zp is None else zp).astype(np.int32)
+    if scale.ndim > 1:
+        raise UnsupportedOnnxOp("blocked quantization (scale rank > 1)")
+    if scale.ndim == 1 and scale.size > 1:
+        shape = [1] * nd
+        shape[axis if axis >= 0 else axis + nd] = scale.size
+        scale = scale.reshape(shape)
+        if zp32.size > 1:
+            zp32 = zp32.reshape(shape)
+    return scale, zp32
+
+
+def _qscalar(v, what):
+    """Require a scalar (or 1-element) quantization parameter."""
+    a = np.asarray(v)
+    if a.size != 1:
+        raise UnsupportedOnnxOp(f"per-axis {what} is not supported here")
+    return a.reshape(()).item()
+
+
+def _matmul_int(a, b, azp, bzp):
+    """Exact ``(a - a_zp) @ (b - b_zp)`` in int64. Zero points: scalar,
+    or 1-D per-row of ``a`` / per-column of ``b`` (MatMulInteger)."""
+    azp = np.asarray(azp, dtype=np.int64)
+    bzp = np.asarray(bzp, dtype=np.int64)
+    if azp.ndim == 1 and azp.size > 1:
+        azp = azp.reshape(-1, 1)
+    return (a.astype(np.int64) - azp) @ (b.astype(np.int64) - bzp)
+
+
+def _conv_int(node, x, w, xzp, wzp):
+    """Exact integer ``conv(x - x_zp, w - w_zp)``, int64 accumulation.
+    Implicit padding pads x with x_zero_point per the ONNX spec —
+    subtracting the zero point FIRST turns that into plain zero padding.
+    ``w_zp`` may be per-output-channel (1-D)."""
+    if x.ndim not in (4, 5):
+        raise UnsupportedOnnxOp(f"{node.op_type} over {x.ndim - 2}D input")
+    if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+        raise UnsupportedOnnxOp(f"{node.op_type} auto_pad")
+    k = x.ndim - 2
+    xzp = np.asarray(0 if xzp is None else xzp, dtype=np.int64)
+    if xzp.size != 1:
+        raise UnsupportedOnnxOp(f"{node.op_type} per-axis x_zero_point")
+    wzp = np.asarray(0 if wzp is None else wzp, dtype=np.int64)
+    if wzp.ndim == 1 and wzp.size > 1:
+        wzp = wzp.reshape((-1,) + (1,) * (w.ndim - 1))
+    return _convnd(
+        x.astype(np.int64) - xzp,
+        w.astype(np.int64) - wzp,
+        None,
+        _attr(node, "strides", [1] * k),
+        _attr(node, "pads", [0] * (2 * k)),
+        _attr(node, "dilations", [1] * k),
+        int(_attr(node, "group", 1)),
+        acc=np.int64,
+    )
+
+
+def _requant(acc, mul, yzp, qdt):
+    """int accumulator -> quantized output: ``saturate(rint(acc * mul)
+    + y_zp)``. float32 product on purpose — the jnp twin computes the
+    same way on device, and bit-parity between the executors is the
+    pinned contract."""
+    info = np.iinfo(qdt)
+    y = np.rint(acc.astype(np.float32) * mul) + yzp
+    return np.clip(y, info.min, info.max).astype(qdt)
 
 
 def _poolnd(x, kernel, strides, pads, ceil_mode, op, dilations=None):
@@ -894,6 +972,74 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         x = ins[0].astype(np.float32)
         put(np.maximum(x, 0) + np.minimum(
             0, alpha * (np.exp(x / alpha) - 1.0)))
+    # ---- quantized-model ops (QDQ + QOperator interchange formats; the
+    # pre-quantized-artifact path the reference's RKNN backend consumes,
+    # reference detector.py:705-869) --------------------------------------
+    elif op == "QuantizeLinear":
+        x = np.asarray(ins[0], dtype=np.float32)
+        zp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+        qdt = np.asarray(zp).dtype if zp is not None else np.dtype(np.uint8)
+        scale, zp32 = _qaxis(x.ndim, ins[1], zp, int(_attr(node, "axis", 1)))
+        info = np.iinfo(qdt)
+        y = np.rint(x / scale) + zp32  # rint = round-half-to-even (spec)
+        put(np.clip(y, info.min, info.max).astype(qdt))
+    elif op == "DequantizeLinear":
+        x = np.asarray(ins[0])
+        zp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+        scale, zp32 = _qaxis(x.ndim, ins[1], zp, int(_attr(node, "axis", 1)))
+        put((x.astype(np.int64) - zp32.astype(np.int64)).astype(
+            np.float32) * scale)
+    elif op == "DynamicQuantizeLinear":
+        x = np.asarray(ins[0], dtype=np.float32)
+        # spec: the quantization range always includes 0
+        xmin = min(float(x.min()), 0.0) if x.size else 0.0
+        xmax = max(float(x.max()), 0.0) if x.size else 0.0
+        scale = (xmax - xmin) / 255.0 or 1.0  # constant input: unit scale
+        zp = np.uint8(np.clip(np.rint(-xmin / scale), 0, 255))
+        y = np.clip(np.rint(x / scale) + int(zp), 0, 255).astype(np.uint8)
+        put(y, np.float32(scale), zp)
+    elif op == "MatMulInteger":
+        azp = ins[2] if len(ins) > 2 and ins[2] is not None else 0
+        bzp = ins[3] if len(ins) > 3 and ins[3] is not None else 0
+        put(_matmul_int(
+            np.asarray(ins[0]), np.asarray(ins[1]), azp, bzp
+        ).astype(np.int32))
+    elif op == "ConvInteger":
+        xzp = ins[2] if len(ins) > 2 else None
+        wzp = ins[3] if len(ins) > 3 else None
+        put(_conv_int(
+            node, np.asarray(ins[0]), np.asarray(ins[1]), xzp, wzp
+        ).astype(np.int32))
+    elif op == "QLinearConv":
+        x, x_s, x_zp, w, w_s, w_zp, y_s, y_zp = ins[:8]
+        b = ins[8] if len(ins) > 8 and ins[8] is not None else None
+        acc = _conv_int(node, np.asarray(x), np.asarray(w), x_zp, w_zp)
+        if b is not None:
+            acc = acc + np.asarray(b, dtype=np.int64).reshape(
+                (1, -1) + (1,) * (acc.ndim - 2))
+        wsc = np.asarray(w_s, dtype=np.float32)  # per-out-channel allowed
+        if wsc.ndim == 1 and wsc.size > 1:
+            wsc = wsc.reshape((1, -1) + (1,) * (acc.ndim - 2))
+        mul = np.float32(_qscalar(x_s, "x_scale")) * wsc \
+            / np.float32(_qscalar(y_s, "y_scale"))
+        qdt = np.asarray(y_zp).dtype if y_zp is not None \
+            else np.dtype(np.uint8)
+        put(_requant(acc, mul,
+                     int(_qscalar(y_zp, "y_zero_point")) if y_zp is not None
+                     else 0, qdt))
+    elif op == "QLinearMatMul":
+        a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp = ins[:8]
+        acc = _matmul_int(np.asarray(a), np.asarray(b),
+                          0 if a_zp is None else a_zp,
+                          0 if b_zp is None else b_zp)
+        mul = (np.float32(_qscalar(a_s, "a_scale"))
+               * np.float32(_qscalar(b_s, "b_scale"))
+               / np.float32(_qscalar(y_s, "y_scale")))
+        qdt = np.asarray(y_zp).dtype if y_zp is not None \
+            else np.dtype(np.uint8)
+        put(_requant(acc, mul,
+                     int(_qscalar(y_zp, "y_zero_point")) if y_zp is not None
+                     else 0, qdt))
     else:
         raise UnsupportedOnnxOp(
             f"op '{op}' (node '{node.name}') is outside the supported set"

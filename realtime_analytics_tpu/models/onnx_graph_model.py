@@ -45,7 +45,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .onnx_exec import UnsupportedOnnxOp
+from .onnx_exec import UnsupportedOnnxOp, _eval_node
 from .onnx_jax import compile_graph, graph_compute_dtype
 from .onnx_lite import OnnxGraph, read_onnx_model
 
@@ -73,12 +73,80 @@ def _abstract(params: Dict[str, np.ndarray]) -> Dict[str, jax.ShapeDtypeStruct]:
     }
 
 
+def fold_constants(g: OnnxGraph) -> OnnxGraph:
+    """Load-time partial evaluation: every node computable purely from
+    initializers (no graph-input dependency) collapses into an
+    initializer via the numpy executor.
+
+    The payoff is quantized exports: torch's fake-quant QDQ exporter
+    leaves weights fp32 with a runtime ``QuantizeLinear`` pair
+    (``w_f32 -> Q -> DQ -> Conv``); folding the ``Q`` leaves
+    ``w_int8 -> DQ -> Conv`` — the int8-weight-resident artifact shape
+    onnxruntime's static quantizer emits, which ``serving_params`` then
+    keeps device-resident at one byte per element. Also sweeps Constant
+    nodes and attribute-math chains out of the serving graph."""
+    values: dict = dict(g.initializers)
+    graph_inputs = set(g.inputs)
+    remaining = []
+    for node in g.nodes:
+        foldable = all((not i) or (i in values) for i in node.inputs) and \
+            not any(i in graph_inputs for i in node.inputs)
+        if foldable and node.op_type == "DequantizeLinear" and np.asarray(
+            values[node.inputs[0]]
+        ).dtype in (np.dtype(np.int8), np.dtype(np.uint8)):
+            # the int8 -> fp32 barrier: folding this would re-materialize
+            # the fp32 weight; keeping it live leaves the weight quantized
+            # in device memory and the dequant inside the XLA program
+            foldable = False
+        if foldable:
+            try:
+                tmp = {"": None}
+                tmp.update({i: values[i] for i in node.inputs if i})
+                _eval_node(node, tmp)
+            except Exception:  # noqa: BLE001 — leave it to the live path
+                remaining.append(node)
+                continue
+            for o in node.outputs:
+                if o and o in tmp:
+                    values[o] = np.asarray(tmp[o])
+        else:
+            remaining.append(node)
+    used = set(g.outputs)
+    for n in remaining:
+        used.update(n.inputs)
+    n_folded = len(g.nodes) - len(remaining)
+    if n_folded:
+        logger.info("ONNX load: folded %d constant node(s)", n_folded)
+    return OnnxGraph(
+        nodes=remaining,
+        initializers={k: v for k, v in values.items() if k in used},
+        inputs=g.inputs,
+        outputs=g.outputs,
+    )
+
+
+# quantized-op operand positions where an int8/uint8 initializer is a
+# WEIGHT (big tensor worth keeping device-resident at 1 byte/element —
+# the RKNN-analog HBM win); zero points sit at other positions and stay
+# compile-time constants
+_QUANT_WEIGHT_POSITIONS = {
+    "DequantizeLinear": (0,),
+    "ConvInteger": (0, 1),
+    "MatMulInteger": (0, 1),
+    "QLinearConv": (0, 3),
+    "QLinearMatMul": (0, 3),
+}
+
+
 def serving_params(g: OnnxGraph) -> Dict[str, np.ndarray]:
-    """Float initializers that are safe to feed as runtime params: anything
-    consumed as a shape/scale argument (Resize scales/sizes, Range bounds,
-    ConstantOfShape shape) must stay a compile-time constant for the
-    static-shape folding in onnx_jax to work; int tensors stay constant
-    anyway (Reshape/Slice/Split arguments)."""
+    """Initializers that are safe to feed as runtime params: float tensors
+    (weights), except anything consumed as a shape/scale argument (Resize
+    scales/sizes, Range bounds, ConstantOfShape shape) — those must stay
+    compile-time constants for the static-shape folding in onnx_jax to
+    work; plus int8/uint8 quantized weights consumed ONLY at quantized-op
+    weight positions (so the executable carries them at one byte per
+    element instead of a folded fp32 constant). Other int tensors stay
+    constant (Reshape/Slice/Split arguments, zero points)."""
     static_names = set()
     for node in g.nodes:
         if node.op_type == "Resize":
@@ -90,10 +158,22 @@ def serving_params(g: OnnxGraph) -> Dict[str, np.ndarray]:
             # needs static (jnp.pad constant); pads/axes are ints and
             # stay constant anyway
             static_names.update(node.inputs[2:3])
+    qweights = set()
+    for node in g.nodes:  # every use must be a quantized-weight position
+        allowed = _QUANT_WEIGHT_POSITIONS.get(node.op_type, ())
+        for pos, name in enumerate(node.inputs):
+            if name in g.initializers and g.initializers[name].dtype in (
+                np.dtype(np.int8), np.dtype(np.uint8),
+            ):
+                if pos in allowed:
+                    qweights.add(name)
+                else:
+                    static_names.add(name)
     return {
         k: v
         for k, v in g.initializers.items()
-        if np.issubdtype(v.dtype, np.floating) and k not in static_names
+        if k not in static_names
+        and (np.issubdtype(v.dtype, np.floating) or k in qweights)
     }
 
 
@@ -116,6 +196,7 @@ class OnnxGraphModel:
                 f"serving graphs must have exactly one data input, "
                 f"found {graph.inputs}"
             )
+        graph = fold_constants(graph)
         self.graph = graph
         self.input_name = graph.inputs[0]
         self.compute_dtype = compute_dtype

@@ -458,6 +458,138 @@ def _rnn_scan(node, ins, kind):
     return y, y_h
 
 
+def _quant_axis_j(nd, scale, zp, axis):
+    """jnp twin of ``onnx_exec._qaxis``: ONNX Q/DQ scale + zero-point pair
+    (scalar or 1-D per-axis) broadcast-shaped against a rank-``nd``
+    tensor. Scale may be traced (float initializers ride as runtime
+    params); zero points are int initializers and stay static."""
+    s = jnp.asarray(scale).astype(jnp.float32)
+    if s.ndim > 1:
+        raise UnsupportedOnnxOp("blocked quantization (scale rank > 1)")
+    z = jnp.asarray(0 if zp is None else zp).astype(jnp.int32)
+    if s.ndim == 1 and s.shape[0] > 1:
+        shape = [1] * nd
+        shape[axis if axis >= 0 else axis + nd] = s.shape[0]
+        s = s.reshape(shape)
+        if z.size > 1:
+            z = z.reshape(shape)
+    return s, z
+
+
+def _qdt(zp):
+    """Quantized output dtype: the zero point's, or the uint8 default."""
+    return np.dtype(zp.dtype) if zp is not None else np.dtype(np.uint8)
+
+
+def _to_s8(x):
+    """Canonicalize a u8/s8 tensor to s8 operands + the zero-point shift:
+    uint8 values shift by -128 (exactly representable in int8), so every
+    integer matmul/conv runs the MXU's native s8 x s8 -> s32 path (the
+    AQT TPU pattern). Returns (s8 tensor, shift applied)."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint8:
+        return (x.astype(jnp.int32) - 128).astype(jnp.int8), 128
+    if x.dtype == jnp.int8:
+        return x, 0
+    raise UnsupportedOnnxOp(f"integer op on {x.dtype} operand")
+
+
+def _zp_arr(zp, shift):
+    """Zero point (scalar or 1-D, static or traced) minus the s8 shift,
+    as an int32 jnp array."""
+    return jnp.asarray(0 if zp is None else zp).astype(jnp.int32) - shift
+
+
+def _matmul_int_j(a, b, azp, bzp):
+    """``(a - a_zp) @ (b - b_zp)`` in int32 without ever widening the
+    matmul operands past int8: the main product rides the MXU s8 x s8 ->
+    s32 path; the zero-point cross terms are rank-reduced row/column sums
+    (VPU adds), never a wide matmul. Twin of ``onnx_exec._matmul_int``."""
+    a8, ash = _to_s8(a)
+    b8, bsh = _to_s8(b)
+    az = _zp_arr(azp, ash)  # scalar or 1-D per-row of a
+    bz = _zp_arr(bzp, bsh)  # scalar or 1-D per-column of b
+    if az.ndim == 1 and az.shape[0] > 1:
+        az = az[:, None]
+    acc = jnp.matmul(a8, b8, preferred_element_type=jnp.int32)
+    if (ash == 0 and bsh == 0
+            and (azp is None or (_is_static(azp)
+                                 and not np.any(np.asarray(azp))))
+            and (bzp is None or (_is_static(bzp)
+                                 and not np.any(np.asarray(bzp))))):
+        return acc  # symmetric everywhere: the MXU product IS the answer
+    k = a8.shape[-1]
+    colsum_b = b8.astype(jnp.int32).sum(axis=-2)        # [..., N]
+    rowsum_a = a8.astype(jnp.int32).sum(axis=-1)        # [..., M]
+    return (acc - az * colsum_b[..., None, :]
+            - rowsum_a[..., :, None] * bz + k * az * bz)
+
+
+def _conv_int_j(node, x, w, xzp, wzp):
+    """Integer ``conv(x - x_zp, w - w_zp)`` -> int32, MXU-true: operands
+    stay int8 (uint8 shifts by 128), the main conv accumulates s8 x s8 ->
+    s32, and the zero-point terms decompose into one ones-kernel window
+    sum per group plus per-channel constants. Implicit padding pads x
+    with x_zero_point per the ONNX spec — padding the SHIFTED input with
+    the SHIFTED zero point is the identical computation. Twin of
+    ``onnx_exec._conv_int``."""
+    k = x.ndim - 2
+    if k not in (2, 3):
+        raise UnsupportedOnnxOp(f"{node.op_type} over {k}D input")
+    if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+        raise UnsupportedOnnxOp(f"{node.op_type} auto_pad")
+    strides = [int(s) for s in _attr(node, "strides", [1] * k)]
+    pads = [int(p) for p in _attr(node, "pads", [0] * (2 * k))]
+    dils = [int(d) for d in _attr(node, "dilations", [1] * k)]
+    groups = int(_attr(node, "group", 1))
+    x8, xsh = _to_s8(x)
+    w8, wsh = _to_s8(w)
+    xz = _zp_arr(xzp, xsh)
+    if xz.size != 1:
+        raise UnsupportedOnnxOp(f"{node.op_type} per-axis x_zero_point")
+    wz = _zp_arr(wzp, wsh)  # scalar or 1-D per-output-channel
+    m = w8.shape[0]
+    cg = w8.shape[1]
+    ks = tuple(w8.shape[2:])
+    taps = cg * int(np.prod(ks))
+    spec = ("NCHW", "OIHW", "NCHW") if k == 2 else ("NCDHW", "OIDHW", "NCDHW")
+    # explicit x_zp padding (spec), then zero implicit padding everywhere
+    if any(pads):
+        pad_width = ((0, 0), (0, 0)) + tuple(zip(pads[:k], pads[k:]))
+        x8 = jnp.pad(x8, pad_width,
+                     constant_values=xz.reshape(()).astype(jnp.int8))
+    zero_pads = [(0, 0)] * k
+    acc = lax.conv_general_dilated(
+        x8, w8, window_strides=strides, padding=zero_pads,
+        rhs_dilation=dils, feature_group_count=groups,
+        dimension_numbers=spec, preferred_element_type=jnp.int32,
+    )
+    ch_shape = (1, m) + (1,) * k
+    # zero points are int initializers -> static in practice; the skip
+    # decision needs concrete values, a traced zp just computes all terms
+    static_xz0 = xsh == 0 and (
+        xzp is None or (_is_static(xzp) and not np.any(np.asarray(xzp))))
+    static_wz0 = wsh == 0 and (
+        wzp is None or (_is_static(wzp) and not np.any(np.asarray(wzp))))
+    if not static_wz0:
+        # - w_zp * window-sum(x) : one ones-kernel conv per group (s8 MXU)
+        ones = jnp.ones((groups, cg) + ks, dtype=jnp.int8)
+        s = lax.conv_general_dilated(
+            x8, ones, window_strides=strides, padding=zero_pads,
+            rhs_dilation=dils, feature_group_count=groups,
+            dimension_numbers=spec, preferred_element_type=jnp.int32,
+        )
+        s = jnp.repeat(s, m // groups, axis=1)
+        acc = acc - wz.reshape(ch_shape if wz.size > 1 else ()) * s
+    if not static_xz0:
+        # - x_zp * sum(w) per out channel (+ x_zp * w_zp * taps constant)
+        wsum = w8.astype(jnp.int32).sum(
+            axis=tuple(range(1, w8.ndim))).reshape(ch_shape)
+        acc = acc - xz * wsum
+        acc = acc + xz * wz.reshape(ch_shape if wz.size > 1 else ()) * taps
+    return acc
+
+
 def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
     """jnp twin of onnx_exec._eval_node — called when any tensor input is
     traced. Shape-tensor arguments (Reshape target, Slice bounds, Resize
@@ -877,6 +1009,69 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
         x = _mxu(ins[0])
         put(jnp.maximum(x, 0) + jnp.minimum(
             0, alpha * (jnp.exp(x / alpha) - 1.0)))
+    # ---- quantized-model ops (QDQ + QOperator; the pre-quantized-artifact
+    # path the reference's RKNN backend consumes, detector.py:705-869).
+    # Quantization math runs fp32 even under the bf16 policy — scales and
+    # rounding boundaries are the model's numerics, not a precision knob.
+    elif op == "QuantizeLinear":
+        x = _f32(jnp.asarray(ins[0]))
+        zp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+        qdt = _qdt(zp)
+        s, z = _quant_axis_j(x.ndim, ins[1], zp, int(_attr(node, "axis", 1)))
+        info = np.iinfo(qdt)
+        y = jnp.rint(x / s) + z.astype(jnp.float32)
+        put(jnp.clip(y, info.min, info.max).astype(qdt))
+    elif op == "DequantizeLinear":
+        x = jnp.asarray(ins[0])
+        zp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+        s, z = _quant_axis_j(x.ndim, ins[1], zp, int(_attr(node, "axis", 1)))
+        put((x.astype(jnp.int32) - z).astype(jnp.float32) * s)
+    elif op == "DynamicQuantizeLinear":
+        x = _f32(jnp.asarray(ins[0]))
+        xmin = jnp.minimum(x.min(), 0.0)  # spec: range always includes 0
+        xmax = jnp.maximum(x.max(), 0.0)
+        rng = xmax - xmin
+        scale = jnp.where(rng > 0, rng / 255.0, 1.0)
+        zp_f = jnp.clip(jnp.rint(-xmin / scale), 0, 255)
+        y = jnp.clip(jnp.rint(x / scale) + zp_f, 0, 255).astype(jnp.uint8)
+        put(y, scale.astype(jnp.float32), zp_f.astype(jnp.uint8))
+    elif op == "MatMulInteger":
+        azp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+        bzp = ins[3] if len(ins) > 3 and ins[3] is not None else None
+        put(_matmul_int_j(ins[0], ins[1], azp, bzp))
+    elif op == "ConvInteger":
+        xzp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+        wzp = ins[3] if len(ins) > 3 and ins[3] is not None else None
+        put(_conv_int_j(node, jnp.asarray(ins[0]), jnp.asarray(ins[1]),
+                        xzp, wzp))
+    elif op == "QLinearConv":
+        x, x_s, x_zp, w, w_s, w_zp, y_s, y_zp = ins[:8]
+        b = ins[8] if len(ins) > 8 and ins[8] is not None else None
+        acc = _conv_int_j(node, jnp.asarray(x), jnp.asarray(w), x_zp, w_zp)
+        if b is not None:
+            acc = acc + jnp.asarray(b).astype(jnp.int32).reshape(
+                (1, -1) + (1,) * (acc.ndim - 2))
+        wsc = jnp.asarray(w_s).astype(jnp.float32)
+        if wsc.ndim == 1 and wsc.shape[0] > 1:  # per-out-channel
+            wsc = wsc.reshape((1, -1) + (1,) * (acc.ndim - 2))
+        mul = (jnp.asarray(x_s).astype(jnp.float32).reshape(()) * wsc
+               / jnp.asarray(y_s).astype(jnp.float32).reshape(()))
+        qdt = _qdt(y_zp)
+        info = np.iinfo(qdt)
+        yz = jnp.asarray(0 if y_zp is None else y_zp).astype(jnp.float32)
+        y = jnp.rint(acc.astype(jnp.float32) * mul) + yz.reshape(())
+        put(jnp.clip(y, info.min, info.max).astype(qdt))
+    elif op == "QLinearMatMul":
+        a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp = ins[:8]
+        acc = _matmul_int_j(a, b, a_zp, b_zp)
+        mul = (jnp.asarray(a_s).astype(jnp.float32).reshape(())
+               * jnp.asarray(b_s).astype(jnp.float32).reshape(())
+               / jnp.asarray(y_s).astype(jnp.float32).reshape(()))
+        qdt = _qdt(y_zp)
+        info = np.iinfo(qdt)
+        yz = jnp.asarray(0 if y_zp is None else y_zp).astype(jnp.float32)
+        y = jnp.rint(acc.astype(jnp.float32) * mul) + yz.reshape(())
+        put(jnp.clip(y, info.min, info.max).astype(qdt))
     else:
         raise UnsupportedOnnxOp(
             f"op '{op}' (node '{node.name}') is outside the supported set"

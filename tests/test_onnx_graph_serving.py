@@ -356,10 +356,15 @@ def test_documented_layout_still_prefers_native_model(tmp_path):
 
 def test_probe_traces_params_abstract(monkeypatch, tmp_path):
     """A graph whose FLOAT initializer feeds a static-shape position
-    (float -> Cast(int64) -> Reshape target) serves its params as traced
-    arguments at live jit time — the load-time probe must trace the same
-    way and reject the graph (fall back), not pass with concrete params
-    and crash at the first live batch."""
+    (float -> Cast(int64) -> Reshape target) used to be the probe trap:
+    live serving feeds params as traced arguments, so the Reshape target
+    went traced and the graph had to be REJECTED by the abstract probe.
+    Round 4's load-time constant folding (``fold_constants``) resolves
+    the whole chain to a static target BEFORE params are promoted, so the
+    graph now simply serves — assert that, and that the folded program
+    computes the right thing. (Shape positions fed by the graph INPUT
+    still trace traced and still fail the probe — covered by the
+    static-export vmap tests.)"""
     import realtime_analytics_tpu.models.onnx_graph_model as ogm
     from realtime_analytics_tpu.models.onnx_lite import OnnxGraph, OnnxNode
 
@@ -380,10 +385,15 @@ def test_probe_traces_params_abstract(monkeypatch, tmp_path):
     got = ogm.try_load_graph_model(
         str(tmp_path / "probe_trap.onnx"), "classifier", input_hw=(2, 2)
     )
-    assert got is None, (
-        "probe passed a graph whose float param feeds a Reshape target — "
-        "it would raise UnsupportedOnnxOp at the first live jitted batch"
+    assert got is not None, (
+        "constant folding should make this graph servable (static Reshape "
+        "target), not leave it to the probe to reject"
     )
+    # the folded static target must survive live jitted serving
+    x = np.arange(12, dtype=np.float32).reshape(1, 2, 2, 3)
+    out = np.asarray(got.apply(got.init_params(), jnp.asarray(x)))
+    want = x.transpose(0, 3, 1, 2).reshape(1, 12) * 2.0
+    np.testing.assert_allclose(out, want, atol=1e-6)
 
 
 def test_graph_backed_serves_fp32_under_default_precision(foreign_onnx):
