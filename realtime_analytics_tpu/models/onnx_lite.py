@@ -415,3 +415,140 @@ def read_onnx_initializers(path: str) -> Dict[str, np.ndarray]:
         else:
             pos = _skip_field(buf, pos, wt)
     return out
+
+
+# -- full-graph writer (executable models, not just weight containers) ------
+
+
+def _tensor_proto(name: str, arr: np.ndarray) -> bytes:
+    """TensorProto bytes: dims(1), data_type(2), name(8), raw_data(9)."""
+    arr = np.ascontiguousarray(arr)
+    dt = _NP_TO_ONNX.get(arr.dtype)
+    if dt is None:
+        arr = np.ascontiguousarray(arr.astype(np.float32))
+        dt = 1
+    t = b""
+    for d in arr.shape:
+        t += _varint(1 << 3) + _varint(d)
+    t += _varint(2 << 3) + _varint(dt)
+    if name:
+        t += _len_delimited(8, name.encode("utf-8"))
+    t += _len_delimited(9, arr.tobytes())
+    return t
+
+
+def _signed_varint(v: int) -> bytes:
+    """Protobuf int64 varint: negatives as 64-bit two's complement."""
+    return _varint(v & 0xFFFFFFFFFFFFFFFF)
+
+
+def _attribute_proto(name: str, value: object) -> bytes:
+    """AttributeProto bytes. Type inferred from the python value — the
+    inverse of ``_parse_attribute``: float -> f(2), int -> i(3),
+    str -> s(4), ndarray -> t(5), [float] -> floats(7), [int] -> ints(8),
+    [str] -> strings(9). The ``type`` tag (20) is written so standard
+    ONNX runtimes accept the file (our reader skips it)."""
+    a = _len_delimited(1, name.encode("utf-8"))
+    if isinstance(value, np.ndarray):
+        a += _len_delimited(5, _tensor_proto("", value))
+        atype = 4  # TENSOR
+    elif isinstance(value, bool):
+        a += _varint(3 << 3) + _signed_varint(int(value))
+        atype = 2
+    elif isinstance(value, (int, np.integer)):
+        a += _varint(3 << 3) + _signed_varint(int(value))
+        atype = 2  # INT
+    elif isinstance(value, (float, np.floating)):
+        a += _varint((2 << 3) | 5) + struct.pack("<f", float(value))
+        atype = 1  # FLOAT
+    elif isinstance(value, str):
+        a += _len_delimited(4, value.encode("utf-8"))
+        atype = 3  # STRING
+    elif isinstance(value, (list, tuple)):
+        if value and all(isinstance(v, str) for v in value):
+            for v in value:
+                a += _len_delimited(9, v.encode("utf-8"))
+            atype = 8  # STRINGS
+        elif all(isinstance(v, (int, np.integer)) for v in value):
+            a += _len_delimited(
+                8, b"".join(_signed_varint(int(v)) for v in value))
+            atype = 7  # INTS (packed)
+        else:
+            a += _len_delimited(
+                7, b"".join(struct.pack("<f", float(v)) for v in value))
+            atype = 6  # FLOATS (packed)
+    else:
+        raise TypeError(f"unserializable attribute {name!r}: {type(value)}")
+    a += _varint(20 << 3) + _varint(atype)
+    return a
+
+
+def _node_proto(node: "OnnxNode") -> bytes:
+    b = b""
+    for i in node.inputs:
+        b += _len_delimited(1, i.encode("utf-8"))
+    for o in node.outputs:
+        b += _len_delimited(2, o.encode("utf-8"))
+    if node.name:
+        b += _len_delimited(3, node.name.encode("utf-8"))
+    b += _len_delimited(4, node.op_type.encode("utf-8"))
+    for aname, avalue in node.attrs.items():
+        b += _len_delimited(5, _attribute_proto(aname, avalue))
+    return b
+
+
+def _value_info_proto(name: str, dtype, shape) -> bytes:
+    """ValueInfoProto: name(1) + type(2 -> TypeProto.tensor_type(1) ->
+    elem_type(1), shape(2)). ``shape`` dims may be ints or strings
+    (dim_param, e.g. a dynamic batch axis); None omits the shape."""
+    vi = _len_delimited(1, name.encode("utf-8"))
+    tt = b""
+    dt = _NP_TO_ONNX.get(np.dtype(dtype)) if dtype is not None else None
+    if dt is not None:
+        tt += _varint(1 << 3) + _varint(dt)
+    if shape is not None:
+        sh = b""
+        for d in shape:
+            if isinstance(d, str):
+                sh += _len_delimited(1, _len_delimited(2, d.encode("utf-8")))
+            else:
+                sh += _len_delimited(1, _varint(1 << 3) + _varint(int(d)))
+        tt += _len_delimited(2, sh)
+    if tt:
+        vi += _len_delimited(2, _len_delimited(1, tt))
+    return vi
+
+
+def write_onnx_model(
+    path: str,
+    graph: "OnnxGraph",
+    value_infos: Dict[str, tuple] | None = None,
+    graph_name: str = "graph",
+    opset: int = 17,
+) -> None:
+    """Serialize an executable OnnxGraph as a standard .onnx file
+    (ir_version 8, default opset 17). ``value_infos`` optionally maps an
+    input/output name to ``(numpy dtype, shape)`` — shape dims may be
+    strings for dynamic axes — so standard runtimes see typed graph IO;
+    names without an entry get a name-only ValueInfoProto (enough for
+    ``read_onnx_model``, which ignores types). Round-trips through
+    ``read_onnx_model`` exactly (nodes, attrs, initializers, IO names)."""
+    value_infos = value_infos or {}
+    g = b""
+    for node in graph.nodes:
+        g += _len_delimited(1, _node_proto(node))
+    g += _len_delimited(2, graph_name.encode("utf-8"))
+    for name, arr in graph.initializers.items():
+        g += _len_delimited(5, _tensor_proto(name, np.asarray(arr)))
+    for field_no, names in ((11, graph.inputs), (12, graph.outputs)):
+        for name in names:
+            dt, sh = value_infos.get(name, (None, None))
+            g += _len_delimited(field_no, _value_info_proto(name, dt, sh))
+    opset_proto = _varint(2 << 3) + _varint(opset)  # OperatorSetId.version
+    model = (
+        _varint(1 << 3) + _varint(8)  # ir_version = 8
+        + _len_delimited(7, g)
+        + _len_delimited(8, opset_proto)
+    )
+    with open(path, "wb") as f:
+        f.write(model)

@@ -1,0 +1,378 @@
+"""Post-training quantization toolchain (models/quantize.py + the
+``realtime-analytics-quantize`` CLI + onnx_lite's full-graph writer).
+
+The reference outsources quantized-artifact *production* to external
+toolchains (RKNN toolkit calibration for its RKNN backend, reference
+detector.py:705-869; onnxruntime's static quantizer for its ONNX path).
+These tests pin the in-repo analog end to end:
+
+* write_onnx_model round-trips executable graphs exactly (nodes, attrs,
+  initializers, IO) through read_onnx_model;
+* QDQ output: int8 weights + Q/DQ activation pairs, accuracy within PTQ
+  tolerance of the fp32 graph, numpy oracle == jitted JAX path;
+* QOperator output: Conv(+Relu)/MatMul collapse into QLinearConv /
+  QLinearMatMul (the int8-compute MXU form), ReLU fusion exactness;
+* a quantized foreign detector serves through the fused engine with
+  detections matching the quantized graph's own oracle path;
+* the CLI drives the whole flow from files.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from realtime_analytics_tpu.models.onnx_exec import run_graph  # noqa: E402
+from realtime_analytics_tpu.models.onnx_jax import compile_graph  # noqa: E402
+from realtime_analytics_tpu.models.onnx_lite import (  # noqa: E402
+    OnnxGraph,
+    OnnxNode,
+    read_onnx_model,
+    write_onnx_model,
+)
+from realtime_analytics_tpu.models.quantize import quantize_graph  # noqa: E402
+
+from test_onnx_graph_exec import _export  # noqa: E402
+
+
+class _SmallNet(nn.Module):
+    """Conv(+ReLU) x2 + grouped conv + Linear — covers per-channel conv
+    weights, ReLU fusion, groups, and the per-tensor Gemm path."""
+
+    def __init__(self):
+        super().__init__()
+        torch.manual_seed(11)
+        self.c1 = nn.Conv2d(3, 8, 3, padding=1)
+        self.c2 = nn.Conv2d(8, 8, 3, stride=2, padding=1, groups=2)
+        self.fc = nn.Linear(8 * 8 * 8, 10)
+
+    def forward(self, x):
+        x = torch.relu(self.c1(x))
+        x = torch.relu(self.c2(x))
+        return self.fc(x.flatten(1))
+
+
+def _small_graph(tmp_path):
+    m = _SmallNet().eval()
+    path = str(tmp_path / "small.onnx")
+    _export(m, torch.rand(1, 3, 16, 16), path, dynamic_axes={"x": {0: "n"}})
+    return m, read_onnx_model(path)
+
+
+def _feeds(g, n=6, shape=(1, 3, 16, 16), seed=0):
+    rng = np.random.default_rng(seed)
+    return [{g.inputs[0]: rng.random(shape, dtype=np.float32)}
+            for _ in range(n)]
+
+
+# ------------------------------------------------------- full-graph writer
+
+
+def test_write_onnx_model_roundtrip_torch_export(tmp_path):
+    """A real torch export (attrs of every scalar/list type) survives
+    write -> read with identical structure and identical execution."""
+    _, g = _small_graph(tmp_path)
+    out = str(tmp_path / "rt.onnx")
+    write_onnx_model(
+        out, g, value_infos={g.inputs[0]: (np.float32, ("n", 3, 16, 16))}
+    )
+    g2 = read_onnx_model(out)
+    assert [n.op_type for n in g.nodes] == [n.op_type for n in g2.nodes]
+    assert g.inputs == g2.inputs and g.outputs == g2.outputs
+    for n1, n2 in zip(g.nodes, g2.nodes):
+        assert n1.inputs == n2.inputs and n1.outputs == n2.outputs
+        assert set(n1.attrs) == set(n2.attrs)
+        for k in n1.attrs:
+            v1, v2 = n1.attrs[k], n2.attrs[k]
+            if isinstance(v1, np.ndarray):
+                np.testing.assert_array_equal(v1, v2)
+            else:
+                assert v1 == v2, (k, v1, v2)
+    assert set(g.initializers) == set(g2.initializers)
+    for k, v in g.initializers.items():
+        np.testing.assert_array_equal(np.asarray(v), g2.initializers[k])
+        assert np.asarray(v).dtype == g2.initializers[k].dtype
+    x = np.random.default_rng(1).random((2, 3, 16, 16), dtype=np.float32)
+    (y1,) = run_graph(g, {g.inputs[0]: x})
+    (y2,) = run_graph(g2, {g2.inputs[0]: x})
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_write_onnx_model_int8_and_scalar_tensors(tmp_path):
+    g = OnnxGraph(
+        nodes=[OnnxNode(op_type="DequantizeLinear",
+                        inputs=["w", "s", "z"], outputs=["y"],
+                        attrs={"axis": 0})],
+        initializers={
+            "w": np.arange(-4, 4, dtype=np.int8).reshape(2, 4),
+            "s": np.asarray([0.5, 0.25], dtype=np.float32),
+            "z": np.zeros(2, dtype=np.int8),
+        },
+        inputs=[],
+        outputs=["y"],
+    )
+    out = str(tmp_path / "t.onnx")
+    write_onnx_model(out, g)
+    g2 = read_onnx_model(out)
+    assert g2.initializers["w"].dtype == np.int8
+    (y,) = run_graph(g2, {})
+    np.testing.assert_allclose(
+        y, np.asarray(g.initializers["w"], np.float32)
+        * np.asarray([[0.5], [0.25]]))
+
+
+# ------------------------------------------------------------- QDQ format
+
+
+def test_qdq_quantize_structure_and_accuracy(tmp_path):
+    m, g = _small_graph(tmp_path)
+    qg, rep = quantize_graph(g, _feeds(g), fmt="qdq")
+    assert sorted(rep.weights_quantized) == sorted(
+        n.inputs[1] for n in g.nodes if n.op_type in ("Conv", "Gemm"))
+    assert rep.qlinear_nodes == 0
+    ops = [n.op_type for n in qg.nodes]
+    assert ops.count("QuantizeLinear") == len(rep.activations_quantized)
+    # every original compute op is still present, float
+    for op in ("Conv", "Relu", "Flatten", "Gemm"):
+        assert op in ops
+    int8_inits = [k for k, v in qg.initializers.items()
+                  if np.asarray(v).dtype == np.int8]
+    assert len(int8_inits) >= 3 + 3  # 3 quantized weights + 3 zero points
+    # fp32 weights replaced, not duplicated
+    for w in rep.weights_quantized:
+        assert w not in qg.initializers
+    x = np.random.default_rng(5).random((2, 3, 16, 16), dtype=np.float32)
+    (want,) = run_graph(g, {g.inputs[0]: x})
+    (got,) = run_graph(qg, {qg.inputs[0]: x})
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.08, f"QDQ PTQ error too large: {rel}"
+
+
+def test_qdq_graph_jax_matches_numpy(tmp_path):
+    _, g = _small_graph(tmp_path)
+    qg, _ = quantize_graph(g, _feeds(g), fmt="qdq")
+    x = np.random.default_rng(7).random((2, 3, 16, 16), dtype=np.float32)
+    (want,) = run_graph(qg, {qg.inputs[0]: x})
+    fn = compile_graph(qg)
+    name = qg.inputs[0]
+    (got,) = jax.jit(lambda a: fn({name: a}))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------------- QOperator format
+
+
+def test_qoperator_structure_and_relu_fusion(tmp_path):
+    _, g = _small_graph(tmp_path)
+    qg, rep = quantize_graph(g, _feeds(g), fmt="qoperator")
+    ops = [n.op_type for n in qg.nodes]
+    assert ops.count("QLinearConv") == 2
+    assert rep.qlinear_nodes == 2
+    # c1+ReLU fused (relu output feeds the next conv, so it is calibrated);
+    # c2's ReLU survives (its output reaches the Gemm through Flatten)
+    assert rep.fused_relus == 1
+    assert ops.count("Relu") == 1
+    assert "Conv" not in ops  # every conv went integer
+    x = np.random.default_rng(9).random((2, 3, 16, 16), dtype=np.float32)
+    (want,) = run_graph(g, {g.inputs[0]: x})
+    (got,) = run_graph(qg, {qg.inputs[0]: x})
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.08, f"QOperator PTQ error too large: {rel}"
+
+
+def test_qoperator_relu_fusion_is_exact_relu(tmp_path):
+    """With a post-ReLU calibration range the fused output zero point is
+    the quantized 0, so uint8 saturation implements the ReLU exactly:
+    the fused graph equals quantize(relu(conv)) under the same scales."""
+    _, g = _small_graph(tmp_path)
+    qg, rep = quantize_graph(g, _feeds(g), fmt="qoperator")
+    assert rep.fused_relus == 1
+    # the fused group's y zero point must be exactly 0
+    qlc = next(n for n in qg.nodes if n.op_type == "QLinearConv")
+    yzp = np.asarray(qg.initializers[qlc.inputs[7]])
+    assert yzp.reshape(()).item() == 0
+    # negatives must exist pre-relu for the check to bite
+    x = np.random.default_rng(13).random((1, 3, 16, 16), dtype=np.float32)
+    conv_out_name = next(
+        n.outputs[0] for n in g.nodes if n.op_type == "Conv")
+    (pre_relu,) = run_graph(g, {g.inputs[0]: x}, outputs=[conv_out_name])
+    assert (pre_relu < 0).any()
+    (fused_q,) = run_graph(qg, {qg.inputs[0]: x},
+                           outputs=[qlc.outputs[0]])
+    assert fused_q.dtype == np.uint8
+    assert fused_q.min() >= 0  # saturated-at-zp floor == relu
+
+
+def test_qoperator_jax_matches_numpy(tmp_path):
+    _, g = _small_graph(tmp_path)
+    qg, _ = quantize_graph(g, _feeds(g), fmt="qoperator")
+    x = np.random.default_rng(17).random((2, 3, 16, 16), dtype=np.float32)
+    (want,) = run_graph(qg, {qg.inputs[0]: x})
+    fn = compile_graph(qg)
+    name = qg.inputs[0]
+    (got,) = jax.jit(lambda a: fn({name: a}))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+
+def test_matmul_becomes_qlinear_matmul(tmp_path):
+    class MM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            torch.manual_seed(2)
+            self.w = nn.Parameter(torch.randn(12, 8) * 0.3)
+
+        def forward(self, x):
+            return torch.sigmoid(x @ self.w)
+
+    path = str(tmp_path / "mm.onnx")
+    _export(MM().eval(), torch.rand(2, 12), path,
+            dynamic_axes={"x": {0: "n"}})
+    g = read_onnx_model(path)
+    assert any(n.op_type == "MatMul" for n in g.nodes)
+    qg, rep = quantize_graph(
+        g, _feeds(g, shape=(2, 12)), fmt="qoperator")
+    assert rep.qlinear_nodes == 1
+    assert any(n.op_type == "QLinearMatMul" for n in qg.nodes)
+    x = np.random.default_rng(3).random((4, 12), dtype=np.float32)
+    (want,) = run_graph(g, {g.inputs[0]: x})
+    (got,) = run_graph(qg, {qg.inputs[0]: x})
+    assert np.abs(got - want).max() < 0.05
+
+
+# ----------------------------------------------------------------- guards
+
+
+def test_shared_weight_keeps_float_copy():
+    """A weight initializer also consumed by a non-target node keeps its
+    float copy for that consumer."""
+    w = np.random.default_rng(1).standard_normal((4, 3, 1, 1)).astype(
+        np.float32) * 0.2
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode(op_type="Conv", inputs=["x", "w"], outputs=["c"],
+                     attrs={"kernel_shape": [1, 1]}, name="conv"),
+            # consumes the same initializer as data
+            OnnxNode(op_type="ReduceSum", inputs=["w"], outputs=["ws"],
+                     attrs={"keepdims": 0}, name="wsum"),
+            OnnxNode(op_type="Add", inputs=["c", "ws"], outputs=["y"],
+                     name="add"),
+        ],
+        initializers={"w": w},
+        inputs=["x"],
+        outputs=["y"],
+    )
+    feeds = [{"x": np.random.default_rng(i).random(
+        (1, 3, 4, 4), dtype=np.float32)} for i in range(3)]
+    qg, rep = quantize_graph(g, feeds, fmt="qdq")
+    assert "w" in qg.initializers  # float copy retained for ReduceSum
+    assert rep.weights_quantized == ["w"]
+    x = feeds[0]["x"]
+    (want,) = run_graph(g, {"x": x})
+    (got,) = run_graph(qg, {"x": x})
+    assert np.abs(got - want).max() / (np.abs(want).max() + 1e-9) < 0.08
+
+
+def test_exclude_leaves_node_float(tmp_path):
+    _, g = _small_graph(tmp_path)
+    gemm = next(n for n in g.nodes if n.op_type == "Gemm")
+    qg, rep = quantize_graph(g, _feeds(g), fmt="qdq", exclude=[gemm.name])
+    assert gemm.inputs[1] in qg.initializers  # fc weight stays fp32
+    assert gemm.inputs[1] not in rep.weights_quantized
+
+
+def test_nothing_to_quantize_raises():
+    g = OnnxGraph(
+        nodes=[OnnxNode(op_type="Relu", inputs=["x"], outputs=["y"])],
+        initializers={}, inputs=["x"], outputs=["y"],
+    )
+    with pytest.raises(ValueError, match="nothing to quantize"):
+        quantize_graph(g, [{"x": np.zeros((1, 4), np.float32)}])
+
+
+# -------------------------------------------------- engine serving + CLI
+
+
+def test_quantized_detector_serves_through_engine(tmp_path):
+    """quantize(fp32 foreign detector) serves through the fused engine —
+    produce-then-serve, the full RKNN-toolchain-analog loop — with
+    detections matching the quantized graph's own oracle path."""
+    from test_onnx_graph_serving import (
+        HW, ForeignDetector, _engine_for, _reference_detections)
+
+    m = ForeignDetector().eval()
+    fp32_path = str(tmp_path / "det.onnx")
+    _export(m, torch.rand(1, 3, *HW), fp32_path,
+            dynamic_axes={"x": {0: "n"}})
+    g = read_onnx_model(fp32_path)
+    # calibrate on engine-style inputs: /255 RGB CHW frames
+    rng = np.random.default_rng(23)
+    feeds = []
+    for _ in range(4):
+        f = rng.integers(0, 256, (*HW, 3), dtype=np.uint8)
+        x = (f[..., ::-1].astype(np.float32) / 255.0).transpose(2, 0, 1)
+        feeds.append({g.inputs[0]: x[None]})
+    qg, rep = quantize_graph(g, feeds, fmt="qdq")
+    qpath = str(tmp_path / "det-int8.onnx")
+    write_onnx_model(
+        qpath, qg,
+        value_infos={qg.inputs[0]: (np.float32, ("n", 3) + HW)})
+
+    eng = _engine_for(qpath)
+    assert getattr(eng.model, "graph_backed", False)
+    int8_params = [k for k, v in eng.model.init_params().items()
+                   if np.asarray(v).dtype == np.int8]
+    assert len(int8_params) >= len(rep.weights_quantized)
+
+    frames = rng.integers(0, 256, (2, *HW, 3), dtype=np.uint8)
+    got = eng.predict_arrays(frames)
+    ref = _reference_detections(
+        qpath, frames, eng.config.confidence_threshold,
+        eng.config.iou_threshold, eng.config.max_detections,
+    )
+    for i, (rb, rc, rid) in enumerate(ref):
+        n = int(got.num_valid[i])
+        assert n == len(rb), f"frame {i}: {n} vs oracle {len(rb)}"
+        order = np.argsort(-got.scores[i][:n])
+        np.testing.assert_allclose(
+            got.scores[i][:n][order], rc, atol=1e-3, rtol=1e-3)
+        np.testing.assert_array_equal(got.class_ids[i][:n][order], rid)
+        np.testing.assert_allclose(got.boxes_xyxy[i][:n][order], rb,
+                                   atol=0.5)
+
+
+def test_cli_synthetic_and_npz(tmp_path):
+    from realtime_analytics_tpu.scripts.quantize_model import main
+
+    _, g = _small_graph(tmp_path)
+    src = str(tmp_path / "small.onnx")
+    out1 = str(tmp_path / "q1.onnx")
+    rc = main(["--model", src, "--out", out1, "--calib", "synthetic",
+               "--input-shape", "3,16,16", "--samples", "4",
+               "--format", "qoperator", "--check"])
+    assert rc == 0
+    qg = read_onnx_model(out1)
+    assert any(n.op_type == "QLinearConv" for n in qg.nodes)
+    assert os.path.getsize(out1) < os.path.getsize(src)
+
+    calib = str(tmp_path / "calib.npz")
+    np.savez(calib, x=np.random.default_rng(0).random(
+        (5, 3, 16, 16), dtype=np.float32))
+    out2 = str(tmp_path / "q2.onnx")
+    rc = main(["--model", src, "--out", out2, "--calib", calib,
+               "--samples", "3", "--format", "qdq"])
+    assert rc == 0
+    qg2 = read_onnx_model(out2)
+    assert any(n.op_type == "QuantizeLinear" for n in qg2.nodes)
+    x = np.random.default_rng(2).random((2, 3, 16, 16), dtype=np.float32)
+    (want,) = run_graph(g, {g.inputs[0]: x})
+    (got,) = run_graph(qg2, {qg2.inputs[0]: x})
+    assert np.abs(got - want).max() / (np.abs(want).max() + 1e-9) < 0.08
