@@ -345,3 +345,115 @@ def test_fuzz_heavy_op_stacks_agree(seed):
         err_msg=f"heavy fuzz seed {seed}: "
                 f"ops={[n.op_type for n in g.nodes]}",
     )
+
+
+# ---------------------------------------------------------------------------
+# quantization fuzz: random conv stacks -> quantize_graph (random format) ->
+# twin-executor parity on the QUANTIZED graph + writer round-trip + a PTQ
+# accuracy bound vs the float graph
+
+
+def _random_convnet(rng):
+    """Random Conv(+Relu)/MaxPool stack ending in Flatten+Gemm — every
+    shape tracked so the net is always valid."""
+    n = int(rng.integers(1, 3))
+    c = int(rng.integers(2, 5))
+    h = w = int(rng.integers(8, 15))
+    x = rng.standard_normal((n, c, h, w)).astype(np.float32)
+    nodes, inits = [], {}
+    cur, cur_c, cur_hw = "x", c, (h, w)
+    li = 0
+    for _ in range(int(rng.integers(2, 5))):
+        hh, ww = cur_hw
+        if rng.integers(4) == 0 and min(hh, ww) >= 4:
+            k = 2
+            nodes.append(OnnxNode(
+                "MaxPool", inputs=[cur], outputs=[f"p{li}"],
+                attrs={"kernel_shape": [k, k], "strides": [k, k]}))
+            cur, cur_hw = f"p{li}", (hh // k, ww // k)
+        else:
+            m = int(rng.integers(2, 7))
+            k = int(rng.integers(1, min(3, hh, ww) + 1))
+            s = int(rng.integers(1, 3))
+            p = int(rng.integers(0, 2))
+            groups = cur_c if (rng.integers(4) == 0
+                               and m % cur_c == 0) else 1
+            oh = (hh + 2 * p - k) // s + 1
+            ow = (ww + 2 * p - k) // s + 1
+            if oh < 1 or ow < 1:
+                continue
+            inits[f"w{li}"] = rng.standard_normal(
+                (m, cur_c // groups, k, k)).astype(np.float32) * 0.4
+            inits[f"cb{li}"] = rng.standard_normal(m).astype(
+                np.float32) * 0.1
+            nodes.append(OnnxNode(
+                "Conv", inputs=[cur, f"w{li}", f"cb{li}"],
+                outputs=[f"c{li}"],
+                attrs={"strides": [s, s], "pads": [p, p, p, p],
+                       "group": groups}))
+            cur, cur_c, cur_hw = f"c{li}", m, (oh, ow)
+            if rng.integers(3):
+                nodes.append(OnnxNode("Relu", inputs=[cur],
+                                      outputs=[f"r{li}"]))
+                cur = f"r{li}"
+        li += 1
+    feat = cur_c * cur_hw[0] * cur_hw[1]
+    nodes.append(OnnxNode("Flatten", inputs=[cur], outputs=["flat"],
+                          attrs={"axis": 1}))
+    out_f = int(rng.integers(3, 9))
+    inits["gw"] = rng.standard_normal((out_f, feat)).astype(
+        np.float32) * (1.0 / np.sqrt(feat))
+    inits["gb"] = rng.standard_normal(out_f).astype(np.float32) * 0.1
+    nodes.append(OnnxNode(
+        "Gemm", inputs=["flat", "gw", "gb"], outputs=["y"],
+        attrs={"transB": 1}))
+    g = OnnxGraph(nodes=nodes, initializers=inits,
+                  inputs=["x"], outputs=["y"])
+    return g, x
+
+
+@pytest.mark.parametrize("seed", range(200, 215))
+def test_fuzz_quantized_graphs(seed):
+    from realtime_analytics_tpu.models.onnx_lite import (
+        read_onnx_model, write_onnx_model)
+    from realtime_analytics_tpu.models.quantize import quantize_graph
+
+    rng = np.random.default_rng(seed)
+    g, x = _random_convnet(rng)
+    fmt = "qoperator" if rng.integers(2) else "qdq"
+    feeds = [
+        {"x": rng.standard_normal(x.shape).astype(np.float32)}
+        for _ in range(3)
+    ] + [{"x": x}]
+    qg, rep = quantize_graph(g, feeds, fmt=fmt)
+    ctx = (f"quant fuzz seed {seed} fmt {fmt}: "
+           f"ops={[n.op_type for n in qg.nodes]}")
+    assert rep.weights_quantized, ctx
+
+    (want_f,) = run_graph(g, {"x": x})
+    (want_q,) = run_graph(qg, {"x": x})
+    # PTQ accuracy bound: quantization noise, not a rewrite bug
+    rel = np.abs(want_q - want_f).max() / (np.abs(want_f).max() + 1e-9)
+    assert rel < 0.25, f"{ctx}: PTQ rel err {rel}"
+
+    # twin-executor parity on the quantized graph. Tolerance: float convs
+    # inside QDQ graphs can round a Q node across a quantum boundary, so
+    # allow one uint8 quantum of the widest activation scale.
+    fn = compile_graph(qg)
+    (got,) = jax.jit(lambda a: fn({"x": a}))(jnp.asarray(x))
+    scales = [float(np.asarray(v).reshape(-1).max())
+              for k, v in qg.initializers.items() if k.endswith("_scale")
+              and np.asarray(v).dtype == np.float32]
+    quantum = max(scales) if scales else 1e-3
+    np.testing.assert_allclose(
+        np.asarray(got), want_q, atol=max(2 * quantum, 1e-4), rtol=1e-3,
+        err_msg=ctx)
+
+    # writer round-trip is exact
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as td:
+        p = _os.path.join(td, "q.onnx")
+        write_onnx_model(p, qg)
+        g2 = read_onnx_model(p)
+        (got2,) = run_graph(g2, {"x": x})
+        np.testing.assert_array_equal(want_q, got2, err_msg=ctx)
