@@ -46,6 +46,15 @@ def _parse_args(argv=None):
         "'synthetic' for uniform [0,1) noise (default)",
     )
     p.add_argument(
+        "--calib-video",
+        default=None,
+        help="calibrate on frames decoded from this video instead of "
+        "--calib: frames are sampled evenly, letterboxed to the model "
+        "input with the engine's exact preprocess (resize, 114 pad, "
+        "BGR->RGB, /255), so calibration sees the serving distribution. "
+        "Requires --input-shape C,H,W and cv2.",
+    )
+    p.add_argument(
         "--samples", type=int, default=16,
         help="calibration sample count (synthetic, or cap on file inputs)",
     )
@@ -73,7 +82,57 @@ def _parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _load_calib_video(args, input_name: str):
+    """Decode --samples frames (sampled evenly) from --calib-video and
+    letterbox each to the model input with the engine's exact preprocess
+    (ops/preprocess.letterbox_numpy: min-scale resize, 114 pad, BGR->RGB,
+    /255) so calibration sees the serving activation distribution."""
+    try:
+        import cv2
+    except ImportError as exc:  # pragma: no cover - env dependent
+        raise SystemExit("--calib-video requires cv2 (opencv)") from exc
+
+    from realtime_analytics_tpu.ops.preprocess import letterbox_numpy
+
+    if not args.input_shape:
+        raise SystemExit("--calib-video requires --input-shape C,H,W")
+    shape = tuple(int(d) for d in args.input_shape.split(","))
+    if len(shape) != 3 or shape[0] != 3:
+        raise SystemExit(
+            f"--input-shape must be 3,H,W for video calibration, "
+            f"got {args.input_shape}"
+        )
+    dst_hw = (shape[1], shape[2])
+    cap = cv2.VideoCapture(args.calib_video)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open video: {args.calib_video}")
+    try:
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or 0
+        stride = max(1, total // args.samples) if total else 1
+        feeds = []
+        idx = 0
+        while len(feeds) < args.samples:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if idx % stride == 0:
+                tensor, _meta = letterbox_numpy(frame, dst_hw)
+                feeds.append({input_name: tensor})
+            idx += 1
+    finally:
+        cap.release()
+    if not feeds:
+        raise SystemExit(f"no frames decoded from {args.calib_video}")
+    logger.info(
+        "calibrating on %d frame(s) from %s (letterboxed to %s)",
+        len(feeds), args.calib_video, dst_hw,
+    )
+    return feeds
+
+
 def _load_calib(args, input_name: str, sample_shape):
+    if args.calib_video:
+        return _load_calib_video(args, input_name)
     if args.calib == "synthetic":
         if args.input_shape:
             shape = tuple(int(d) for d in args.input_shape.split(","))

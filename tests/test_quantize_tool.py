@@ -376,3 +376,75 @@ def test_cli_synthetic_and_npz(tmp_path):
     (want,) = run_graph(g, {g.inputs[0]: x})
     (got,) = run_graph(qg2, {qg2.inputs[0]: x})
     assert np.abs(got - want).max() / (np.abs(want).max() + 1e-9) < 0.08
+
+
+def test_quantized_graph_exports_rvae(tmp_path):
+    """AOT `.rvae` export works for quantized graph engines too — int8
+    runtime params must survive jax.export; exported serving is
+    bit-identical to the live quantized engine."""
+    from test_onnx_graph_serving import HW, ForeignDetector, _engine_for
+
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.export import (
+        ExportedYoloEngine,
+        export_serving_artifact,
+    )
+
+    m = ForeignDetector().eval()
+    fp32_path = str(tmp_path / "det.onnx")
+    _export(m, torch.rand(1, 3, *HW), fp32_path,
+            dynamic_axes={"x": {0: "n"}})
+    g = read_onnx_model(fp32_path)
+    rng = np.random.default_rng(31)
+    feeds = [{g.inputs[0]: rng.random((1, 3, *HW), dtype=np.float32)}
+             for _ in range(3)]
+    qg, _ = quantize_graph(g, feeds, fmt="qoperator")
+    qpath = str(tmp_path / "det-int8.onnx")
+    write_onnx_model(qpath, qg)
+
+    live = _engine_for(qpath, batch_buckets=[2], max_batch_size=2)
+    int8_params = [k for k, v in live.model.init_params().items()
+                   if np.asarray(v).dtype == np.int8]
+    assert int8_params
+    rvae = str(tmp_path / "det-int8.rvae")
+    export_serving_artifact(live, rvae, src_hws=[HW])
+    exported = ExportedYoloEngine(DetectorConfig(
+        model_path=rvae, model_type="yolov8",
+        confidence_threshold=0.3, iou_threshold=0.45,
+        input_size=list(HW), max_batch_size=2, batch_buckets=[2],
+        warmup=False, precision="fp32", num_classes=6,
+    ))
+    frames = rng.integers(0, 256, (2, *HW, 3), dtype=np.uint8)
+    a = live.predict_arrays(frames)
+    b = exported.predict_arrays(frames)
+    np.testing.assert_array_equal(a.num_valid, b.num_valid)
+    np.testing.assert_allclose(a.scores, b.scores, atol=1e-6)
+    np.testing.assert_allclose(a.boxes_xyxy, b.boxes_xyxy, atol=1e-4)
+
+
+def test_cli_calib_video(tmp_path):
+    """--calib-video calibrates on letterboxed decoded frames (the
+    serving preprocess) from the committed demo fixture."""
+    pytest.importorskip("cv2")
+    video = os.path.join(os.path.dirname(__file__), "..",
+                         "data", "samples", "demo.mp4")
+    if not os.path.exists(video):
+        pytest.skip("demo.mp4 fixture not present")
+    from realtime_analytics_tpu.scripts.quantize_model import main
+
+    _, g = _small_graph(tmp_path)
+    src = str(tmp_path / "small.onnx")
+    out = str(tmp_path / "qv.onnx")
+    rc = main(["--model", src, "--out", out, "--calib-video", video,
+               "--input-shape", "3,16,16", "--samples", "4",
+               "--format", "qdq"])
+    assert rc == 0
+    qg = read_onnx_model(out)
+    assert any(n.op_type == "QuantizeLinear" for n in qg.nodes)
+    # calibrated scales must reflect the [0,1] letterboxed pixel range:
+    # the graph-input activation scale is ~1/255..1/200, not the unit
+    # default
+    x_scales = [np.asarray(v).reshape(()).item()
+                for k, v in qg.initializers.items()
+                if k.startswith(g.inputs[0]) and k.endswith("_scale")]
+    assert x_scales and 1e-4 < min(x_scales) < 0.02
