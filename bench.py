@@ -778,28 +778,35 @@ def bench_graph_onnx(side: int = 256, batch: int = 32) -> dict:
         f = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
         xi = (f[..., ::-1].astype(np.float32) / 255.0).transpose(2, 0, 1)
         feeds.append({g.inputs[0]: xi[None]})
-    qg, _rep = quantize_graph(g, feeds, fmt="qoperator")
-    qpath = os.path.join(os.path.dirname(path), "fdet-int8.onnx")
-    write_onnx_model(
-        qpath, qg,
-        value_infos={qg.inputs[0]: (np.float32, ("n", 3, side, side))})
-    engine = JaxYoloEngine(DetectorConfig(
-        model_path=qpath, model_type="yolov8", backend="onnx",
-        input_size=[side, side], num_classes=nc, warmup=False,
-        confidence_threshold=0.25,
-        batch_buckets=[batch], max_batch_size=batch,
-    ))
-    if getattr(engine.model, "graph_backed", False):
+    quant_cases = []
+    for fmt, gp, label in (
+        ("qoperator", "fp32", "int8_qoperator"),
+        ("qdq", "bf16", "qdq_int8_weights_bf16"),
+    ):
+        qg, _rep = quantize_graph(g, feeds, fmt=fmt)
+        qpath = os.path.join(os.path.dirname(path), f"fdet-{fmt}.onnx")
+        write_onnx_model(
+            qpath, qg,
+            value_infos={qg.inputs[0]: (np.float32, ("n", 3, side, side))})
+        quant_cases.append((qpath, gp, label))
+    for qpath, gp, label in quant_cases:
+        engine = JaxYoloEngine(DetectorConfig(
+            model_path=qpath, model_type="yolov8", backend="onnx",
+            input_size=[side, side], num_classes=nc, warmup=False,
+            confidence_threshold=0.25, graph_precision=gp,
+            batch_buckets=[batch], max_batch_size=batch,
+        ))
+        if not getattr(engine.model, "graph_backed", False):
+            continue
         xd = jax.device_put(x, engine.device)
         step = engine._get_step(batch, (side, side))
         ms, seq_ms = _diff_time_step(step, engine.params, xd)
-        rows["int8_qoperator"] = {
+        rows[label] = {
             "batch_ms": round(ms, 2),
             "frames_per_s": round(batch / ms * 1e3, 1),
             "seq_ms_per_batch": round(seq_ms, 2),
+            "speedup_vs_fp32": round(rows["fp32"]["batch_ms"] / ms, 2),
         }
-        rows["int8_speedup_vs_fp32"] = round(
-            rows["fp32"]["batch_ms"] / ms, 2)
         del engine, xd
     rows["model"] = f"foreign 6-conv detector @ {side}, b={batch}"
     return rows

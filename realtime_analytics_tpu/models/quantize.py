@@ -370,7 +370,17 @@ def quantize_graph(
         for o in node.outputs:
             _ensure_act(o)
 
-    # drop initializers no longer referenced (replaced fp32 weights)
+    # dead-node elimination: QOperator conversion leaves Q/DQ heads with
+    # no consumer (e.g. the DQ twin of a tensor only consumed quantized);
+    # drop any node unreachable from the graph outputs, then any
+    # initializer no longer referenced (replaced fp32 weights)
+    live = set(g.outputs)
+    kept_rev: List[OnnxNode] = []
+    for node in reversed(new_nodes):
+        if any(o in live for o in node.outputs):
+            kept_rev.append(node)
+            live.update(i for i in node.inputs if i)
+    new_nodes = list(reversed(kept_rev))
     used = set(g.outputs)
     for node in new_nodes:
         used.update(node.inputs)

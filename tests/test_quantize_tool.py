@@ -448,3 +448,62 @@ def test_cli_calib_video(tmp_path):
                 for k, v in qg.initializers.items()
                 if k.startswith(g.inputs[0]) and k.endswith("_scale")]
     assert x_scales and 1e-4 < min(x_scales) < 0.02
+
+
+def test_qoperator_output_has_no_dead_nodes(tmp_path):
+    """Dead-node elimination: every node in the quantized graph is
+    reachable from the outputs (QOperator conversion would otherwise
+    leave consumer-less DQ twins behind)."""
+    _, g = _small_graph(tmp_path)
+    qg, _ = quantize_graph(g, _feeds(g), fmt="qoperator")
+    live = set(qg.outputs)
+    for node in reversed(qg.nodes):
+        assert any(o in live for o in node.outputs), (
+            f"dead node {node.op_type} '{node.name}'")
+        live.update(i for i in node.inputs if i)
+    # and every initializer is referenced
+    used = set()
+    for node in qg.nodes:
+        used.update(node.inputs)
+    assert set(qg.initializers) <= used
+
+
+def test_qdq_artifact_composes_with_bf16_policy(tmp_path):
+    """A quantized QDQ artifact serves under `graph_precision: bf16`:
+    int8 weights stay device-resident, the float convs between Q/DQ
+    boundaries ride bf16, and quantization math stays fp32 — detections
+    stay within the bf16-policy tolerance of the fp32-served artifact."""
+    from test_onnx_graph_serving import HW, ForeignDetector, _engine_for
+
+    m = ForeignDetector().eval()
+    fp32_path = str(tmp_path / "det.onnx")
+    _export(m, torch.rand(1, 3, *HW), fp32_path,
+            dynamic_axes={"x": {0: "n"}})
+    g = read_onnx_model(fp32_path)
+    rng = np.random.default_rng(41)
+    feeds = [{g.inputs[0]: rng.random((1, 3, *HW), dtype=np.float32)}
+             for _ in range(3)]
+    qg, _ = quantize_graph(g, feeds, fmt="qdq")
+    qpath = str(tmp_path / "det-int8.onnx")
+    write_onnx_model(qpath, qg)
+
+    e32 = _engine_for(qpath)
+    e16 = _engine_for(qpath, graph_precision="bf16")
+    int8_params = [k for k, v in e16.model.init_params().items()
+                   if np.asarray(v).dtype == np.int8]
+    assert int8_params  # residency is precision-independent
+    frames = rng.integers(0, 256, (2, *HW, 3), dtype=np.uint8)
+    a = e32.predict_arrays(frames)
+    b = e16.predict_arrays(frames)
+    # bf16-policy tolerance (matches tests/test_graph_precision.py)
+    np.testing.assert_array_equal(a.num_valid, b.num_valid)
+    for i in range(2):
+        n = int(a.num_valid[i])
+        oa = np.argsort(-a.scores[i][:n])
+        ob = np.argsort(-b.scores[i][:n])
+        np.testing.assert_array_equal(
+            a.class_ids[i][:n][oa], b.class_ids[i][:n][ob])
+        np.testing.assert_allclose(
+            a.scores[i][:n][oa], b.scores[i][:n][ob], atol=0.02)
+        np.testing.assert_allclose(
+            a.boxes_xyxy[i][:n][oa], b.boxes_xyxy[i][:n][ob], atol=1.0)
