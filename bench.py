@@ -779,11 +779,13 @@ def bench_graph_onnx(side: int = 256, batch: int = 32) -> dict:
         xi = (f[..., ::-1].astype(np.float32) / 255.0).transpose(2, 0, 1)
         feeds.append({g.inputs[0]: xi[None]})
     quant_cases = []
+    ranges = None
     for fmt, gp, label in (
         ("qoperator", "fp32", "int8_qoperator"),
         ("qdq", "bf16", "qdq_int8_weights_bf16"),
     ):
-        qg, _rep = quantize_graph(g, feeds, fmt=fmt)
+        qg, rep = quantize_graph(g, feeds, fmt=fmt, reuse_ranges=ranges)
+        ranges = rep.ranges  # calibrate once, reuse across formats
         qpath = os.path.join(os.path.dirname(path), f"fdet-{fmt}.onnx")
         write_onnx_model(
             qpath, qg,
@@ -797,6 +799,7 @@ def bench_graph_onnx(side: int = 256, batch: int = 32) -> dict:
             batch_buckets=[batch], max_batch_size=batch,
         ))
         if not getattr(engine.model, "graph_backed", False):
+            rows[label] = {"error": "graph fallback did not engage"}
             continue
         xd = jax.device_put(x, engine.device)
         step = engine._get_step(batch, (side, side))

@@ -179,7 +179,10 @@ def _len_delimited(field: int, payload: bytes) -> bytes:
 
 _NP_TO_ONNX = {np.dtype(np.float32): 1, np.dtype(np.float16): 10,
                np.dtype(np.int64): 7, np.dtype(np.int32): 6,
-               np.dtype(np.int8): 3, np.dtype(np.uint8): 2}
+               np.dtype(np.int8): 3, np.dtype(np.uint8): 2,
+               np.dtype(np.uint16): 4, np.dtype(np.int16): 5,
+               np.dtype(np.bool_): 9, np.dtype(np.float64): 11,
+               np.dtype(np.uint32): 12, np.dtype(np.uint64): 13}
 
 
 def write_onnx_initializers(path: str, tensors: Dict[str, np.ndarray]) -> None:
@@ -421,12 +424,16 @@ def read_onnx_initializers(path: str) -> Dict[str, np.ndarray]:
 
 
 def _tensor_proto(name: str, arr: np.ndarray) -> bytes:
-    """TensorProto bytes: dims(1), data_type(2), name(8), raw_data(9)."""
+    """TensorProto bytes: dims(1), data_type(2), name(8), raw_data(9).
+    Raises on dtypes outside the reader's set — silently casting (the
+    way the weights-container writer does) would change op semantics,
+    e.g. int16 Div flips from truncating to float division."""
     arr = np.ascontiguousarray(arr)
     dt = _NP_TO_ONNX.get(arr.dtype)
     if dt is None:
-        arr = np.ascontiguousarray(arr.astype(np.float32))
-        dt = 1
+        raise TypeError(
+            f"unserializable tensor dtype {arr.dtype} for {name!r}"
+        )
     t = b""
     for d in arr.shape:
         t += _varint(1 << 3) + _varint(d)
@@ -447,8 +454,15 @@ def _attribute_proto(name: str, value: object) -> bytes:
     inverse of ``_parse_attribute``: float -> f(2), int -> i(3),
     str -> s(4), ndarray -> t(5), [float] -> floats(7), [int] -> ints(8),
     [str] -> strings(9). The ``type`` tag (20) is written so standard
-    ONNX runtimes accept the file (our reader skips it)."""
+    ONNX runtimes accept the file (our reader skips it).
+
+    ``None`` and empty lists (both of which ``_parse_attribute`` yields
+    for an empty repeated attribute) serialize as an empty INTS
+    attribute and parse back as ``None`` — the reader's canonical
+    representation, so re-writing a parsed graph never crashes."""
     a = _len_delimited(1, name.encode("utf-8"))
+    if value is None or (isinstance(value, (list, tuple)) and not value):
+        return a + _varint(20 << 3) + _varint(7)  # empty INTS
     if isinstance(value, np.ndarray):
         a += _len_delimited(5, _tensor_proto("", value))
         atype = 4  # TENSOR

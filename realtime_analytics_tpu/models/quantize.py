@@ -43,12 +43,21 @@ logger = logging.getLogger(__name__)
 
 # ops whose weight operand (input index 1) is quantized; value = the
 # per-channel axis for the weight tensor, or None for per-tensor
+# (Gemm is resolved per node: transB=1 weights are [N, K] with output
+# channels leading -> axis 0; transB=0 stays per-tensor)
 _WEIGHT_AXIS = {
     "Conv": 0,           # [M, C/g, *k] — out channels lead
     "ConvTranspose": 1,  # [C, M/g, *k] — out channels at dim 1
     "MatMul": None,
     "Gemm": None,
 }
+
+
+def _axis_for(node: OnnxNode) -> Optional[int]:
+    """Per-channel axis for a target node's weight, or None (per-tensor)."""
+    if node.op_type == "Gemm":
+        return 0 if int(node.attrs.get("transB", 0)) else None
+    return _WEIGHT_AXIS[node.op_type]
 
 
 @dataclass
@@ -79,6 +88,10 @@ class QuantizationReport:
     qlinear_nodes: int = 0
     fused_relus: int = 0
     calibration_samples: int = 0
+    # calibrated activation ranges {tensor: (lo, hi)} — pass back in as
+    # quantize_graph(reuse_ranges=...) to quantize the same graph in
+    # another format without re-running calibration
+    ranges: Dict[str, Tuple[float, float]] = field(default_factory=dict)
 
     def summary(self) -> str:
         return (
@@ -150,11 +163,14 @@ def quantize_graph(
     calib_feeds: Iterable[Dict[str, np.ndarray]],
     fmt: str = "qdq",
     exclude: Sequence[str] = (),
+    reuse_ranges: Optional[Dict[str, Tuple[float, float]]] = None,
 ) -> Tuple[OnnxGraph, QuantizationReport]:
     """Quantize ``g`` (fp32, single data input) into a new OnnxGraph in
     ``fmt`` ('qdq' or 'qoperator'). ``calib_feeds`` yields
     {input name: array} calibration feeds; ``exclude`` names nodes to
-    leave float. The input graph is not mutated."""
+    leave float; ``reuse_ranges`` (a prior report's ``.ranges``) skips
+    calibration when it covers every needed tensor. The input graph is
+    not mutated."""
     if fmt not in ("qdq", "qoperator"):
         raise ValueError(f"unknown quantization format {fmt!r}")
     report = QuantizationReport()
@@ -178,7 +194,13 @@ def quantize_graph(
                 and t not in act_names
             ):
                 act_names.append(t)
-    ranges, report.calibration_samples = _calibrate(g, calib_feeds, act_names)
+    if reuse_ranges is not None and all(t in reuse_ranges
+                                        for t in act_names):
+        ranges = {t: _Range(*reuse_ranges[t]) for t in act_names}
+    else:
+        ranges, report.calibration_samples = _calibrate(
+            g, calib_feeds, act_names)
+    report.ranges = {t: (r.lo, r.hi) for t, r in ranges.items()}
 
     producers: Dict[str, OnnxNode] = {}
     consumers: Dict[str, List[OnnxNode]] = {}
@@ -241,7 +263,6 @@ def quantize_graph(
         inits[z_name] = np.uint8(zp).reshape(())
         act_params[t] = (s_name, z_name)
         act_tensors[t] = (_uniq(f"{t}_quantized"), _uniq(f"{t}_dq"))
-        report.activations_quantized.append(t)
 
     def _emit_q_dq(t: str) -> None:
         q, dq = act_tensors[t]
@@ -253,43 +274,40 @@ def quantize_graph(
             op_type="DequantizeLinear", inputs=[q, s, z], outputs=[dq],
             name=_uniq(f"Dequantize_{t}")))
 
-    # -- weight quantization (shared by both formats). A weight (or bias)
-    # initializer also consumed by a non-target node must keep its float
-    # copy alive for that consumer.
-    def _only_target_consumers(name: str) -> bool:
-        return all(id(c) in target_set for c in consumers.get(name, ()))
-
-    weight_dq: Dict[str, str] = {}      # float weight name -> DQ output
-    weight_q: Dict[str, Tuple[str, str, str]] = {}  # name -> (q, scale, zp)
+    # -- weight quantization (shared by both formats). Keyed by
+    # (weight name, per-channel axis): a weight shared by targets of
+    # different op types quantizes once per axis semantics, never with
+    # the first consumer's axis applied to the second. Stale float
+    # copies (incl. one still consumed as another node's data input)
+    # are handled by the final reachability prune, never deleted early.
+    WKey = Tuple[str, Optional[int]]
+    weight_dq: Dict[WKey, str] = {}      # -> DQ output name
+    weight_q: Dict[WKey, Tuple[str, str, str]] = {}  # -> (q, scale, zp)
     for node in targets:
         w_name = node.inputs[1]
-        if w_name in weight_dq:
+        axis = _axis_for(node)
+        key = (w_name, axis)
+        if key in weight_dq:
             continue
-        axis = _WEIGHT_AXIS[node.op_type]
-        if node.op_type == "Gemm" and not int(node.attrs.get("transB", 0)):
-            axis = None  # B is [K, N]; keep per-tensor
         wq, scale, zp = _quantize_weight(np.asarray(inits[w_name]), axis)
         qn, sn, zn = (_uniq(f"{w_name}_quantized"),
                       _uniq(f"{w_name}_scale"), _uniq(f"{w_name}_zero_point"))
         dqn = _uniq(f"{w_name}_dq")
         inits[qn], inits[sn], inits[zn] = wq, scale, zp
-        if _only_target_consumers(w_name):
-            del inits[w_name]
-        weight_q[w_name] = (qn, sn, zn)
-        weight_dq[w_name] = dqn
-        report.weights_quantized.append(w_name)
+        weight_q[key] = (qn, sn, zn)
+        weight_dq[key] = dqn
+        if w_name not in report.weights_quantized:
+            report.weights_quantized.append(w_name)
 
     def _weight_dq_node(node: OnnxNode) -> None:
-        w_name = node.inputs[1]
-        qn, sn, zn = weight_q[w_name]
-        axis = _WEIGHT_AXIS[node.op_type]
-        if node.op_type == "Gemm" and not int(node.attrs.get("transB", 0)):
-            axis = None
+        key = (node.inputs[1], _axis_for(node))
+        qn, sn, zn = weight_q[key]
+        axis = key[1]
         attrs = {} if axis is None else {"axis": axis}
         new_nodes.append(OnnxNode(
             op_type="DequantizeLinear", inputs=[qn, sn, zn],
-            outputs=[weight_dq[w_name]], attrs=attrs,
-            name=_uniq(f"Dequantize_{w_name}")))
+            outputs=[weight_dq[key]], attrs=attrs,
+            name=_uniq(f"Dequantize_{node.inputs[1]}")))
 
     emitted_weight_dq: set = set()
     emitted_act: set = set()
@@ -312,7 +330,7 @@ def quantize_graph(
             xq, _ = act_tensors[x_t]
             xs, xz = act_params[x_t]
             w_name = node.inputs[1]
-            wq, ws, wz = weight_q[w_name]
+            wq, ws, wz = weight_q[(w_name, _axis_for(node))]
             ys, yz = act_params[y_tensor]
             yq, _ = act_tensors[y_tensor]
             if node.op_type == "Conv":
@@ -327,8 +345,6 @@ def quantize_graph(
                     ).astype(np.int32)
                     bq_name = _uniq(f"{node.inputs[2]}_quantized")
                     inits[bq_name] = bq
-                    if len(consumers.get(node.inputs[2], ())) == 1:
-                        del inits[node.inputs[2]]
                     qins.append(bq_name)
                 new_nodes.append(OnnxNode(
                     op_type="QLinearConv", inputs=qins, outputs=[yq],
@@ -354,10 +370,11 @@ def quantize_graph(
         new_inputs = list(node.inputs)
         if id(node) in target_set:
             w_name = node.inputs[1]
-            if w_name not in emitted_weight_dq:
+            wkey = (w_name, _axis_for(node))
+            if wkey not in emitted_weight_dq:
                 _weight_dq_node(node)
-                emitted_weight_dq.add(w_name)
-            new_inputs[1] = weight_dq[w_name]
+                emitted_weight_dq.add(wkey)
+            new_inputs[1] = weight_dq[wkey]
         for i, t in enumerate(new_inputs):
             if i == 1 and id(node) in target_set:
                 continue
@@ -385,6 +402,12 @@ def quantize_graph(
     for node in new_nodes:
         used.update(node.inputs)
     new_inits = {k: v for k, v in inits.items() if k in used}
+
+    # report only activations whose scale survived the prune (a fused
+    # group's pre-ReLU tensor is calibrated but never materialized)
+    report.activations_quantized = [
+        t for t in act_names if act_params[t][0] in new_inits
+    ]
 
     out = OnnxGraph(
         nodes=new_nodes,

@@ -130,19 +130,15 @@ def _load_calib_video(args, input_name: str):
     return feeds
 
 
-def _load_calib(args, input_name: str, sample_shape):
+def _load_calib(args, input_name: str):
     if args.calib_video:
         return _load_calib_video(args, input_name)
     if args.calib == "synthetic":
-        if args.input_shape:
-            shape = tuple(int(d) for d in args.input_shape.split(","))
-        elif sample_shape is not None:
-            shape = tuple(sample_shape)
-        else:
+        if not args.input_shape:
             raise SystemExit(
-                "--input-shape is required with --calib synthetic when the "
-                "graph does not declare a static input shape"
+                "--input-shape C,H,W is required with --calib synthetic"
             )
+        shape = tuple(int(d) for d in args.input_shape.split(","))
         rng = np.random.default_rng(0)
         return [
             {input_name: rng.random((1, *shape), dtype=np.float32)}
@@ -181,15 +177,18 @@ def main(argv=None) -> int:
             f"expected exactly one graph input, found {g.inputs}"
         )
     input_name = g.inputs[0]
-    feeds = _load_calib(args, input_name, None)
+    feeds = _load_calib(args, input_name)
     exclude = [s for s in args.exclude.split(",") if s]
     qg, report = quantize_graph(g, feeds, fmt=args.format, exclude=exclude)
     sample = np.asarray(feeds[0][input_name])
-    write_onnx_model(
-        args.out,
-        qg,
-        value_infos={input_name: (np.float32, ("n",) + sample.shape[1:])},
-    )
+    # typed IO for strict ONNX loaders: outputs typed from one evaluated
+    # sample (batch axis dynamic, matching the input)
+    value_infos = {input_name: (np.float32, ("n",) + sample.shape[1:])}
+    for out_name, arr in zip(qg.outputs,
+                             run_graph(qg, {input_name: sample})):
+        arr = np.asarray(arr)
+        value_infos[out_name] = (arr.dtype, ("n",) + arr.shape[1:])
+    write_onnx_model(args.out, qg, value_infos=value_infos)
     in_sz = os.path.getsize(args.model)
     out_sz = os.path.getsize(args.out)
     logger.info("%s", report.summary())

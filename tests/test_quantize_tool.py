@@ -507,3 +507,188 @@ def test_qdq_artifact_composes_with_bf16_policy(tmp_path):
             a.scores[i][:n][oa], b.scores[i][:n][ob], atol=0.02)
         np.testing.assert_allclose(
             a.boxes_xyxy[i][:n][oa], b.boxes_xyxy[i][:n][ob], atol=1.0)
+
+
+# ----------------------------------------- review-fix regression coverage
+
+
+def test_weight_also_consumed_as_data_survives():
+    """An initializer that is one target's WEIGHT and another target's
+    DATA input keeps its float copy — slot-aware, not just
+    consumer-node-aware (early deletion produced an unschedulable
+    graph)."""
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((2, 2, 1, 1)).astype(np.float32) * 0.5
+    v = rng.standard_normal((3, 2, 1, 1)).astype(np.float32) * 0.5
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode(op_type="Conv", inputs=["x", "w"], outputs=["a"],
+                     attrs={"kernel_shape": [1, 1]}, name="c1"),
+            # the same initializer consumed as DATA by another target
+            OnnxNode(op_type="Conv", inputs=["w", "v"], outputs=["b"],
+                     attrs={"kernel_shape": [1, 1]}, name="c2"),
+            OnnxNode(op_type="Flatten", inputs=["a"], outputs=["af"],
+                     attrs={"axis": 1}),
+            OnnxNode(op_type="Flatten", inputs=["b"], outputs=["bf"],
+                     attrs={"axis": 1}),
+            OnnxNode(op_type="Concat", inputs=["af", "bf"], outputs=["y"],
+                     attrs={"axis": 1}),
+        ],
+        initializers={"w": w, "v": v},
+        inputs=["x"],
+        outputs=["y"],
+    )
+    feeds = [{"x": np.random.default_rng(i).random(
+        (2, 2, 3, 3), dtype=np.float32)} for i in range(3)]
+    for fmt in ("qdq", "qoperator"):
+        qg, _ = quantize_graph(g, feeds, fmt=fmt)
+        assert "w" in qg.initializers, fmt  # float copy kept for c2's data
+        (want,) = run_graph(g, feeds[0])
+        (got,) = run_graph(qg, feeds[0])  # must be schedulable
+        assert np.abs(got - want).max() / (np.abs(want).max() + 1e-9) \
+            < 0.15, fmt
+
+
+def test_shared_weight_different_axes_quantizes_per_axis():
+    """A weight shared by targets with different per-channel semantics
+    (transB Gemm: axis 0; MatMul: per-tensor) quantizes once PER AXIS —
+    the artifact must stay servable by both executors."""
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((4, 4)).astype(np.float32) * 0.5
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode(op_type="Gemm", inputs=["x", "w"], outputs=["a"],
+                     attrs={"transB": 1}, name="gm"),
+            OnnxNode(op_type="MatMul", inputs=["x", "w"], outputs=["b"],
+                     name="mm"),
+            OnnxNode(op_type="Concat", inputs=["a", "b"], outputs=["y"],
+                     attrs={"axis": 1}),
+        ],
+        initializers={"w": w},
+        inputs=["x"],
+        outputs=["y"],
+    )
+    feeds = [{"x": np.random.default_rng(i).random(
+        (2, 4), dtype=np.float32)} for i in range(3)]
+    for fmt in ("qdq", "qoperator"):
+        qg, rep = quantize_graph(g, feeds, fmt=fmt)
+        assert rep.weights_quantized == ["w"]
+        # two quantized copies: per-channel (Gemm axis 0) and per-tensor
+        dq_axes = sorted(
+            n.attrs.get("axis", None) is not None
+            for n in qg.nodes
+            if n.op_type == "DequantizeLinear"
+            and n.inputs[0].startswith("w_quantized")
+        )
+        if fmt == "qdq":
+            assert dq_axes == [False, True], dq_axes
+        (want,) = run_graph(g, feeds[0])
+        (got,) = run_graph(qg, feeds[0])  # servable: no per-axis b_scale
+        fn = compile_graph(qg)
+        (gj,) = jax.jit(lambda a: fn({"x": a}))(jnp.asarray(feeds[0]["x"]))
+        assert np.abs(got - want).max() / (np.abs(want).max() + 1e-9) < 0.1
+        assert np.abs(np.asarray(gj) - got).max() < 0.05
+
+
+def test_gemm_transb_weight_is_per_channel(tmp_path):
+    """torch Linear exports Gemm transB=1 — its weight quantizes
+    per-output-channel (axis 0), not per-tensor."""
+    _, g = _small_graph(tmp_path)
+    gemm = next(n for n in g.nodes if n.op_type == "Gemm")
+    assert int(gemm.attrs.get("transB", 0)) == 1
+    qg, _ = quantize_graph(g, _feeds(g), fmt="qdq")
+    wdq = next(n for n in qg.nodes if n.op_type == "DequantizeLinear"
+               and n.inputs[0].startswith(gemm.inputs[1]))
+    assert wdq.attrs.get("axis") == 0
+    scale = np.asarray(qg.initializers[wdq.inputs[1]])
+    assert scale.shape == (10,)  # one scale per output feature
+
+
+def test_report_counts_match_emitted_artifact(tmp_path):
+    """activations_quantized reports only tensors whose Q/DQ survived
+    (a fused group's pre-ReLU tensor is calibrated but eliminated)."""
+    _, g = _small_graph(tmp_path)
+    qg, rep = quantize_graph(g, _feeds(g), fmt="qoperator")
+    emitted_scales = {n.inputs[1] for n in qg.nodes
+                      if n.op_type in ("QuantizeLinear",
+                                       "DequantizeLinear")}
+    emitted_scales |= {n.inputs[6] for n in qg.nodes
+                       if n.op_type == "QLinearConv"}
+    for t in rep.activations_quantized:
+        assert any(s.startswith(t) and s.endswith("_scale")
+                   for s in emitted_scales), t
+    assert rep.fused_relus == 1
+    # the fused conv's pre-relu output is NOT reported
+    fused_conv_out = next(
+        n.outputs[0] for n in g.nodes if n.op_type == "Conv")
+    assert fused_conv_out not in rep.activations_quantized
+
+
+def test_reuse_ranges_skips_recalibration(tmp_path):
+    _, g = _small_graph(tmp_path)
+    q1, rep1 = quantize_graph(g, _feeds(g), fmt="qdq")
+    assert rep1.calibration_samples == 6 and rep1.ranges
+    q2, rep2 = quantize_graph(g, [], fmt="qdq", reuse_ranges=rep1.ranges)
+    assert rep2.calibration_samples == 0
+    x = np.random.default_rng(8).random((1, 3, 16, 16), dtype=np.float32)
+    (y1,) = run_graph(q1, {q1.inputs[0]: x})
+    (y2,) = run_graph(q2, {q2.inputs[0]: x})
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_writer_preserves_exotic_dtypes_and_empty_attrs(tmp_path):
+    """int16/bool/float64 initializers round-trip exactly (silent f32
+    casting would e.g. flip int Div from truncating to float); empty
+    repeated attributes round-trip as None (the reader's canonical
+    form) instead of crashing."""
+    g = OnnxGraph(
+        nodes=[OnnxNode(op_type="Identity", inputs=["w16"],
+                        outputs=["y"], attrs={"empty_list": [],
+                                              "none_attr": None})],
+        initializers={
+            "w16": np.asarray([[-7, 3]], dtype=np.int16),
+            "mask": np.asarray([True, False]),
+            "dbl": np.asarray([1.5], dtype=np.float64),
+        },
+        inputs=[],
+        outputs=["y"],
+    )
+    p = str(tmp_path / "dt.onnx")
+    write_onnx_model(p, g)
+    g2 = read_onnx_model(p)
+    assert g2.initializers["w16"].dtype == np.int16
+    assert g2.initializers["mask"].dtype == np.bool_
+    assert g2.initializers["dbl"].dtype == np.float64
+    np.testing.assert_array_equal(g2.initializers["w16"],
+                                  g.initializers["w16"])
+    node = g2.nodes[0]
+    assert node.attrs["empty_list"] is None
+    assert node.attrs["none_attr"] is None
+    # an unserializable dtype must raise, never silently cast
+    bad = OnnxGraph(nodes=[], initializers={
+        "c": np.asarray([1 + 2j], dtype=np.complex64)},
+        inputs=[], outputs=[])
+    with pytest.raises(TypeError, match="unserializable tensor dtype"):
+        write_onnx_model(str(tmp_path / "bad.onnx"), bad)
+
+
+def test_cli_writes_typed_outputs(tmp_path):
+    """Artifacts carry typed graph outputs (strict ONNX loaders require
+    TypeProto on outputs, not just inputs)."""
+    from realtime_analytics_tpu.scripts.quantize_model import main
+
+    _, g = _small_graph(tmp_path)
+    src = str(tmp_path / "small.onnx")
+    out = str(tmp_path / "qt.onnx")
+    assert main(["--model", src, "--out", out, "--calib", "synthetic",
+                 "--input-shape", "3,16,16", "--samples", "2"]) == 0
+    raw = open(out, "rb").read()
+    # output ValueInfo must embed a TypeProto (elem_type tag); cheap
+    # structural check: the output name appears followed by type bytes
+    # — verified properly by re-reading and evaluating
+    g2 = read_onnx_model(out)
+    assert g2.outputs == g.outputs
+    x = np.zeros((1, 3, 16, 16), np.float32)
+    (y,) = run_graph(g2, {g2.inputs[0]: x})
+    assert y.shape == (1, 10)
+    assert len(raw) > 0
