@@ -211,11 +211,14 @@ class JaxYoloEngine(BaseDetector):
                 )
         elif self.compute_dtype != jnp.float32:
             # (graph-backed reaches here only under graph_precision: bf16 —
-            # params then ride HBM at half width like native engines')
-            params = jax.tree_util.tree_map(
-                lambda a: a.astype(self.compute_dtype)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                params,
+            # params then ride HBM at half width like native engines';
+            # quantization scales are exempt: they are the model's
+            # numerics, and a bf16-truncated scale shifts the grid)
+            from ..models.onnx_graph_model import cast_params_for_compute
+
+            params = cast_params_for_compute(
+                params, self.compute_dtype,
+                getattr(self.model, "fp32_param_names", frozenset()),
             )
         # multi-chip: detector.mesh_shape = [dp, tp] shards the params over
         # channels (tp) and every batch over dp; XLA inserts the collectives
@@ -864,10 +867,11 @@ class JaxResNetEngine(BaseDetector):
             # YOLO engine carries the rationale)
             self.compute_dtype = self.model.compute_dtype
         if self.compute_dtype != jnp.float32:
-            params = jax.tree_util.tree_map(
-                lambda a: a.astype(self.compute_dtype)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                params,
+            from ..models.onnx_graph_model import cast_params_for_compute
+
+            params = cast_params_for_compute(
+                params, self.compute_dtype,
+                getattr(self.model, "fp32_param_names", frozenset()),
             )
         self.params = jax.device_put(params, self.device)
         self._steps: Dict[Tuple[int, int, int], object] = {}

@@ -100,10 +100,11 @@ class JaxTemporalEngine(BaseDetector):
             # YOLO engine carries the rationale)
             self.compute_dtype = self.model.compute_dtype
         if self.compute_dtype != jnp.float32:
-            params = jax.tree_util.tree_map(
-                lambda a: a.astype(self.compute_dtype)
-                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
-                params,
+            from ..models.onnx_graph_model import cast_params_for_compute
+
+            params = cast_params_for_compute(
+                params, self.compute_dtype,
+                getattr(self.model, "fp32_param_names", frozenset()),
             )
         self.params = jax.device_put(params, self.device)
 

@@ -991,12 +991,20 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
             np.float32) * scale)
     elif op == "DynamicQuantizeLinear":
         x = np.asarray(ins[0], dtype=np.float32)
-        # spec: the quantization range always includes 0
-        xmin = min(float(x.min()), 0.0) if x.size else 0.0
-        xmax = max(float(x.max()), 0.0) if x.size else 0.0
-        scale = (xmax - xmin) / 255.0 or 1.0  # constant input: unit scale
-        zp = np.uint8(np.clip(np.rint(-xmin / scale), 0, 255))
-        y = np.clip(np.rint(x / scale) + int(zp), 0, 255).astype(np.uint8)
+        # spec: the quantization range always includes 0. All arithmetic
+        # in float32 — the jnp twin computes f32, and python-float (f64)
+        # scale math here double-rounds into bitwise-different scales
+        xmin = np.minimum(x.min(), np.float32(0)) if x.size else np.float32(0)
+        xmax = np.maximum(x.max(), np.float32(0)) if x.size else np.float32(0)
+        rng_ = np.float32(xmax - xmin)
+        # reciprocal multiply, not /255: XLA strength-reduces the constant
+        # division to a reciprocal multiply (1 ulp apart), so both
+        # executors do the multiply explicitly to stay bit-identical
+        scale = np.float32(rng_ * np.float32(1.0 / 255.0)) if rng_ > 0 \
+            else np.float32(1.0)
+        zp = np.uint8(np.clip(np.rint(np.float32(-xmin) / scale), 0, 255))
+        y = np.clip(np.rint(x / scale) + np.float32(zp), 0, 255).astype(
+            np.uint8)
         put(y, np.float32(scale), zp)
     elif op == "MatMulInteger":
         azp = ins[2] if len(ins) > 2 and ins[2] is not None else 0
@@ -1017,6 +1025,10 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         if b is not None:
             acc = acc + np.asarray(b, dtype=np.int64).reshape(
                 (1, -1) + (1,) * (acc.ndim - 2))
+        # wrap to int32 like the device accumulator (and like the bare
+        # ConvInteger/MatMulInteger outputs) so requant bit-matches the
+        # jitted path past 2^31
+        acc = acc.astype(np.int32)
         wsc = np.asarray(w_s, dtype=np.float32)  # per-out-channel allowed
         if wsc.ndim == 1 and wsc.size > 1:
             wsc = wsc.reshape((1, -1) + (1,) * (acc.ndim - 2))
@@ -1031,7 +1043,8 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp = ins[:8]
         acc = _matmul_int(np.asarray(a), np.asarray(b),
                           0 if a_zp is None else a_zp,
-                          0 if b_zp is None else b_zp)
+                          0 if b_zp is None else b_zp
+                          ).astype(np.int32)  # wrap like the device
         mul = (np.float32(_qscalar(a_s, "a_scale"))
                * np.float32(_qscalar(b_s, "b_scale"))
                / np.float32(_qscalar(y_s, "y_scale")))

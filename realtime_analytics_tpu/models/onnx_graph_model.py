@@ -137,6 +137,51 @@ _QUANT_WEIGHT_POSITIONS = {
     "QLinearMatMul": (0, 3),
 }
 
+# float operand positions that are quantization SCALES: the model's
+# numerics, never a precision knob — they must survive any engine-level
+# bf16 param cast at full fp32 (truncating a scale to bf16 shifts the
+# quantization grid itself)
+_QUANT_SCALE_POSITIONS = {
+    "QuantizeLinear": (1,),
+    "DequantizeLinear": (1,),
+    "QLinearConv": (1, 4, 6),
+    "QLinearMatMul": (1, 4, 6),
+}
+
+
+def quant_scale_param_names(g: OnnxGraph) -> frozenset:
+    """Initializer names consumed at quantization-scale positions."""
+    names = set()
+    for node in g.nodes:
+        for pos in _QUANT_SCALE_POSITIONS.get(node.op_type, ()):
+            if pos < len(node.inputs) and node.inputs[pos] in g.initializers:
+                names.add(node.inputs[pos])
+    return frozenset(names)
+
+
+def cast_params_for_compute(params, compute_dtype, fp32_names=frozenset()):
+    """Engine-side param cast to the compute dtype, exempting quantization
+    scales (``fp32_names``) and non-float tensors. Works on the flat
+    name->array dicts graph models use and on arbitrary pytrees when no
+    exemptions apply."""
+    import jax
+
+    if fp32_names and isinstance(params, dict):
+        return {
+            k: (
+                jnp.asarray(v).astype(compute_dtype)
+                if k not in fp32_names
+                and jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
+                else jnp.asarray(v)
+            )
+            for k, v in params.items()
+        }
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a).astype(compute_dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+        params,
+    )
+
 
 def serving_params(g: OnnxGraph) -> Dict[str, np.ndarray]:
     """Initializers that are safe to feed as runtime params: float tensors
@@ -201,6 +246,11 @@ class OnnxGraphModel:
         self.input_name = graph.inputs[0]
         self.compute_dtype = compute_dtype
         self._params = serving_params(graph)
+        # quantization scales riding as runtime params must stay fp32
+        # under any engine bf16 cast (cast_params_for_compute honors this)
+        self.fp32_param_names = frozenset(
+            n for n in quant_scale_param_names(graph) if n in self._params
+        )
         self._fn = compile_graph(graph)
         self.example_shape = tuple(int(s) for s in example_shape)
         self.dynamic_batch = self._probe_dynamic()

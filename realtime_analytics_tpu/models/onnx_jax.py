@@ -504,25 +504,37 @@ def _matmul_int_j(a, b, azp, bzp):
     """``(a - a_zp) @ (b - b_zp)`` in int32 without ever widening the
     matmul operands past int8: the main product rides the MXU s8 x s8 ->
     s32 path; the zero-point cross terms are rank-reduced row/column sums
-    (VPU adds), never a wide matmul. Twin of ``onnx_exec._matmul_int``."""
+    (VPU adds), never a wide matmul. Twin of ``onnx_exec._matmul_int``.
+    1-D operands follow numpy matmul semantics (promote, then squeeze),
+    matching the numpy twin's output rank."""
     a8, ash = _to_s8(a)
     b8, bsh = _to_s8(b)
+    a_1d, b_1d = a8.ndim == 1, b8.ndim == 1
+    if a_1d:
+        a8 = a8[None, :]
+    if b_1d:
+        b8 = b8[:, None]
     az = _zp_arr(azp, ash)  # scalar or 1-D per-row of a
     bz = _zp_arr(bzp, bsh)  # scalar or 1-D per-column of b
     if az.ndim == 1 and az.shape[0] > 1:
         az = az[:, None]
-    acc = jnp.matmul(a8, b8, preferred_element_type=jnp.int32)
-    if (ash == 0 and bsh == 0
+    out = jnp.matmul(a8, b8, preferred_element_type=jnp.int32)
+    if not (ash == 0 and bsh == 0
             and (azp is None or (_is_static(azp)
                                  and not np.any(np.asarray(azp))))
             and (bzp is None or (_is_static(bzp)
                                  and not np.any(np.asarray(bzp))))):
-        return acc  # symmetric everywhere: the MXU product IS the answer
-    k = a8.shape[-1]
-    colsum_b = b8.astype(jnp.int32).sum(axis=-2)        # [..., N]
-    rowsum_a = a8.astype(jnp.int32).sum(axis=-1)        # [..., M]
-    return (acc - az * colsum_b[..., None, :]
-            - rowsum_a[..., :, None] * bz + k * az * bz)
+        # not symmetric everywhere: add the zero-point cross terms
+        k = a8.shape[-1]
+        colsum_b = b8.astype(jnp.int32).sum(axis=-2)        # [..., N]
+        rowsum_a = a8.astype(jnp.int32).sum(axis=-1)        # [..., M]
+        out = (out - az * colsum_b[..., None, :]
+               - rowsum_a[..., :, None] * bz + k * az * bz)
+    if b_1d:
+        out = out[..., :, 0]
+    if a_1d:
+        out = out[..., 0, :] if not b_1d else out[..., 0]
+    return out
 
 
 def _conv_int_j(node, x, w, xzp, wzp):
@@ -588,6 +600,15 @@ def _conv_int_j(node, x, w, xzp, wzp):
         acc = acc - xz * wsum
         acc = acc + xz * wz.reshape(ch_shape if wz.size > 1 else ()) * taps
     return acc
+
+
+def _requant_j(acc, mul, yzp, qdt):
+    """jnp twin of ``onnx_exec._requant``: int32 accumulator -> quantized
+    output via ``saturate(rint(acc * mul) + y_zp)`` in float32."""
+    info = np.iinfo(qdt)
+    yz = jnp.asarray(0 if yzp is None else yzp).astype(jnp.float32)
+    y = jnp.rint(acc.astype(jnp.float32) * mul) + yz.reshape(())
+    return jnp.clip(y, info.min, info.max).astype(qdt)
 
 
 def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
@@ -1031,7 +1052,8 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
         xmin = jnp.minimum(x.min(), 0.0)  # spec: range always includes 0
         xmax = jnp.maximum(x.max(), 0.0)
         rng = xmax - xmin
-        scale = jnp.where(rng > 0, rng / 255.0, 1.0)
+        # explicit reciprocal multiply — see the numpy twin's comment
+        scale = jnp.where(rng > 0, rng * np.float32(1.0 / 255.0), 1.0)
         zp_f = jnp.clip(jnp.rint(-xmin / scale), 0, 255)
         y = jnp.clip(jnp.rint(x / scale) + zp_f, 0, 255).astype(jnp.uint8)
         put(y, scale.astype(jnp.float32), zp_f.astype(jnp.uint8))
@@ -1056,22 +1078,14 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
             wsc = wsc.reshape((1, -1) + (1,) * (acc.ndim - 2))
         mul = (jnp.asarray(x_s).astype(jnp.float32).reshape(()) * wsc
                / jnp.asarray(y_s).astype(jnp.float32).reshape(()))
-        qdt = _qdt(y_zp)
-        info = np.iinfo(qdt)
-        yz = jnp.asarray(0 if y_zp is None else y_zp).astype(jnp.float32)
-        y = jnp.rint(acc.astype(jnp.float32) * mul) + yz.reshape(())
-        put(jnp.clip(y, info.min, info.max).astype(qdt))
+        put(_requant_j(acc, mul, y_zp, _qdt(y_zp)))
     elif op == "QLinearMatMul":
         a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp = ins[:8]
         acc = _matmul_int_j(a, b, a_zp, b_zp)
         mul = (jnp.asarray(a_s).astype(jnp.float32).reshape(())
                * jnp.asarray(b_s).astype(jnp.float32).reshape(())
                / jnp.asarray(y_s).astype(jnp.float32).reshape(()))
-        qdt = _qdt(y_zp)
-        info = np.iinfo(qdt)
-        yz = jnp.asarray(0 if y_zp is None else y_zp).astype(jnp.float32)
-        y = jnp.rint(acc.astype(jnp.float32) * mul) + yz.reshape(())
-        put(jnp.clip(y, info.min, info.max).astype(qdt))
+        put(_requant_j(acc, mul, y_zp, _qdt(y_zp)))
     else:
         raise UnsupportedOnnxOp(
             f"op '{op}' (node '{node.name}') is outside the supported set"

@@ -164,15 +164,21 @@ def quantize_graph(
     fmt: str = "qdq",
     exclude: Sequence[str] = (),
     reuse_ranges: Optional[Dict[str, Tuple[float, float]]] = None,
+    weights_only: bool = False,
 ) -> Tuple[OnnxGraph, QuantizationReport]:
     """Quantize ``g`` (fp32, single data input) into a new OnnxGraph in
     ``fmt`` ('qdq' or 'qoperator'). ``calib_feeds`` yields
     {input name: array} calibration feeds; ``exclude`` names nodes to
     leave float; ``reuse_ranges`` (a prior report's ``.ranges``) skips
-    calibration when it covers every needed tensor. The input graph is
-    not mutated."""
+    calibration when it covers every needed tensor. ``weights_only``
+    (QDQ only) quantizes just the weight initializers — no calibration,
+    no activation Q/DQ — for lossless-er compression when activation
+    quantization noise is unwanted. The input graph is not mutated."""
     if fmt not in ("qdq", "qoperator"):
         raise ValueError(f"unknown quantization format {fmt!r}")
+    if weights_only and fmt != "qdq":
+        raise ValueError("weights_only requires fmt='qdq' (QOperator "
+                         "needs quantized activations)")
     report = QuantizationReport()
     targets = _target_nodes(g, exclude)
     if not targets:
@@ -185,17 +191,20 @@ def quantize_graph(
     # -- choose activation tensors: each target's data input + output;
     # graph outputs stay float (heads keep fp32, the torch-export shape)
     act_names: List[str] = []
-    for node in targets:
-        for t in (node.inputs[0], node.outputs[0]):
-            if (
-                t
-                and t not in g.initializers
-                and t not in graph_outputs
-                and t not in act_names
-            ):
-                act_names.append(t)
-    if reuse_ranges is not None and all(t in reuse_ranges
-                                        for t in act_names):
+    if not weights_only:
+        for node in targets:
+            for t in (node.inputs[0], node.outputs[0]):
+                if (
+                    t
+                    and t not in g.initializers
+                    and t not in graph_outputs
+                    and t not in act_names
+                ):
+                    act_names.append(t)
+    if not act_names:
+        ranges: Dict[str, _Range] = {}
+    elif reuse_ranges is not None and all(t in reuse_ranges
+                                          for t in act_names):
         ranges = {t: _Range(*reuse_ranges[t]) for t in act_names}
     else:
         ranges, report.calibration_samples = _calibrate(

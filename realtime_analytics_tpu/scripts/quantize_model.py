@@ -74,6 +74,12 @@ def _parse_args(argv=None):
         help="comma-separated node names to leave float",
     )
     p.add_argument(
+        "--weights-only", action="store_true",
+        help="QDQ weights-only: quantize just the weight initializers "
+        "(no calibration, no activation Q/DQ) — compression without "
+        "activation quantization noise",
+    )
+    p.add_argument(
         "--check", action="store_true",
         help="after writing, re-read the artifact and report max abs/rel "
         "output difference vs the fp32 graph on one calibration sample",
@@ -177,10 +183,19 @@ def main(argv=None) -> int:
             f"expected exactly one graph input, found {g.inputs}"
         )
     input_name = g.inputs[0]
-    feeds = _load_calib(args, input_name)
+    feeds = [] if args.weights_only else _load_calib(args, input_name)
+    if args.weights_only and not args.input_shape:
+        raise SystemExit("--weights-only still needs --input-shape for "
+                         "the artifact's typed IO (or use --calib)")
     exclude = [s for s in args.exclude.split(",") if s]
-    qg, report = quantize_graph(g, feeds, fmt=args.format, exclude=exclude)
-    sample = np.asarray(feeds[0][input_name])
+    qg, report = quantize_graph(g, feeds, fmt=args.format, exclude=exclude,
+                                weights_only=args.weights_only)
+    if feeds:
+        sample = np.asarray(feeds[0][input_name])
+    else:  # weights-only: one zero sample just for typed IO + --check
+        shape = tuple(int(d) for d in args.input_shape.split(","))
+        sample = np.zeros((1, *shape), dtype=np.float32)
+        feeds = [{input_name: sample}]
     # typed IO for strict ONNX loaders: outputs typed from one evaluated
     # sample (batch axis dynamic, matching the input)
     value_infos = {input_name: (np.float32, ("n",) + sample.shape[1:])}

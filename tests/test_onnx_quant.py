@@ -449,3 +449,157 @@ def test_unsupported_blocked_quantization_raises():
                     {"s": np.ones((2, 2), np.float32)})
     with pytest.raises(Exception, match="blocked quantization"):
         run_graph(g, {"x": x})
+
+
+# ------------------------------------------------- review-fix regressions
+
+
+def test_dynamic_quantize_then_matmul_integer_end_to_end():
+    """The ORT dynamic-quantizer graph shape: DynamicQuantizeLinear
+    feeding MatMulInteger with TRACED scale and zero point — both
+    executors bit-agree, including the f32 scale arithmetic."""
+    rng = np.random.default_rng(51)
+    w = rng.integers(-128, 128, (6, 4), dtype=np.int8)
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode(op_type="DynamicQuantizeLinear", inputs=["x"],
+                     outputs=["xq", "xs", "xzp"]),
+            OnnxNode(op_type="MatMulInteger",
+                     inputs=["xq", "w", "xzp", ""], outputs=["acc"]),
+            OnnxNode(op_type="Cast", inputs=["acc"], outputs=["accf"],
+                     attrs={"to": 1}),
+            OnnxNode(op_type="Mul", inputs=["accf", "xs"], outputs=["y"]),
+        ],
+        initializers={"w": w},
+        inputs=["x"],
+        outputs=["y", "xs", "xzp"],
+    )
+    for seed in range(6):
+        x = np.random.default_rng(seed).standard_normal(
+            (3, 6)).astype(np.float32) * (seed + 0.3)
+        want_y, want_s, want_z = run_graph(g, {"x": x})
+        fn = compile_graph(g)
+        got_y, got_s, got_z = jax.jit(lambda a: fn({"x": a}))(
+            jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(got_s), want_s)
+        np.testing.assert_array_equal(np.asarray(got_z), want_z)
+        np.testing.assert_array_equal(np.asarray(got_y), want_y)
+
+
+def test_dynamic_quantize_then_conv_integer_traced_zp():
+    """ConvInteger with a TRACED x_zero_point (from DynamicQuantizeLinear)
+    — exercises the traced-zp padding and correction-term branches."""
+    rng = np.random.default_rng(53)
+    w = rng.integers(-40, 40, (2, 3, 3, 3), dtype=np.int8)
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode(op_type="DynamicQuantizeLinear", inputs=["x"],
+                     outputs=["xq", "xs", "xzp"]),
+            OnnxNode(op_type="ConvInteger",
+                     inputs=["xq", "w", "xzp"], outputs=["acc"],
+                     attrs={"pads": [1, 1, 1, 1], "strides": [1, 1]}),
+        ],
+        initializers={"w": w},
+        inputs=["x"],
+        outputs=["acc"],
+    )
+    x = rng.standard_normal((1, 3, 6, 6)).astype(np.float32) * 2.0
+    (want,) = run_graph(g, {"x": x})
+    fn = compile_graph(g)
+    (got,) = jax.jit(lambda a: fn({"x": a}))(jnp.asarray(x))
+    assert np.asarray(got).dtype == want.dtype == np.int32
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_matmul_integer_1d_operands():
+    """1-D MatMulInteger operands follow numpy matmul rank semantics in
+    both executors (the jnp path previously crashed on nonzero zps)."""
+    a = np.asarray([10, 200, 30, 77], dtype=np.uint8)
+    b = np.arange(-8, 8, dtype=np.int8).reshape(4, 4)
+    cases = [
+        (["a", "b", "azp", "bzp"], {"a": a, "azp": np.uint8(7),
+                                    "bzp": np.int8(-2)}, (4,)),
+        (["b", "a2", "bzp", "azp"], {"a2": a.astype(np.int8),
+                                     "azp": np.int8(3),
+                                     "bzp": np.int8(1)}, (4,)),
+    ]
+    for inputs, extra, want_shape in cases:
+        inits = {"b": b}
+        inits.update(extra)
+        g = OnnxGraph(
+            nodes=[OnnxNode(op_type="MatMulInteger", inputs=inputs,
+                            outputs=["y"])],
+            initializers=inits, inputs=[], outputs=["y"],
+        )
+        (want,) = run_graph(g, {})
+        assert want.shape == want_shape
+        fn = compile_graph(g)
+        (got,) = jax.jit(lambda: fn({}))()
+        assert np.asarray(got).shape == want.shape
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_qlinear_requant_wraps_int32_like_device():
+    """QLinearMatMul accumulators past 2^31 wrap to int32 in BOTH
+    executors (the numpy oracle previously requantized from unwrapped
+    int64, diverging from the device exactly where exactness docs
+    claimed)."""
+    k = 70000
+    a = np.full((1, k), 255, dtype=np.uint8)
+    b = np.full((k, 1), -128, dtype=np.int8)
+    # acc = 255*-128*70000 = -2.2848e9 < -2^31: wraps positive in int32
+    g = OnnxGraph(
+        nodes=[OnnxNode(
+            op_type="QLinearMatMul",
+            inputs=["a", "as_", "azp", "b", "bs", "bzp", "ys", "yzp"],
+            outputs=["y"])],
+        initializers={
+            "a": a, "as_": np.float32(1.0), "azp": np.uint8(0),
+            "b": b, "bs": np.float32(1.0), "bzp": np.int8(0),
+            "ys": np.float32(2.0e7), "yzp": np.uint8(128),
+        },
+        inputs=[], outputs=["y"],
+    )
+    (want,) = run_graph(g, {})
+    fn = compile_graph(g)
+    (got,) = jax.jit(lambda: fn({}))()
+    np.testing.assert_array_equal(np.asarray(got), want)
+    # and the wrapped value is the int32 one: -2284800000 + 2^32 > 0
+    wrapped = np.int64(-255 * 128 * k) + (1 << 32)
+    expect = np.clip(np.rint(np.float32(wrapped) * np.float32(1 / 2.0e7))
+                     + 128, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(want, expect.reshape(want.shape))
+
+
+def test_bf16_policy_keeps_quant_scales_fp32(tmp_path):
+    """Under graph_precision: bf16 the engine's param cast must NOT
+    truncate quantization scales to bf16 — the grid is the model's
+    numerics. Weights still ride bf16/int8."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_onnx_graph_serving import HW, _engine_for
+
+    m = _QdqForeignDetector(HW, 6).eval()
+    path = tmp_path / "qdq_det.onnx"
+    _export(m, torch.rand(1, 3, *HW), str(path),
+            dynamic_axes={"x": {0: "n"}})
+    eng = _engine_for(str(path), graph_precision="bf16")
+    scale_names = eng.model.fp32_param_names
+    assert scale_names, "expected quant scales riding as runtime params"
+    f32 = bf16 = 0
+    for k, v in eng.params.items():
+        dt = jnp.asarray(v).dtype
+        if k in scale_names:
+            assert dt == jnp.float32, (k, dt)
+            f32 += 1
+        elif jnp.issubdtype(dt, jnp.floating):
+            assert dt == jnp.bfloat16, (k, dt)
+            bf16 += 1
+    assert f32 >= 1 and bf16 >= 1
+    # and serving still agrees with the fp32-served engine on detections
+    e32 = _engine_for(str(path))
+    rng = np.random.default_rng(61)
+    frames = rng.integers(0, 256, (2, *HW, 3), dtype=np.uint8)
+    a = e32.predict_arrays(frames)
+    bq = eng.predict_arrays(frames)
+    np.testing.assert_array_equal(a.num_valid, bq.num_valid)

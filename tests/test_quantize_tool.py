@@ -692,3 +692,34 @@ def test_cli_writes_typed_outputs(tmp_path):
     (y,) = run_graph(g2, {g2.inputs[0]: x})
     assert y.shape == (1, 10)
     assert len(raw) > 0
+
+
+def test_weights_only_mode(tmp_path):
+    """weights_only=True quantizes just the weight initializers: no
+    calibration, no activation Q/DQ; output differs from fp32 only by
+    weight rounding (tight bound)."""
+    from realtime_analytics_tpu.scripts.quantize_model import main
+
+    _, g = _small_graph(tmp_path)
+    qg, rep = quantize_graph(g, [], fmt="qdq", weights_only=True)
+    assert rep.calibration_samples == 0
+    assert rep.activations_quantized == []
+    assert len(rep.weights_quantized) == 3
+    ops = [n.op_type for n in qg.nodes]
+    assert "QuantizeLinear" not in ops  # only weight DQs
+    assert ops.count("DequantizeLinear") == 3
+    x = np.random.default_rng(19).random((2, 3, 16, 16), dtype=np.float32)
+    (want,) = run_graph(g, {g.inputs[0]: x})
+    (got,) = run_graph(qg, {qg.inputs[0]: x})
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.02, rel  # weight rounding only — much tighter than PTQ
+    with pytest.raises(ValueError, match="weights_only requires"):
+        quantize_graph(g, [], fmt="qoperator", weights_only=True)
+
+    out = str(tmp_path / "wq.onnx")
+    rc = main(["--model", str(tmp_path / "small.onnx"), "--out", out,
+               "--weights-only", "--input-shape", "3,16,16", "--check"])
+    assert rc == 0
+    g2 = read_onnx_model(out)
+    assert any(np.asarray(v).dtype == np.int8
+               for v in g2.initializers.values())
