@@ -387,21 +387,7 @@ class JaxYoloEngine(BaseDetector):
             out = self.model.apply(
                 fold_stem(params), x, reduce_scores=True, s2d=use_s2d
             )
-            boxes = out["boxes_xyxy"].astype(jnp.float32)
-            conf = out["conf"]
-            cls = out["cls"]
-            if self._class_mask is not None:
-                conf = jnp.where(self._class_mask[cls], conf, 0.0)
-            conf = jnp.where(conf >= cfg.confidence_threshold, conf, 0.0)
-            b, s, c, n = batched_nms(
-                boxes, conf, cls,
-                iou_threshold=cfg.iou_threshold,
-                max_det=cfg.max_detections,
-                pre_topk=min(cfg.pre_nms_topk, boxes.shape[1]),
-                class_agnostic=self.class_agnostic_nms,
-                gather_impl=nms_gather,
-                mesh=self.mesh,
-            )
+            b, s, c, n = self._final_select(out, cfg, nms_gather)
             b = unletterbox_boxes(
                 b, spec.scale, spec.pad_left, spec.pad_top, spec.src_h,
                 spec.src_w,
@@ -429,6 +415,43 @@ class JaxYoloEngine(BaseDetector):
             and self.mesh is None
             and self.config.precision != "int8"
             and batch <= 32
+        )
+
+    def _final_select(self, out, cfg, nms_gather):
+        """Model output -> padded per-image (boxes, scores, classes,
+        num_valid). Native models and raw-matrix graph exports go through
+        the engine's batched NMS; end-to-end graph exports (graph-embedded
+        NonMaxSuppression — the ORT-backend capability of serving a torch
+        export WITH its postprocessing, reference detector.py:484-609)
+        already selected their boxes with the export's own per-class NMS —
+        re-running the engine's class-agnostic NMS would cross-suppress
+        boxes the export keeps, so those take a pure confidence top-k."""
+        boxes = out["boxes_xyxy"].astype(jnp.float32)
+        conf = out["conf"]
+        cls = out["cls"]
+        if self._class_mask is not None:
+            conf = jnp.where(self._class_mask[cls], conf, 0.0)
+        conf = jnp.where(conf >= cfg.confidence_threshold, conf, 0.0)
+        if getattr(self.model, "end2end", False):
+            k = min(cfg.max_detections, conf.shape[1])
+            s, idx = jax.lax.top_k(conf, k)
+            b = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+            c = jnp.take_along_axis(cls, idx, axis=1)
+            n = jnp.sum(s > 0, axis=1).astype(jnp.int32)
+            if k < cfg.max_detections:  # keep the engine's fixed width
+                pad = cfg.max_detections - k
+                b = jnp.pad(b, ((0, 0), (0, pad), (0, 0)))
+                s = jnp.pad(s, ((0, 0), (0, pad)))
+                c = jnp.pad(c, ((0, 0), (0, pad)))
+            return b, s, c, n
+        return batched_nms(
+            boxes, conf, cls,
+            iou_threshold=cfg.iou_threshold,
+            max_det=cfg.max_detections,
+            pre_topk=min(cfg.pre_nms_topk, boxes.shape[1]),
+            class_agnostic=self.class_agnostic_nms,
+            gather_impl=nms_gather,
+            mesh=self.mesh,
         )
 
     def _nms_gather_impl(self) -> str:
@@ -506,23 +529,7 @@ class JaxYoloEngine(BaseDetector):
                     layout="NHWC",
                 )
             out = self.model.apply(params, x, reduce_scores=True, s2d=use_s2d)
-            boxes = out["boxes_xyxy"].astype(jnp.float32)
-            conf = out["conf"]
-            cls = out["cls"]
-            if self._class_mask is not None:
-                conf = jnp.where(self._class_mask[cls], conf, 0.0)
-            conf = jnp.where(conf >= cfg.confidence_threshold, conf, 0.0)
-            b, s, c, n = batched_nms(
-                boxes,
-                conf,
-                cls,
-                iou_threshold=cfg.iou_threshold,
-                max_det=cfg.max_detections,
-                pre_topk=min(cfg.pre_nms_topk, boxes.shape[1]),
-                class_agnostic=self.class_agnostic_nms,
-                gather_impl=nms_gather,
-                mesh=self.mesh,
-            )
+            b, s, c, n = self._final_select(out, cfg, nms_gather)
             b = unletterbox_boxes(
                 b, spec.scale, spec.pad_left, spec.pad_top, spec.src_h, spec.src_w
             )

@@ -1053,7 +1053,92 @@ def _eval_node(node: OnnxNode, values: Dict[str, np.ndarray]) -> None:
         put(_requant(acc, mul,
                      int(_qscalar(y_zp, "y_zero_point")) if y_zp is not None
                      else 0, qdt))
+    elif op == "NonMaxSuppression":
+        # End-to-end detection exports embed NMS in the graph (the
+        # reference's ORT backend executes such files as-is,
+        # detector.py:484-609). Semantics follow ONNX Runtime: greedy
+        # per-(batch, class) selection in score order, suppress when
+        # IoU > iou_threshold, keep only score > score_threshold when one
+        # is provided; output rows [batch, class, box] ordered by
+        # (batch, class, selection order).
+        boxes, scores = np.asarray(ins[0]), np.asarray(ins[1])
+        max_out = int(np.asarray(ins[2]).item()) \
+            if len(ins) > 2 and ins[2] is not None else 0
+        iou_thr = float(np.asarray(ins[3]).item()) \
+            if len(ins) > 3 and ins[3] is not None else 0.0
+        score_thr = float(np.asarray(ins[4]).item()) \
+            if len(ins) > 4 and ins[4] is not None else None
+        put(_nms_select(boxes, scores, max_out, iou_thr, score_thr,
+                        int(_attr(node, "center_point_box", 0))))
+    elif op == "ScatterND":
+        data, indices, updates = (np.asarray(v) for v in ins[:3])
+        reduction = _attr(node, "reduction", "none") or "none"
+        out = data.copy()
+        k = indices.shape[-1]
+        idx = indices.reshape(-1, k).astype(np.int64)
+        upd = updates.reshape(-1, *data.shape[k:])
+        for row, u in zip(idx, upd):
+            key = tuple(row)
+            if reduction == "add":
+                out[key] = out[key] + u
+            elif reduction == "mul":
+                out[key] = out[key] * u
+            elif reduction == "min":
+                out[key] = np.minimum(out[key], u)
+            elif reduction == "max":
+                out[key] = np.maximum(out[key], u)
+            else:  # "none": later updates win (ONNX processing order)
+                out[key] = u
+        put(out)
     else:
         raise UnsupportedOnnxOp(
             f"op '{op}' (node '{node.name}') is outside the supported set"
         )
+
+
+def _nms_corners(boxes: np.ndarray, center_point_box: int) -> np.ndarray:
+    """Canonical corners [lo1, lo2, hi1, hi2] per box. center_point_box=1
+    is [x_c, y_c, w, h]; 0 is corner pairs supplied in either diagonal
+    order (the spec allows flipped corners — normalize with min/max, IoU
+    is invariant to the axis naming)."""
+    b = boxes.astype(np.float32)
+    if center_point_box:
+        half = b[..., 2:] * 0.5
+        return np.concatenate([b[..., :2] - half, b[..., :2] + half],
+                              axis=-1)
+    lo = np.minimum(b[..., :2], b[..., 2:])
+    hi = np.maximum(b[..., :2], b[..., 2:])
+    return np.concatenate([lo, hi], axis=-1)
+
+
+def _nms_select(boxes, scores, max_out, iou_thr, score_thr,
+                center_point_box) -> np.ndarray:
+    """Greedy NMS over [B, nb, 4] boxes / [B, C, nb] scores ->
+    [num_selected, 3] int64 (batch, class, box) rows."""
+    corners = _nms_corners(boxes, center_point_box)
+    area = np.prod(np.maximum(corners[..., 2:] - corners[..., :2], 0.0),
+                   axis=-1)
+    rows = []
+    for b in range(scores.shape[0]):
+        for c in range(scores.shape[1]):
+            sc = scores[b, c].astype(np.float32)
+            cand = np.argsort(-sc, kind="stable")
+            if score_thr is not None:
+                cand = cand[sc[cand] > score_thr]
+            picked: List[int] = []
+            for i in cand:
+                if len(picked) >= max_out:
+                    break
+                if picked:
+                    p = np.asarray(picked)
+                    lo = np.maximum(corners[b, i, :2], corners[b, p, :2])
+                    hi = np.minimum(corners[b, i, 2:], corners[b, p, 2:])
+                    inter = np.prod(np.maximum(hi - lo, 0.0), axis=-1)
+                    union = area[b, i] + area[b, p] - inter
+                    iou = np.where(union > 0, inter / np.maximum(union, 1e-12),
+                                   0.0)
+                    if np.any(iou > iou_thr):
+                        continue
+                picked.append(int(i))
+            rows.extend((b, c, i) for i in picked)
+    return np.asarray(rows, dtype=np.int64).reshape(-1, 3)

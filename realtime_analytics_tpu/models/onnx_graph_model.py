@@ -321,6 +321,82 @@ class OnnxGraphYolo(OnnxGraphModel):
         self.model_type = model_type
         self.input_hw = tuple(int(v) for v in input_hw)
         super().__init__(graph, (3, *input_hw), compute_dtype=compute_dtype)
+        self._init_end2end()
+
+    def _init_end2end(self) -> None:
+        """End-to-end exports embed NMS in the graph (torch detection
+        models exported with their postprocessing; the reference's ORT
+        backend executes such files as-is). Supported shape: the NMS
+        node's ``selected_indices`` is a graph output — the adapter then
+        gathers final boxes/scores from the NMS node's own inputs on
+        device and the engine skips its internal NMS (``end2end``
+        attribute). Gather glue AFTER the NMS node would consume the
+        padded static rows (onnx_jax._nms_padded_j) as if they were
+        dense — rejected loudly instead of mis-serving."""
+        self.end2end = False
+        nms_nodes = [n for n in self.graph.nodes
+                     if n.op_type == "NonMaxSuppression"]
+        if not nms_nodes:
+            return
+        terminal = [n for n in nms_nodes
+                    if n.outputs[0] in self.graph.outputs]
+        if not terminal:
+            raise UnsupportedOnnxOp(
+                "NonMaxSuppression feeds further graph nodes — on TPU its "
+                "output is statically padded, so post-NMS gather glue "
+                "would read pad rows; re-export with selected_indices as "
+                "a graph output (torchvision-style) to serve this file"
+            )
+        nms = terminal[0]
+        self.end2end = True
+        self._nms_center = int(nms.attrs.get("center_point_box", 0))
+        # boxes / scores as the NMS node saw them — the export's own
+        # decoded, pixel-space tensors
+        self._fn_e2e = compile_graph(
+            self.graph,
+            outputs=[nms.outputs[0], nms.inputs[0], nms.inputs[1]],
+        )
+        logger.info(
+            "ONNX graph model: end-to-end export (graph-embedded NMS, "
+            "center_point_box=%d) — engine NMS will be skipped",
+            self._nms_center,
+        )
+
+    def _apply_end2end(self, params, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """x: [N, H, W, 3] -> final per-image detections, padded to the
+        graph's static NMS bound; pad rows carry conf 0. Boxes follow the
+        torch export convention for center_point_box=0 (xyxy corners,
+        either diagonal order — normalized here); center_point_box=1
+        converts from [x_c, y_c, w, h]."""
+        xg = jnp.transpose(x.astype(self.compute_dtype), (0, 3, 1, 2))
+
+        def per_example(xi):
+            with graph_compute_dtype(self.compute_dtype):
+                sel, bxs, scs = self._fn_e2e(
+                    {self.input_name: xi[None], **params}
+                )
+            box_i, cls_i = sel[:, 2], sel[:, 1]
+            valid = box_i >= 0
+            bi = jnp.maximum(box_i, 0)
+            ci = jnp.maximum(cls_i, 0)
+            b = jnp.asarray(bxs)[0].astype(jnp.float32)[bi]
+            if self._nms_center:
+                half = b[:, 2:] * 0.5
+                b = jnp.concatenate([b[:, :2] - half, b[:, :2] + half],
+                                    axis=-1)
+            else:
+                lo = jnp.minimum(b[:, :2], b[:, 2:])
+                hi = jnp.maximum(b[:, :2], b[:, 2:])
+                b = jnp.concatenate([lo, hi], axis=-1)
+            s = jnp.asarray(scs)[0].astype(jnp.float32)[ci, bi]
+            return (
+                b * valid[:, None],
+                s * valid,
+                ci.astype(jnp.int32),
+            )
+
+        b, s, c = jax.vmap(per_example)(xg)
+        return {"boxes_xyxy": b, "conf": s, "cls": c}
 
     def _expected_anchors(self) -> int:
         """Anchor count of a standard 3-level (stride 8/16/32) head at this
@@ -335,6 +411,8 @@ class OnnxGraphYolo(OnnxGraphModel):
         """x: [N, H, W, 3] RGB in [0, 1] (the engines' device preprocess
         output). ``s2d`` is a native-backbone layout transform — a foreign
         graph defines its own layout, so it is accepted and ignored."""
+        if self.end2end:
+            return self._apply_end2end(params, x)
         pred = self.run(params, jnp.transpose(
             x.astype(self.compute_dtype), (0, 3, 1, 2)
         ))[0].astype(jnp.float32)

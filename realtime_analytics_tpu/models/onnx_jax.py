@@ -602,6 +602,79 @@ def _conv_int_j(node, x, w, xzp, wzp):
     return acc
 
 
+def _nms_padded_j(node, boxes, scores, max_out, iou_thr, score_thr):
+    """Static-shape twin of onnx_exec._nms_select (graph-embedded NMS of
+    end-to-end detection exports, reference detector.py:484-609 executes
+    these files as-is through ORT).
+
+    ONNX NonMaxSuppression is dynamically shaped ([num_selected, 3]); a
+    jitted TPU program cannot be. Contract here: output is the PADDED
+    ``[B * C * max_out, 3]`` int32 row set where invalid rows are
+    ``[-1, -1, -1]``; dropping pad rows yields exactly the oracle's rows
+    in the oracle's (batch, class, score-desc) order — pads sit at each
+    (batch, class) group's tail. ``OnnxGraphYolo`` consumes this with a
+    validity mask; foreign glue that takes ``Shape`` of the NMS output
+    sees the padded bound (documented in docs/models.md)."""
+    boxes = _f32(jnp.asarray(boxes))
+    scores = _f32(jnp.asarray(scores))
+    B, nb = boxes.shape[0], boxes.shape[1]
+    C = scores.shape[1]
+    k = int(min(max_out, nb))
+    if k <= 0:  # spec: max_output_boxes_per_class defaults to 0 = no rows
+        return jnp.zeros((0, 3), jnp.int32)
+    if int(_attr(node, "center_point_box", 0)):
+        half = boxes[..., 2:] * 0.5
+        corners = jnp.concatenate(
+            [boxes[..., :2] - half, boxes[..., :2] + half], axis=-1
+        )
+    else:
+        # corner pairs in either diagonal order (spec allows flips)
+        lo = jnp.minimum(boxes[..., :2], boxes[..., 2:])
+        hi = jnp.maximum(boxes[..., :2], boxes[..., 2:])
+        corners = jnp.concatenate([lo, hi], axis=-1)
+    area = (corners[..., 2] - corners[..., 0]) \
+        * (corners[..., 3] - corners[..., 1])
+
+    def one(cor, ar, sc):  # [nb, 4], [nb], [nb] -> [k] picks (-1 pad)
+        alive = jnp.ones((nb,), bool) if score_thr is None \
+            else sc > score_thr
+        ninf = jnp.float32(-jnp.inf)
+
+        def body(alive, _):
+            masked = jnp.where(alive, sc, ninf)
+            i = jnp.argmax(masked)  # ties -> lowest index, like the
+            ok = masked[i] > ninf   # oracle's stable argsort / ORT
+            lo = jnp.maximum(cor[i, :2], cor[:, :2])
+            hi = jnp.minimum(cor[i, 2:], cor[:, 2:])
+            inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
+            union = ar[i] + ar - inter
+            iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12),
+                            0.0)
+            alive = alive & ~(iou > iou_thr)
+            alive = alive.at[i].set(False)  # zero-area self-IoU guard
+            return alive, jnp.where(ok, i.astype(jnp.int32), -1)
+
+        _, picks = lax.scan(body, alive, None, length=k)
+        return picks
+
+    picks = jax.vmap(  # batch
+        lambda cor, ar, sc_bc: jax.vmap(
+            lambda s: one(cor, ar, s)
+        )(sc_bc)
+    )(corners, area, scores)  # [B, C, k]
+    valid = picks >= 0
+    b_idx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None, None], (B, C, k))
+    c_idx = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[None, :, None], (B, C, k))
+    rows = jnp.stack([
+        jnp.where(valid, b_idx, -1),
+        jnp.where(valid, c_idx, -1),
+        picks,
+    ], axis=-1)
+    return rows.reshape(B * C * k, 3)
+
+
 def _requant_j(acc, mul, yzp, qdt):
     """jnp twin of ``onnx_exec._requant``: int32 accumulator -> quantized
     output via ``saturate(rint(acc * mul) + y_zp)`` in float32."""
@@ -1086,6 +1159,39 @@ def _eval_node_jax(node: OnnxNode, values: Dict[str, object]) -> None:
                * jnp.asarray(b_s).astype(jnp.float32).reshape(())
                / jnp.asarray(y_s).astype(jnp.float32).reshape(()))
         put(_requant_j(acc, mul, y_zp, _qdt(y_zp)))
+    elif op == "NonMaxSuppression":
+        max_out = int(np.asarray(need_static(
+            ins[2], "max_output_boxes_per_class"
+        )).item()) if len(ins) > 2 and ins[2] is not None else 0
+        iou_thr = ins[3] if len(ins) > 3 and ins[3] is not None else 0.0
+        score_thr = ins[4] if len(ins) > 4 and ins[4] is not None else None
+        iou_thr = jnp.asarray(iou_thr, jnp.float32).reshape(())
+        if score_thr is not None:
+            score_thr = jnp.asarray(score_thr, jnp.float32).reshape(())
+        put(_nms_padded_j(node, ins[0], ins[1], max_out, iou_thr,
+                          score_thr))
+    elif op == "ScatterND":
+        data = jnp.asarray(ins[0])
+        indices = jnp.asarray(ins[1]).astype(jnp.int32)
+        updates = jnp.asarray(ins[2]).astype(data.dtype)
+        reduction = _attr(node, "reduction", "none") or "none"
+        ref = data.at[tuple(jnp.moveaxis(indices, -1, 0))]
+        put({
+            "none": ref.set, "add": ref.add, "mul": ref.multiply,
+            "min": ref.min, "max": ref.max,
+        }[reduction](updates))
+    elif op == "ConstantOfShape":
+        # shape machinery: must fold (twin of the onnx_exec branch; only
+        # reached traced when a traced tensor leaked into the shape)
+        shape = [int(s) for s in need_static(ins[0], "shape")]
+        v = _attr(node, "value")
+        fill = v.reshape(-1)[0] if v is not None else np.float32(0)
+        put(np.full(shape, fill))
+    elif op == "Range":
+        s, l_, d = (np.asarray(need_static(v, "Range bounds"))
+                    for v in ins[:3])
+        put(np.arange(s.item(), l_.item(), d.item(),
+                      dtype=np.result_type(s, l_, d)))
     else:
         raise UnsupportedOnnxOp(
             f"op '{op}' (node '{node.name}') is outside the supported set"
