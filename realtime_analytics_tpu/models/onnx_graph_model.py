@@ -338,14 +338,35 @@ class OnnxGraphYolo(OnnxGraphModel):
                      if n.op_type == "NonMaxSuppression"]
         if not nms_nodes:
             return
+        # ANY NMS output consumed by another node means post-NMS glue —
+        # on TPU that glue would read _nms_padded_j's padded [-1,-1,-1]
+        # rows as dense rows and mis-serve silently. Reject even when a
+        # different NMS node in the same graph happens to be terminal.
+        consumed = {i for n in self.graph.nodes for i in n.inputs if i}
+        fed = [n for n in nms_nodes
+               if any(o and o in consumed for o in n.outputs)]
+        if fed:
+            raise UnsupportedOnnxOp(
+                "NonMaxSuppression output feeds further graph nodes — on "
+                "TPU its output is statically padded, so post-NMS gather "
+                "glue would read pad rows; re-export with "
+                "selected_indices as a graph output (torchvision-style) "
+                "to serve this file"
+            )
         terminal = [n for n in nms_nodes
                     if n.outputs[0] in self.graph.outputs]
         if not terminal:
             raise UnsupportedOnnxOp(
-                "NonMaxSuppression feeds further graph nodes — on TPU its "
-                "output is statically padded, so post-NMS gather glue "
-                "would read pad rows; re-export with selected_indices as "
-                "a graph output (torchvision-style) to serve this file"
+                "NonMaxSuppression node is dead (output neither a graph "
+                "output nor consumed) — re-export with selected_indices "
+                "as a graph output (torchvision-style) to serve this file"
+            )
+        if len(terminal) > 1:
+            raise UnsupportedOnnxOp(
+                f"{len(terminal)} terminal NonMaxSuppression nodes — the "
+                "adapter can serve exactly one detection head; re-export "
+                "with a single NMS whose selected_indices is the graph "
+                "output"
             )
         nms = terminal[0]
         self.end2end = True

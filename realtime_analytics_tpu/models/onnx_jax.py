@@ -622,6 +622,19 @@ def _nms_padded_j(node, boxes, scores, max_out, iou_thr, score_thr):
     k = int(min(max_out, nb))
     if k <= 0:  # spec: max_output_boxes_per_class defaults to 0 = no rows
         return jnp.zeros((0, 3), jnp.int32)
+    if C * k > 65536:
+        # torch exports commonly set max_output_boxes_per_class to a huge
+        # bound; the static-shape TPU twin then compiles a sequential
+        # O(C * k * nb) scan with a [B*C*k, 3] padded output (e.g. an
+        # 8400-anchor 80-class export is a multi-gigaop serial program
+        # per image). Surface it rather than silently compiling forever.
+        logger.warning(
+            "NonMaxSuppression: classes (%d) x max_output_boxes_per_class "
+            "(%d) = %d padded rows per image — the static-shape TPU "
+            "lowering is a serial scan over that bound and will compile/"
+            "run very slowly; re-export with a realistic "
+            "max_output_boxes_per_class (e.g. 100-300)", C, k, C * k,
+        )
     if int(_attr(node, "center_point_box", 0)):
         half = boxes[..., 2:] * 0.5
         corners = jnp.concatenate(
@@ -632,8 +645,10 @@ def _nms_padded_j(node, boxes, scores, max_out, iou_thr, score_thr):
         lo = jnp.minimum(boxes[..., :2], boxes[..., 2:])
         hi = jnp.maximum(boxes[..., :2], boxes[..., 2:])
         corners = jnp.concatenate([lo, hi], axis=-1)
-    area = (corners[..., 2] - corners[..., 0]) \
-        * (corners[..., 3] - corners[..., 1])
+    # clamp like the oracle (_nms_corners uses max(hi-lo, 0)): degenerate
+    # center_point_box=1 boxes with negative w/h must not flip IoU sign
+    area = jnp.prod(
+        jnp.maximum(corners[..., 2:] - corners[..., :2], 0.0), axis=-1)
 
     def one(cor, ar, sc):  # [nb, 4], [nb], [nb] -> [k] picks (-1 pad)
         alive = jnp.ones((nb,), bool) if score_thr is None \

@@ -457,3 +457,136 @@ def test_fuzz_quantized_graphs(seed):
         g2 = read_onnx_model(p)
         (got2,) = run_graph(g2, {"x": x})
         np.testing.assert_array_equal(want_q, got2, err_msg=ctx)
+
+
+# ---------------------------------------------------------------------------
+# round-5 ops (advisor ask): NonMaxSuppression / ScatterND /
+# ConstantOfShape / Range twin parity. The NMS twins have different output
+# contracts by design (oracle: dense [num_selected, 3]; TPU: statically
+# padded [B*C*k, 3] with [-1,-1,-1] pad rows at each group tail) — parity
+# is "dropping pad rows yields exactly the oracle's rows in order".
+
+
+def _drop_nms_pad(rows):
+    rows = np.asarray(rows)
+    return rows[rows[:, 0] >= 0]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_nms_twins_agree(seed):
+    rng = np.random.default_rng(1000 + seed)
+    B = int(rng.integers(1, 3))
+    nb = int(rng.integers(4, 24))
+    C = int(rng.integers(1, 4))
+    center = int(rng.integers(2))
+    if center:
+        # [x_c, y_c, w, h]; includes NEGATIVE w/h degenerates — the
+        # area-clamp case (advisor low #3)
+        boxes = np.concatenate(
+            [rng.uniform(0, 10, (B, nb, 2)),
+             rng.uniform(-1.5, 6, (B, nb, 2))], axis=-1
+        ).astype(np.float32)
+    else:
+        # corner pairs in random diagonal order (spec allows flips)
+        boxes = rng.uniform(0, 10, (B, nb, 4)).astype(np.float32)
+    scores = rng.uniform(0, 1, (B, C, nb)).astype(np.float32)
+    max_out = int(rng.integers(1, nb + 2))
+    iou_thr = float(rng.uniform(0.2, 0.8))
+    score_thr = None if rng.integers(2) else float(rng.uniform(0.1, 0.5))
+    inits = {"mo": np.array([max_out], np.int64),
+             "it": np.array([iou_thr], np.float32)}
+    nms_in = ["boxes", "scores", "mo", "it"]
+    if score_thr is not None:
+        inits["st"] = np.array([score_thr], np.float32)
+        nms_in.append("st")
+    g = OnnxGraph(
+        nodes=[OnnxNode("NonMaxSuppression", inputs=nms_in,
+                        outputs=["sel"],
+                        attrs={"center_point_box": center})],
+        initializers=inits, inputs=["boxes", "scores"], outputs=["sel"],
+    )
+    (want,) = run_graph(g, {"boxes": boxes, "scores": scores})
+    fn = compile_graph(g)
+    (got,) = jax.jit(lambda b, s: fn({"boxes": b, "scores": s}))(
+        jnp.asarray(boxes), jnp.asarray(scores))
+    np.testing.assert_array_equal(
+        _drop_nms_pad(got), np.asarray(want),
+        err_msg=f"NMS twins diverge on fuzz seed {seed} "
+                f"(center={center}, max_out={max_out}, iou={iou_thr}, "
+                f"score_thr={score_thr})",
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_scatternd_twins_agree(seed):
+    rng = np.random.default_rng(2000 + seed)
+    r = int(rng.integers(1, 4))
+    shape = tuple(int(rng.integers(2, 6)) for _ in range(r))
+    k = int(rng.integers(1, r + 1))
+    reduction = ["none", "add", "mul", "min", "max"][int(rng.integers(5))]
+    # unique index tuples: XLA scatter-set with duplicate indices is
+    # unspecified (the oracle defines later-update-wins; don't test UB)
+    grid = np.stack(np.meshgrid(
+        *[np.arange(s) for s in shape[:k]], indexing="ij"
+    ), axis=-1).reshape(-1, k)
+    n_upd = int(rng.integers(1, min(6, len(grid)) + 1))
+    sel = rng.choice(len(grid), size=n_upd, replace=False)
+    indices = grid[sel].astype(np.int64)
+    data = rng.standard_normal(shape).astype(np.float32)
+    updates = rng.standard_normal(
+        (n_upd, *shape[k:])).astype(np.float32)
+    attrs = {} if reduction == "none" else {"reduction": reduction}
+    g = OnnxGraph(
+        nodes=[OnnxNode("ScatterND", inputs=["data", "idx", "upd"],
+                        outputs=["y"], attrs=attrs)],
+        initializers={"idx": indices, "upd": updates},
+        inputs=["data"], outputs=["y"],
+    )
+    (want,) = run_graph(g, {"data": data})
+    fn = compile_graph(g)
+    (got,) = jax.jit(lambda d: fn({"data": d}))(jnp.asarray(data))
+    np.testing.assert_allclose(
+        np.asarray(got), want, atol=1e-5, rtol=1e-5,
+        err_msg=f"ScatterND twins diverge on fuzz seed {seed} "
+                f"(shape={shape}, k={k}, reduction={reduction})",
+    )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_constantofshape_range_twins_agree(seed):
+    """Range / ConstantOfShape are shape machinery: they constant-fold at
+    trace time on the jitted side. Compose them with a traced tensor so
+    the folded constants enter the compiled program and both executors
+    must agree end to end."""
+    rng = np.random.default_rng(3000 + seed)
+    n = int(rng.integers(2, 5))
+    m = int(rng.integers(2, 6))
+    x = rng.standard_normal((n, m)).astype(np.float32)
+    start = int(rng.integers(-3, 3))
+    delta = int(rng.integers(1, 3))
+    fill = float(rng.uniform(-2, 2))
+    g = OnnxGraph(
+        nodes=[
+            OnnxNode("Range", inputs=["rs", "rl", "rd"], outputs=["r"]),
+            OnnxNode("Cast", inputs=["r"], outputs=["rf"],
+                     attrs={"to": 1}),  # 1 = FLOAT
+            OnnxNode("ConstantOfShape", inputs=["shp"], outputs=["cs"],
+                     attrs={"value": np.array([fill], np.float32)}),
+            OnnxNode("Add", inputs=["x", "rf"], outputs=["xr"]),
+            OnnxNode("Mul", inputs=["xr", "cs"], outputs=["y"]),
+        ],
+        initializers={
+            "rs": np.array(start, np.int64),
+            "rl": np.array(start + delta * m, np.int64),
+            "rd": np.array(delta, np.int64),
+            "shp": np.array([n, m], np.int64),
+        },
+        inputs=["x"], outputs=["y"],
+    )
+    (want,) = run_graph(g, {"x": x})
+    fn = compile_graph(g)
+    (got,) = jax.jit(lambda a: fn({"x": a}))(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got), want, atol=1e-5, rtol=1e-5,
+        err_msg=f"Range/ConstantOfShape twins diverge on fuzz seed {seed}",
+    )

@@ -697,3 +697,162 @@ def test_orientation_matches_anchor_count(monkeypatch, tmp_path):
     )
     assert np.all(np.asarray(out["cls"]) == 7)
     np.testing.assert_allclose(np.asarray(out["conf"]), 0.9, atol=1e-6)
+
+
+# --------------------------------------------------------------- end2end NMS
+
+
+from realtime_analytics_tpu.models.onnx_exec import (  # noqa: E402
+    UnsupportedOnnxOp,
+    run_graph as _run_graph_oracle,
+)
+from realtime_analytics_tpu.models.onnx_graph_model import (  # noqa: E402
+    OnnxGraphYolo,
+)
+from realtime_analytics_tpu.models.onnx_lite import (  # noqa: E402
+    OnnxGraph,
+    OnnxNode,
+    write_onnx_model,
+)
+
+
+def _embedded_nms_graph(rng, nc=3, max_out=5):
+    """Tiny end-to-end detection graph: conv stem -> box/score heads ->
+    graph-embedded NonMaxSuppression whose selected_indices is the graph
+    output (torchvision-style export shape). 64x64 input, stride-8 head,
+    64 anchors."""
+    w0 = rng.standard_normal((16, 3, 8, 8)).astype(np.float32) * 0.2
+    b0 = rng.standard_normal(16).astype(np.float32) * 0.1
+    wb = rng.standard_normal((4, 16, 1, 1)).astype(np.float32) * 0.5
+    bb = rng.standard_normal(4).astype(np.float32) * 0.2
+    ws = rng.standard_normal((nc, 16, 1, 1)).astype(np.float32) * 0.5
+    bs = rng.standard_normal(nc).astype(np.float32) * 0.2
+    nodes = [
+        OnnxNode("Conv", inputs=["x", "w0", "b0"], outputs=["f0"],
+                 attrs={"strides": [8, 8], "pads": [0, 0, 0, 0]}),
+        OnnxNode("Relu", inputs=["f0"], outputs=["f"]),
+        OnnxNode("Conv", inputs=["f", "wb", "bb"], outputs=["bh"]),
+        OnnxNode("Reshape", inputs=["bh", "tb"], outputs=["bh3"]),
+        OnnxNode("Transpose", inputs=["bh3"], outputs=["bht"],
+                 attrs={"perm": [0, 2, 1]}),
+        OnnxNode("Sigmoid", inputs=["bht"], outputs=["bsig"]),
+        OnnxNode("Mul", inputs=["bsig", "scale"], outputs=["boxes"]),
+        OnnxNode("Conv", inputs=["f", "ws", "bs"], outputs=["sh"]),
+        OnnxNode("Reshape", inputs=["sh", "ts"], outputs=["sh3"]),
+        OnnxNode("Sigmoid", inputs=["sh3"], outputs=["scores"]),
+        OnnxNode("NonMaxSuppression",
+                 inputs=["boxes", "scores", "mo", "it", "st"],
+                 outputs=["sel"]),
+    ]
+    inits = {
+        "w0": w0, "b0": b0, "wb": wb, "bb": bb, "ws": ws, "bs": bs,
+        "tb": np.array([1, 4, 64], np.int64),
+        "ts": np.array([1, nc, 64], np.int64),
+        "scale": np.array(60.0, np.float32),
+        "mo": np.array([max_out], np.int64),
+        "it": np.array([0.5], np.float32),
+        "st": np.array([0.05], np.float32),
+    }
+    return OnnxGraph(nodes=nodes, initializers=inits,
+                     inputs=["x"], outputs=["sel"])
+
+
+def test_embedded_nms_end2end_serves(tmp_path):
+    """An export with graph-embedded NMS (selected_indices terminal)
+    serves end to end: the engine skips its internal NMS and the final
+    detections match the numpy oracle's dense NMS rows + gather."""
+    rng = np.random.default_rng(77)
+    g = _embedded_nms_graph(rng)
+    path = str(tmp_path / "e2e.onnx")
+    write_onnx_model(path, g)
+
+    eng = _engine_for(path)
+    assert getattr(eng.model, "graph_backed", False)
+    assert getattr(eng.model, "end2end", False), (
+        "embedded-NMS export was not detected as end-to-end"
+    )
+
+    frames = rng.integers(0, 256, (3, *HW, 3), dtype=np.uint8)
+    got = eng.predict_arrays(frames)
+
+    # oracle: same nodes, but surface the NMS node's inputs too
+    g2 = OnnxGraph(nodes=g.nodes, initializers=g.initializers,
+                   inputs=g.inputs, outputs=["sel", "boxes", "scores"])
+    conf_thr = eng.config.confidence_threshold
+    for i, f in enumerate(frames):
+        x = (f[..., ::-1].astype(np.float32) / 255.0).transpose(2, 0, 1)
+        sel, bxs, scs = _run_graph_oracle(g2, {"x": x[None]})
+        b = np.asarray(bxs)[0][sel[:, 2]]
+        lo = np.minimum(b[:, :2], b[:, 2:])
+        hi = np.maximum(b[:, :2], b[:, 2:])
+        b = np.concatenate([lo, hi], axis=1)
+        s = np.asarray(scs)[0][sel[:, 1], sel[:, 2]]
+        c = sel[:, 1]
+        keep = s >= conf_thr
+        b, s, c = b[keep], s[keep], c[keep]
+        order = np.argsort(-s, kind="stable")
+        b, s, c = b[order], s[order], c[order]
+
+        n = int(got.num_valid[i])
+        assert n == len(s), (
+            f"frame {i}: engine kept {n} detections vs oracle {len(s)}"
+        )
+        np.testing.assert_allclose(got.scores[i][:n], s, atol=1e-3)
+        np.testing.assert_array_equal(got.class_ids[i][:n], c)
+        np.testing.assert_allclose(got.boxes_xyxy[i][:n], b, atol=0.5)
+
+
+def test_post_nms_glue_rejected_even_with_terminal_sibling():
+    """A graph whose NMS output feeds downstream glue must be rejected
+    even when ANOTHER NMS node in the same graph is terminal — the glue
+    would silently consume the TPU twin's padded [-1,-1,-1] rows as dense
+    rows (advisor medium #2)."""
+    nodes = [
+        OnnxNode("Reshape", inputs=["x", "tb"], outputs=["boxes"]),
+        OnnxNode("Reshape", inputs=["x", "ts"], outputs=["scores_r"]),
+        OnnxNode("Sigmoid", inputs=["scores_r"], outputs=["scores"]),
+        OnnxNode("NonMaxSuppression",
+                 inputs=["boxes", "scores", "mo", "it"],
+                 outputs=["sel1"]),
+        OnnxNode("Cast", inputs=["sel1"], outputs=["glue"],
+                 attrs={"to": 1}),
+        OnnxNode("NonMaxSuppression",
+                 inputs=["boxes", "scores", "mo", "it"],
+                 outputs=["sel2"]),
+    ]
+    inits = {
+        "tb": np.array([1, 48, 4], np.int64),
+        "ts": np.array([1, 4, 48], np.int64),
+        "mo": np.array([3], np.int64),
+        "it": np.array([0.5], np.float32),
+    }
+    g = OnnxGraph(nodes=nodes, initializers=inits,
+                  inputs=["x"], outputs=["sel2", "glue"])
+    with pytest.raises(UnsupportedOnnxOp, match="feeds further graph"):
+        OnnxGraphYolo(g, model_type="yolov8", input_hw=(8, 8))
+
+
+def test_multiple_terminal_nms_rejected():
+    """Two terminal NMS heads are ambiguous — serving only terminal[0]
+    silently would drop the second head (advisor medium #2)."""
+    nodes = [
+        OnnxNode("Reshape", inputs=["x", "tb"], outputs=["boxes"]),
+        OnnxNode("Reshape", inputs=["x", "ts"], outputs=["scores_r"]),
+        OnnxNode("Sigmoid", inputs=["scores_r"], outputs=["scores"]),
+        OnnxNode("NonMaxSuppression",
+                 inputs=["boxes", "scores", "mo", "it"],
+                 outputs=["sel1"]),
+        OnnxNode("NonMaxSuppression",
+                 inputs=["boxes", "scores", "mo", "it"],
+                 outputs=["sel2"]),
+    ]
+    inits = {
+        "tb": np.array([1, 48, 4], np.int64),
+        "ts": np.array([1, 4, 48], np.int64),
+        "mo": np.array([3], np.int64),
+        "it": np.array([0.5], np.float32),
+    }
+    g = OnnxGraph(nodes=nodes, initializers=inits,
+                  inputs=["x"], outputs=["sel1", "sel2"])
+    with pytest.raises(UnsupportedOnnxOp, match="terminal NonMaxSuppression"):
+        OnnxGraphYolo(g, model_type="yolov8", input_hw=(8, 8))
