@@ -45,6 +45,7 @@ class BaseDetector(abc.ABC):
     """Single-packet predict interface (reference detector.py:43-51)."""
 
     config: DetectorConfig
+    mesh = None  # set by _init_mesh when detector.mesh_shape is configured
 
     @abc.abstractmethod
     def predict(self, packet: FramePacket) -> List[Detection]:
@@ -52,6 +53,58 @@ class BaseDetector(abc.ABC):
 
     def close(self) -> None:  # pragma: no cover - optional override
         pass
+
+    # -- multi-chip helpers (every engine family shares these) --------------
+
+    def _init_mesh(self, params):
+        """``detector.mesh_shape = [dp, tp]`` -> build the mesh, shard the
+        params over channels (tp) and place them; else single-device
+        placement. Graph-backed models (foreign ONNX graphs) allow dp-only
+        meshes (tp == 1): batch shards over dp with replicated weights —
+        channel-sharding a foreign graph's weights would hand GSPMD layout
+        decisions the graph's author never validated."""
+        cfg = self.config
+        self.mesh = None
+        if cfg.mesh_shape:
+            from ..parallel.mesh import make_mesh, shard_params
+
+            shape = tuple(int(v) for v in cfg.mesh_shape)
+            if getattr(self.model, "graph_backed", False) and (
+                len(shape) > 1 and shape[1] != 1
+            ):
+                from ..config import ConfigError
+
+                raise ConfigError(
+                    "generic ONNX graph models support dp-only meshes — "
+                    f"use mesh_shape: [{int(np.prod(shape))}, 1] (batch "
+                    "sharding), or shard streams across chips with "
+                    "`--shards`"
+                )
+            self.mesh = make_mesh(int(np.prod(shape)), shape=shape)
+            self.params = shard_params(params, self.mesh)
+        else:
+            self.params = jax.device_put(params, self.device)
+
+    def _round_mesh(self, bucket: int) -> int:
+        """In mesh mode the batch dim shards over dp, so buckets round up
+        to a dp multiple (device_put requires divisibility)."""
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("dp", 1)
+            bucket = ((bucket + dp - 1) // dp) * dp
+        return bucket
+
+    def _mesh_call(self, step, arr):
+        """Run a jitted step on batch-leading input ``arr`` — batch-sharded
+        over dp under the mesh when one is configured, plain device call
+        otherwise."""
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            a = np.asarray(arr)
+            arr_dev = jax.device_put(a, batch_sharding(self.mesh, a.ndim))
+            with self.mesh:
+                return step(self.params, arr_dev)
+        return step(self.params, jnp.asarray(arr))
 
 
 def _maybe_enable_compile_cache(config: DetectorConfig) -> None:
@@ -170,13 +223,6 @@ class JaxYoloEngine(BaseDetector):
             # baseline). `graph_precision: bf16` opts into the mixed policy
             # (onnx_jax.graph_compute_dtype), ~2x MXU rate.
             self.compute_dtype = self.model.compute_dtype
-        if graph_backed and config.mesh_shape:
-            from ..config import ConfigError
-
-            raise ConfigError(
-                "mesh_shape is not supported with a generic ONNX graph "
-                "model — shard streams across chips with `--shards` instead"
-            )
         if graph_backed and config.precision == "int8":
             logger.warning(
                 "precision: int8 is not supported for generic ONNX graph "
@@ -222,16 +268,8 @@ class JaxYoloEngine(BaseDetector):
             )
         # multi-chip: detector.mesh_shape = [dp, tp] shards the params over
         # channels (tp) and every batch over dp; XLA inserts the collectives
-        self.mesh = None
-        if config.mesh_shape:
-            from ..parallel.mesh import make_mesh, shard_params
-
-            self.mesh = make_mesh(
-                int(np.prod(config.mesh_shape)), shape=tuple(config.mesh_shape)
-            )
-            self.params = shard_params(params, self.mesh)
-        else:
-            self.params = jax.device_put(params, self.device)
+        # (graph-backed models: dp-only — see BaseDetector._init_mesh)
+        self._init_mesh(params)
         # s2d early backbone (models/s2d.py): batch-dependent win, so
         # "auto" decides PER COMPILE BUCKET in _s2d_for_bucket (config.py
         # knob comment). model.s2d_backbone stays False — every step
@@ -421,8 +459,10 @@ class JaxYoloEngine(BaseDetector):
         """Model output -> padded per-image (boxes, scores, classes,
         num_valid). Native models and raw-matrix graph exports go through
         the engine's batched NMS; end-to-end graph exports (graph-embedded
-        NonMaxSuppression — the ORT-backend capability of serving a torch
-        export WITH its postprocessing, reference detector.py:484-609)
+        NonMaxSuppression) are NEW capability beyond the reference's ORT
+        backend (detector.py:484-609), which reads only outputs[0] as a
+        raw YOLO matrix and reruns its own NMS — it would mis-serve an
+        embedded-NMS export. Such exports here
         already selected their boxes with the export's own per-class NMS —
         re-running the engine's class-agnostic NMS would cross-suppress
         boxes the export keeps, so those take a pure confidence top-k."""
@@ -541,14 +581,6 @@ class JaxYoloEngine(BaseDetector):
         if self.mesh is not None:
             return jax.jit(step)  # sharded in/out: no single-device pin
         return jax.jit(step, device=self.device)
-
-    def _round_mesh(self, bucket: int) -> int:
-        """In mesh mode the batch dim shards over dp, so buckets round up
-        to a dp multiple (device_put requires divisibility)."""
-        if self.mesh is not None:
-            dp = self.mesh.shape.get("dp", 1)
-            bucket = ((bucket + dp - 1) // dp) * dp
-        return bucket
 
     def _effective_bucket(self, n: int, src_hw: Tuple[int, int]) -> int:
         """Compile bucket for an n-frame batch: the CHEAPEST bucket that
@@ -880,7 +912,9 @@ class JaxResNetEngine(BaseDetector):
                 params, self.compute_dtype,
                 getattr(self.model, "fp32_param_names", frozenset()),
             )
-        self.params = jax.device_put(params, self.device)
+        # multi-chip: [dp, tp] shards conv channels over tp, batches over dp
+        # (graph-backed classifier graphs: dp-only — BaseDetector._init_mesh)
+        self._init_mesh(params)
         self._steps: Dict[Tuple[int, int, int], object] = {}
         # warmup-measured step ms, keyed src_hw -> {bucket: ms}
         self._bucket_cost_ms: Dict[Tuple[int, int], Dict[int, float]] = {}
@@ -922,21 +956,22 @@ class JaxResNetEngine(BaseDetector):
         )
         costs = self._bucket_cost_ms.setdefault(tuple(src_hw), {})
         for b in buckets:
+            rb = self._round_mesh(b)
             step = (
-                self._get_step_resized(b) if resized
-                else self._get_step(b, src_hw)
+                self._get_step_resized(rb) if resized
+                else self._get_step(rb, src_hw)
             )
-            frames = jnp.zeros((b, *probe.shape[1:]), jnp.uint8)
-            jax.block_until_ready(step(self.params, frames))
+            frames = np.zeros((rb, *probe.shape[1:]), np.uint8)
+            jax.block_until_ready(self._mesh_call(step, frames))
             cost = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(step(self.params, frames))
+                jax.block_until_ready(self._mesh_call(step, frames))
                 cost = min(cost, (time.perf_counter() - t0) * 1e3)
             costs[b] = cost
             logger.info(
                 "resnet warmup: compiled bucket B=%d src=%s "
-                "(host_resize=%s) step=%.1fms", b, src_hw, resized, cost,
+                "(host_resize=%s) step=%.1fms", rb, src_hw, resized, cost,
             )
 
     def _classify_head(self, params, x):
@@ -970,7 +1005,8 @@ class JaxResNetEngine(BaseDetector):
                     from ..ops.pallas_preprocess import pallas_stretch_resize
 
                     x = pallas_stretch_resize(
-                        frames_u8, (th, tw), out_dtype=jnp.float32
+                        frames_u8, (th, tw), out_dtype=jnp.float32,
+                        mesh=self.mesh,
                     )
                 else:
                     x = frames_u8.astype(jnp.float32)
@@ -981,7 +1017,10 @@ class JaxResNetEngine(BaseDetector):
                     x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB, [0,1]
                 return self._classify_head(params, x)
 
-            step = jax.jit(run, device=self.device)
+            step = (
+                jax.jit(run) if self.mesh is not None  # sharded in/out
+                else jax.jit(run, device=self.device)
+            )
             self._steps[key] = step
         return step
 
@@ -998,7 +1037,10 @@ class JaxResNetEngine(BaseDetector):
                 x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB, [0,1]
                 return self._classify_head(params, x)
 
-            step = jax.jit(run, device=self.device)
+            step = (
+                jax.jit(run) if self.mesh is not None  # sharded in/out
+                else jax.jit(run, device=self.device)
+            )
             self._steps[key] = step
         return step
 
@@ -1015,9 +1057,9 @@ class JaxResNetEngine(BaseDetector):
                 frames = np.stack(frames)
             n = frames.shape[0]
             buckets = self.config.resolved_buckets
-            bucket = _cheapest_bucket(
+            bucket = self._round_mesh(_cheapest_bucket(
                 buckets, n, self._bucket_cost_ms.get(shape, {})
-            )
+            ))
             if n < bucket:
                 frames = np.concatenate(
                     [frames, np.zeros((bucket - n, *frames.shape[1:]), frames.dtype)]
@@ -1027,7 +1069,7 @@ class JaxResNetEngine(BaseDetector):
                 else self._get_step(bucket, shape)
             )
             t0 = time.perf_counter()
-            scores, classes = jax.device_get(step(self.params, jnp.asarray(frames)))
+            scores, classes = jax.device_get(self._mesh_call(step, frames))
             self.last_infer_ms = (time.perf_counter() - t0) * 1e3
             for j, i in enumerate(idxs):
                 p = packets[i]

@@ -106,7 +106,9 @@ class JaxTemporalEngine(BaseDetector):
                 params, self.compute_dtype,
                 getattr(self.model, "fp32_param_names", frozenset()),
             )
-        self.params = jax.device_put(params, self.device)
+        # multi-chip: [dp, tp] shards channels over tp, clip batches over dp
+        # (graph-backed temporal graphs: dp-only — BaseDetector._init_mesh)
+        self._init_mesh(params)
 
         self.sequence_step = max(
             1, int(config.sequence_length * (1.0 - config.temporal_overlap))
@@ -196,22 +198,23 @@ class JaxTemporalEngine(BaseDetector):
         )
         costs = self._bucket_cost_ms.setdefault(tuple(src_hw), {})
         for b in buckets:
+            rb = self._round_mesh(b)
             if resized:
-                step = self._get_step_resized(b)
-                clips = jnp.zeros((b, t_len, th, tw, 3), jnp.uint8)
+                step = self._get_step_resized(rb)
+                clips = np.zeros((rb, t_len, th, tw, 3), np.uint8)
             else:
-                step = self._get_step(b, src_hw)
-                clips = jnp.zeros((b, t_len, *src_hw, 3), jnp.uint8)
-            jax.block_until_ready(step(self.params, clips))
+                step = self._get_step(rb, src_hw)
+                clips = np.zeros((rb, t_len, *src_hw, 3), np.uint8)
+            jax.block_until_ready(self._mesh_call(step, clips))
             cost = float("inf")
             for _ in range(3):
                 t0 = _time.perf_counter()
-                jax.block_until_ready(step(self.params, clips))
+                jax.block_until_ready(self._mesh_call(step, clips))
                 cost = min(cost, (_time.perf_counter() - t0) * 1e3)
             costs[b] = cost
             logger.info(
                 "temporal warmup: compiled bucket B=%d src=%s "
-                "(host_resize=%s) step=%.1fms", b, src_hw, resized, cost,
+                "(host_resize=%s) step=%.1fms", rb, src_hw, resized, cost,
             )
 
     def _clip_head(self, params, x, b):
@@ -244,7 +247,12 @@ class JaxTemporalEngine(BaseDetector):
                 if use_pallas:
                     from ..ops.pallas_preprocess import pallas_stretch_resize
 
-                    x = pallas_stretch_resize(flat, (th, tw), out_dtype=jnp.float32)
+                    # note: `flat` is [B*T, H, W, 3] — the leading dim is
+                    # batch*time, sharded over dp by GSPMD propagation from
+                    # the [B, T, ...] input (T divides evenly per shard)
+                    x = pallas_stretch_resize(
+                        flat, (th, tw), out_dtype=jnp.float32, mesh=self.mesh
+                    )
                 else:
                     x = jax.image.resize(
                         flat.astype(jnp.float32), (b * t_len, th, tw, 3),
@@ -253,7 +261,10 @@ class JaxTemporalEngine(BaseDetector):
                     x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB
                 return self._clip_head(params, x, b)
 
-            step = jax.jit(run, device=self.device)
+            step = (
+                jax.jit(run) if self.mesh is not None  # sharded in/out
+                else jax.jit(run, device=self.device)
+            )
             self._steps[key] = step
         return step
 
@@ -273,7 +284,10 @@ class JaxTemporalEngine(BaseDetector):
                 x = x[..., ::-1] * (1.0 / 255.0)  # BGR -> RGB
                 return self._clip_head(params, x, b)
 
-            step = jax.jit(run, device=self.device)
+            step = (
+                jax.jit(run) if self.mesh is not None  # sharded in/out
+                else jax.jit(run, device=self.device)
+            )
             self._steps[key] = step
         return step
 
@@ -365,9 +379,9 @@ class JaxTemporalEngine(BaseDetector):
             n = clips.shape[0]
             from .detector import _cheapest_bucket
 
-            bucket = _cheapest_bucket(
+            bucket = self._round_mesh(_cheapest_bucket(
                 buckets, n, self._bucket_cost_ms.get(shape, {})
-            )
+            ))
             if n < bucket:  # pad to a compile bucket, slice results below
                 pad = np.repeat(clips[-1:], bucket - n, axis=0)
                 clips = np.concatenate([clips, pad], axis=0)
@@ -376,7 +390,7 @@ class JaxTemporalEngine(BaseDetector):
                 else self._get_step(bucket, shape)
             )
             t0 = time.perf_counter()
-            scores, classes = jax.device_get(step(self.params, jnp.asarray(clips)))
+            scores, classes = jax.device_get(self._mesh_call(step, clips))
             self.last_infer_ms = (time.perf_counter() - t0) * 1e3
             for j, i in enumerate(idxs):
                 results[i] = self._to_detections(sequences[i], scores[j], classes[j])

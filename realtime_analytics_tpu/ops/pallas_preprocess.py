@@ -184,6 +184,8 @@ def pallas_stretch_resize(
     out_dtype: jnp.dtype = jnp.bfloat16,
     round_uint8: bool = True,
     interpret: bool = False,
+    mesh=None,
+    batch_axis: str = "dp",
 ) -> jnp.ndarray:
     """Non-aspect-preserving resize (the ResNet/temporal preprocess contract:
     stretch to the model input, no letterbox pad): same MXU kernel with a
@@ -195,7 +197,7 @@ def pallas_stretch_resize(
     )
     return pallas_letterbox(
         frames, spec=spec, out_dtype=out_dtype, round_uint8=round_uint8,
-        interpret=interpret,
+        interpret=interpret, mesh=mesh, batch_axis=batch_axis,
     )
 
 
