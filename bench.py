@@ -511,11 +511,24 @@ def bench_pipeline_latency(step_ms_by_bucket: dict, pcie_ms_per_frame: float,
     cfg = _pipeline_config(
         n_streams, sorted(step_ms_by_bucket), max(step_ms_by_bucket)
     )
+    # pre-render every stream's synthetic pool OUTSIDE the timed window
+    # (decoder stand-in work, not framework work — on the 1-core bench box
+    # 32 serialized 1080p pool renders used to put ~35 s of "startup"
+    # inside the measured window; real deploys pay this in the camera's
+    # ffmpeg decoder). The process-level pool cache makes the pipeline's
+    # own opens instant.
+    from realtime_analytics_tpu.ingest.synthetic import prerender_pool
+
+    t0 = time.perf_counter()
+    pooled = sum(prerender_pool(s.url) for s in cfg.streams)
+    prerender_s = time.perf_counter() - t0
     out = _run_pipeline_window(
         cfg,
         lambda c: EmulatedDeviceEngine(c, step_ms_by_bucket, pcie_ms_per_frame),
         PIPELINE_SECONDS,
     )
+    out["pool_prerender_s"] = round(prerender_s, 1)
+    out["pool_frames"] = pooled
     out["device_model"] = (
         "measured: host path on this box + step(bucket) on the real chip "
         f"(buckets {dict((k, round(v, 1)) for k, v in sorted(step_ms_by_bucket.items()))} ms); "
@@ -947,35 +960,57 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             graph_onnx = {"error": str(exc)[:200]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "aggregate_detected_fps_32x1080p_yolov8n",
-                "value": round(best["agg_fps"], 1),
-                "unit": "frames/s",
-                "vs_baseline": round(best["agg_fps"] / BASELINE_AGG_FPS, 3),
-                "p50_batch_ms": round(best["batch_ms"], 2),
-                "device_batch": best["device_batch"],
-                "per_stream_fps": round(best["agg_fps"] / N_STREAMS, 2),
-                "dispatch_overhead_ms": round(best["dispatch_overhead_ms"], 2),
-                "mfu": round(mfu, 4),
-                "model_gflops_per_batch": round(flops_per_batch / 1e9, 2),
-                "weights": weights_kind,
-                "all_batches": [
-                    {k: round(v, 2) if isinstance(v, float) else v
-                     for k, v in r.items() if k != "flops"}
-                    for r in results
-                ],
-                "pipeline_e2e": pipe,
-                "pipeline_e2e_host_scaled": pipe_scaled,
-                "real_engine_window": real_window,
-                "temporal": temporal,
-                "resnet": resnet,
-                "graph_onnx": graph_onnx,
-                "platform": platform,
-            }
-        )
+    full = {
+        "metric": "aggregate_detected_fps_32x1080p_yolov8n",
+        "value": round(best["agg_fps"], 1),
+        "unit": "frames/s",
+        "vs_baseline": round(best["agg_fps"] / BASELINE_AGG_FPS, 3),
+        "p50_batch_ms": round(best["batch_ms"], 2),
+        "device_batch": best["device_batch"],
+        "per_stream_fps": round(best["agg_fps"] / N_STREAMS, 2),
+        "dispatch_overhead_ms": round(best["dispatch_overhead_ms"], 2),
+        "mfu": round(mfu, 4),
+        "model_gflops_per_batch": round(flops_per_batch / 1e9, 2),
+        "weights": weights_kind,
+        "all_batches": [
+            {k: round(v, 2) if isinstance(v, float) else v
+             for k, v in r.items() if k != "flops"}
+            for r in results
+        ],
+        "pipeline_e2e": pipe,
+        "pipeline_e2e_host_scaled": pipe_scaled,
+        "real_engine_window": real_window,
+        "temporal": temporal,
+        "resnet": resnet,
+        "graph_onnx": graph_onnx,
+        "platform": platform,
+    }
+    # Full detail goes to the capture file (the single source every doc
+    # table cites); stdout carries ONE SHORT parseable line — the driver
+    # keeps only the output tail, so a multi-KB line would be truncated
+    # into unparseable JSON (BENCH_r04 "parsed": null).
+    capture = os.environ.get(
+        "RVA_BENCH_CAPTURE", os.path.join("docs", "bench_r05_capture.json")
     )
+    try:
+        with open(capture, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"capture write failed ({exc}); full JSON follows")
+        print(json.dumps(full))
+    summary = {
+        k: full[k]
+        for k in ("metric", "value", "unit", "vs_baseline", "p50_batch_ms",
+                  "device_batch", "mfu", "weights", "platform")
+    }
+    if pipe:
+        summary["e2e_steady_fps"] = pipe.get("steady_agg_fps")
+        summary["e2e_p50_ms"] = pipe.get("p50_frame_ms")
+        summary["e2e_startup_s"] = pipe.get("startup_s")
+        summary["e2e_slo"] = pipe.get("meets_40ms_slo")
+    summary["capture"] = capture
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -233,7 +233,11 @@ class DetectorConfig:
     # relative) output tolerance.
     graph_precision: str = "fp32"  # fp32 | bf16
     mesh_shape: Optional[List[int]] = None  # e.g. [4, 2] for (dp, tp); None = 1 chip
-    compile_cache_dir: Optional[str] = None  # persistent jit cache (≙ .engine files)
+    # Persistent jit cache (≙ the reference's TensorRT .engine files):
+    # "auto" (default) = ~/.cache/realtime-analytics-tpu/xla — restarts
+    # reload compiled programs instead of paying first-compile inside the
+    # serving window. Set to a path to relocate, or "off"/"" to disable.
+    compile_cache_dir: Optional[str] = "auto"
     pallas_preprocess: str = "auto"  # auto | on | off: fused MXU letterbox kernel
     pallas_gather: str = "auto"  # auto | on | off: MXU one-hot NMS payload gather
     # Fused v8 head decode (DFL + class max/argmax in one Pallas kernel,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import abc
 import logging
+import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -109,12 +110,21 @@ class BaseDetector(abc.ABC):
 
 def _maybe_enable_compile_cache(config: DetectorConfig) -> None:
     """Persistent jit cache — the analog of the reference's TensorRT
-    ``.engine`` files (compile once, reuse across restarts)."""
-    if config.compile_cache_dir:
+    ``.engine`` files (compile once, reuse across restarts; the reference
+    warms before serving, detector.py:588-593 — here a warm restart skips
+    the compile entirely). Default ON at ``auto`` so deploy restarts never
+    pay first-compile inside the serving window; ``off``/"" disables."""
+    cache = config.compile_cache_dir
+    if cache == "auto":
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "realtime-analytics-tpu", "xla"
+        )
+    if cache and cache.lower() not in ("off", "none"):
         try:
-            jax.config.update("jax_compilation_cache_dir", config.compile_cache_dir)
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:  # noqa: BLE001 — older jax flags
+        except Exception:  # noqa: BLE001 — older jax flags / unwritable dir
             logger.warning("could not enable the persistent compile cache")
 
 

@@ -17,6 +17,28 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+# Process-level pool cache: a pooled source's frames are fully determined
+# by (width, height, boxes, seed, pool, min_size, max_size) — the render
+# consumes rng state deterministically from the seed — so re-opening the
+# same URL (reconnects, bench pre-render, the host-scaled re-run) reuses
+# the rendered frames instead of paying the ~6 MB/frame 1080p render
+# again. Frames are treated as immutable by every consumer (they are
+# already shared across read() cycles within one source). Bounded by
+# spec count; live pipelines hold the same arrays anyway.
+_POOL_CACHE: dict = {}
+_POOL_CACHE_MAX_SPECS = 64
+
+
+def prerender_pool(url: str) -> int:
+    """Render (and cache) the pool for a ``synthetic://`` URL; returns the
+    pool length (0 when the URL has no ``pool=``). Benchmarks call this
+    BEFORE their timed window so startup measures the framework, not the
+    synthetic decoder stand-in."""
+    src = SyntheticSource.from_url(url)
+    n = len(src._pool or ())
+    src.release()
+    return n
+
 
 class SyntheticSource:
     def __init__(
@@ -53,12 +75,18 @@ class SyntheticSource:
         # (the tracker does real association work); motion wraps at `pool`.
         self._pool: Optional[list] = None
         if pool > 0:
-            self._pool = []
-            for _ in range(pool):
-                ok, frame, bx, cl = self._render_labeled()
-                if not ok:
-                    break
-                self._pool.append((frame, bx, cl))
+            key = (width, height, boxes, seed, pool, min_size, max_size)
+            cached = _POOL_CACHE.get(key)
+            if cached is None:
+                cached = []
+                for _ in range(pool):
+                    ok, frame, bx, cl = self._render_labeled()
+                    if not ok:
+                        break
+                    cached.append((frame, bx, cl))
+                if len(_POOL_CACHE) < _POOL_CACHE_MAX_SPECS:
+                    _POOL_CACHE[key] = cached
+            self._pool = cached
             self._i = 0
 
     @classmethod
