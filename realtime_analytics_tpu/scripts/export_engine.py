@@ -136,6 +136,27 @@ def main(argv: List[str] | None = None) -> int:
         det_cfg.input_size = list(args.input_size)
     det_cfg.warmup = False
 
+    if args.output.endswith(".onnx"):
+        # standard-ONNX export of the NATIVE model (models/onnx_export.py):
+        # the interop/quantization route — .rvae stays the AOT-program route
+        engine = create_detector(det_cfg)
+        model = getattr(engine, "model", None)
+        params = getattr(engine, "params", None)
+        if model is None or not hasattr(model, "nodes"):
+            print(".onnx export supports the native YOLO engine only "
+                  "(resnet/temporal export .rvae, or use "
+                  "export_temporal_model for torch-named weights)",
+                  file=sys.stderr)
+            return 2
+        from ..models.onnx_export import yolo_to_onnx
+
+        jax = __import__("jax")
+        yolo_to_onnx(model, jax.device_get(params), args.output,
+                     tuple(det_cfg.input_size))
+        print(f"wrote {args.output}: yolov{model.version}{model.size} "
+              f"nc={model.nc} input={tuple(det_cfg.input_size)}")
+        return 0
+
     engine = create_detector(det_cfg)  # any family: yolo/resnet/temporal
     meta = export_serving_artifact(
         engine,

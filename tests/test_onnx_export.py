@@ -1,0 +1,108 @@
+"""Native YOLO -> standard ONNX export round-trip gates.
+
+The exported file must reproduce the native model bit-for-bit (up to f32
+accumulation order) through BOTH twin executors, and re-serve through
+the generic ONNX graph engine with the same detections the native engine
+produces — the fidelity contract that lets the quantize toolchain
+operate on the flagship model (round-4 VERDICT #4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from realtime_analytics_tpu.models.onnx_exec import run_graph
+from realtime_analytics_tpu.models.onnx_export import yolo_to_onnx
+from realtime_analytics_tpu.models.onnx_lite import read_onnx_model
+from realtime_analytics_tpu.models.yolo import build_yolo
+
+
+def _build(mt, nc=16):
+    model = build_yolo(mt, "n", nc=nc)
+    params = model.init_params(jax.random.PRNGKey(3))
+    model.fuse_neck = False  # plain semantics for the oracle comparison
+    return model, params
+
+
+def _xyxy_scores(version, out, nc):
+    if version == 8:
+        bx = out[:, :4].transpose(0, 2, 1)
+        sc = out[:, 4:].transpose(0, 2, 1)
+    else:
+        bx = out[..., :4]
+        sc = out[..., 5:] * out[..., 4:5]
+    xyxy = np.stack(
+        [bx[..., 0] - bx[..., 2] / 2, bx[..., 1] - bx[..., 3] / 2,
+         bx[..., 0] + bx[..., 2] / 2, bx[..., 1] + bx[..., 3] / 2], -1)
+    return xyxy, sc
+
+
+@pytest.mark.parametrize("mt,version", [("yolov8", 8), ("yolov5", 5)])
+def test_export_matches_native_apply(tmp_path, mt, version):
+    model, params = _build(mt)
+    path = str(tmp_path / f"{mt}.onnx")
+    yolo_to_onnx(model, params, path, (96, 96))
+    g = read_onnx_model(path)
+    x = np.random.default_rng(0).uniform(0, 1, (2, 3, 96, 96)).astype(
+        np.float32)
+    out = run_graph(g, {"images": x})[0]
+    ref = model.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    xyxy, sc = _xyxy_scores(version, out, model.nc)
+    assert np.max(np.abs(xyxy - np.asarray(ref["boxes_xyxy"]))) < 1e-2
+    assert np.max(np.abs(sc - np.asarray(ref["scores"]))) < 1e-4
+
+
+def test_export_serves_through_graph_engine(tmp_path):
+    """The exported file, served by the generic ONNX graph engine, must
+    produce the same detections as the NATIVE engine on the same frames
+    (same preprocess, same NMS) — the full round trip a user takes when
+    quantizing the flagship model."""
+    from realtime_analytics_tpu.config import DetectorConfig, StreamConfig
+    from realtime_analytics_tpu.engine.detector import JaxYoloEngine
+    from realtime_analytics_tpu.ingest.synthetic import SyntheticSource
+    from realtime_analytics_tpu.types import FramePacket
+
+    model, params = _build("yolov8", nc=8)
+    path = str(tmp_path / "v8.onnx")
+    yolo_to_onnx(model, params, path, (128, 128))
+
+    common = dict(
+        input_size=[128, 128], confidence_threshold=0.05,
+        max_batch_size=2, batch_buckets=[2], warmup=False,
+        precision="fp32", device="cpu", num_classes=8,
+    )
+    native = JaxYoloEngine(
+        DetectorConfig(model_path="absent-yolov8n.pt", **common),
+        params=jax.device_get(params),
+    )
+    graph = JaxYoloEngine(DetectorConfig(model_path=path, **common))
+
+    src = SyntheticSource(width=160, height=128, boxes=3, seed=5)
+    stream = StreamConfig(name="cam", url="synthetic://")
+    pkts = []
+    for i in range(2):
+        ok, frame = src.read()
+        assert ok
+        pkts.append(FramePacket(stream, frame, i, float(i)))
+    dn = native.predict_packets(pkts)
+    dg = graph.predict_packets(pkts)
+    assert [len(v) for v in dn] == [len(v) for v in dg]
+    for fn, fg in zip(dn, dg):
+        for a, b in zip(fn, fg):
+            assert a.class_id == b.class_id
+            assert abs(a.confidence - b.confidence) < 1e-3
+            assert max(abs(p - q) for p, q in zip(a.bbox, b.bbox)) < 0.5
+
+
+def test_export_cli(tmp_path):
+    from realtime_analytics_tpu.scripts.export_engine import main
+
+    out = str(tmp_path / "m.onnx")
+    rc = main(["--model", "absent-v8n.pt", "--model-type", "yolov8",
+               "--input-size", "96x96", "--output", out])
+    assert rc == 0
+    g = read_onnx_model(out)
+    assert g.inputs == ["images"] and g.outputs == ["output0"]
+    assert any(n.op_type == "Conv" for n in g.nodes)
