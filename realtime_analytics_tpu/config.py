@@ -263,6 +263,13 @@ class DetectorConfig:
     # tap-scatter FLOP dilution dominates). auto enables s2d PER COMPILE
     # BUCKET: buckets <= 32 on single-chip TPU only.
     s2d_backbone: str = "auto"  # auto | on | off
+    # Fused P1/P2 stem Pallas kernel (ops/pallas_stem.py): both stem convs
+    # in one kernel with the P1 activation VMEM-resident and output columns
+    # packed into lanes. Written + measured for the round-3 "parked on
+    # analysis" b=128 item — see docs/performance.md "fused-stem kernel"
+    # for the v5e numbers and the auto policy. "interpret" runs the kernel
+    # in interpret mode (tests).
+    pallas_stem: str = "off"  # auto | on | off | interpret
     # When the letterbox ratio is an odd integer per axis (1080p->640 is
     # exactly 3x), bilinear resize degenerates to an exact pixel pick — do
     # it on the HOST before upload: H2D bytes drop 8.6x (6 MB -> 0.7 MB per
@@ -376,6 +383,8 @@ class DetectorConfig:
             raise ConfigError("s2d_backbone must be auto|on|off")
         if self.pallas_decode not in {"auto", "on", "off"}:
             raise ConfigError("pallas_decode must be auto|on|off")
+        if self.pallas_stem not in {"auto", "on", "off", "interpret"}:
+            raise ConfigError("pallas_stem must be auto|on|off|interpret")
         if self.host_resize not in {"auto", "on", "off"}:
             raise ConfigError("host_resize must be auto|on|off")
 

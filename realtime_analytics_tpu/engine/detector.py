@@ -422,6 +422,8 @@ class JaxYoloEngine(BaseDetector):
 
         nms_gather = self._nms_gather_impl()
         use_s2d = self._s2d_for_bucket(batch)
+        use_pstem = self._pstem_for_bucket(batch)
+        use_pstem = self._pstem_for_bucket(batch)
 
         def step(params, sel_u8):
             pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
@@ -433,7 +435,8 @@ class JaxYoloEngine(BaseDetector):
                 constant_values=114,
             ).astype(self.compute_dtype)
             out = self.model.apply(
-                fold_stem(params), x, reduce_scores=True, s2d=use_s2d
+                fold_stem(params), x, reduce_scores=True, s2d=use_s2d,
+                pallas_stem=use_pstem,
             )
             b, s, c, n = self._final_select(out, cfg, nms_gather)
             b = unletterbox_boxes(
@@ -464,6 +467,18 @@ class JaxYoloEngine(BaseDetector):
             and self.config.precision != "int8"
             and batch <= 32
         )
+
+    def _pstem_for_bucket(self, batch: int) -> str:
+        """Fused P1/P2 stem Pallas kernel per compile bucket
+        (ops/pallas_stem.py). MEASURED at b=128/640 on v5e: the kernel
+        loses to XLA's own stem fusion (docs/performance.md "fused-stem
+        kernel" table), so "auto" resolves to off everywhere — the knob
+        stays for "on" (pod-hardware re-evaluation) and "interpret"
+        (tests), same pattern as pallas_decode."""
+        mode = self.config.pallas_stem
+        if mode in ("on", "interpret"):
+            return mode
+        return "off"
 
     def _final_select(self, out, cfg, nms_gather):
         """Model output -> padded per-image (boxes, scores, classes,
@@ -561,6 +576,7 @@ class JaxYoloEngine(BaseDetector):
         )
         nms_gather = self._nms_gather_impl()
         use_s2d = self._s2d_for_bucket(batch)
+        use_pstem = self._pstem_for_bucket(batch)
 
         def step(params, frames_u8):
             if use_pallas:
@@ -578,7 +594,7 @@ class JaxYoloEngine(BaseDetector):
                     out_dtype=self.compute_dtype,
                     layout="NHWC",
                 )
-            out = self.model.apply(params, x, reduce_scores=True, s2d=use_s2d)
+            out = self.model.apply(params, x, reduce_scores=True, s2d=use_s2d, pallas_stem=use_pstem)
             b, s, c, n = self._final_select(out, cfg, nms_gather)
             b = unletterbox_boxes(
                 b, spec.scale, spec.pad_left, spec.pad_top, spec.src_h, spec.src_w

@@ -114,6 +114,11 @@ class YoloModel:
     # HBM-level XLA passes. "off" | "on" | "interpret" (tests); engine
     # enables on single-chip TPU. v8 reduce_scores path only.
     pallas_decode: str = "off"
+    # Fused P1/P2 stem kernel (ops/pallas_stem.py): nodes 0+1 in one
+    # Pallas call, P1 VMEM-resident. "off" | "on" | "interpret"; the
+    # engine decides per compile bucket (config knob ``pallas_stem``).
+    pallas_stem: str = "off"
+    _pstem_ok: Optional[bool] = None
 
     # -- construction ------------------------------------------------------
 
@@ -150,7 +155,7 @@ class YoloModel:
 
     def apply(
         self, params: Dict, x: jnp.ndarray, reduce_scores: bool = False,
-        s2d: Optional[bool] = None,
+        s2d: Optional[bool] = None, pallas_stem: Optional[str] = None,
     ) -> Dict[str, jnp.ndarray]:
         """x: [N, H, W, 3] normalized RGB (NHWC). Returns decoded outputs:
         {"boxes_xyxy": [N, A, 4] input-pixel xyxy, "scores": [N, A, nc]}.
@@ -167,6 +172,7 @@ class YoloModel:
         fus = self._neck_fusions() if self.fuse_neck and not self.act_int8 else {}
         start = 0
         use_s2d = self.s2d_backbone if s2d is None else s2d
+        use_pstem = self.pallas_stem if pallas_stem is None else pallas_stem
         if (
             use_s2d
             and not self.act_int8
@@ -177,6 +183,15 @@ class YoloModel:
             outs[3] = self._apply_s2d_prefix(layers, x)
             prev = outs[3]
             start = 4
+        elif use_pstem != "off" and self._pallas_stem_ok(x.shape[1], x.shape[2]):
+            from ..ops.pallas_stem import fused_stem_p1p2
+
+            outs[1] = fused_stem_p1p2(
+                x, layers["0"], layers["1"],
+                interpret=use_pstem == "interpret",
+            )
+            prev = outs[1]
+            start = 2
         else:
             prev = x
         for i, node in enumerate(self.nodes):
@@ -246,6 +261,37 @@ class YoloModel:
                 fus[i + 1] = "cat"
             self._fusions = fus
         return self._fusions
+
+    def _pallas_stem_ok(self, h: int, w: int) -> bool:
+        """Nodes 0 and 1 must be the k3-s2 stem/P2 convs with single
+        consumers (true for every published v5/v8 layout), the channel
+        counts must tile the 128-lane dim, and the input geometry must
+        tile the kernel's column groups / row strips
+        (ops/pallas_stem.stem_geometry_ok). int8 params excluded — the
+        kernel computes in bf16/f32."""
+        if self.act_int8:
+            return False
+        if self._pstem_ok is None:
+            ok = len(self.nodes) > 2
+            if ok:
+                n0, n1 = self.nodes[:2]
+                ok = (
+                    n0.kind == "conv" and n0.s == 2 and n0.k == 3
+                    and n1.kind == "conv" and n1.s == 2 and n1.k == 3
+                )
+            if ok:
+                consumers: Dict[int, List[int]] = {}
+                for j, nd in enumerate(self.nodes):
+                    for s in nd.src:
+                        consumers.setdefault(s if s >= 0 else j - 1, []).append(j)
+                ok = all(consumers.get(i) == [i + 1] for i in range(2))
+            self._pstem_ok = ok
+        if not self._pstem_ok:
+            return False
+        from ..ops.pallas_stem import stem_geometry_ok
+
+        c0, c1 = self.channels[0], self.channels[1]
+        return stem_geometry_ok(h, w, c0, c1)
 
     def _s2d_prefix_ok(self) -> bool:
         """The s2d prefix covers nodes 0..3 = conv(s2), conv(s2),
