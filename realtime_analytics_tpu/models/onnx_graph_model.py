@@ -428,10 +428,12 @@ class OnnxGraphYolo(OnnxGraphModel):
         return 3 * cells if self.model_type == "yolov5" else cells
 
     def apply(self, params, x: jnp.ndarray, reduce_scores: bool = False,
-              s2d: bool = False) -> Dict[str, jnp.ndarray]:
+              s2d: bool = False, pallas_stem: str = "off",
+              ) -> Dict[str, jnp.ndarray]:
         """x: [N, H, W, 3] RGB in [0, 1] (the engines' device preprocess
-        output). ``s2d`` is a native-backbone layout transform — a foreign
-        graph defines its own layout, so it is accepted and ignored."""
+        output). ``s2d`` / ``pallas_stem`` are native-backbone layout
+        transforms — a foreign graph defines its own layout, so both are
+        accepted and ignored."""
         if self.end2end:
             return self._apply_end2end(params, x)
         pred = self.run(params, jnp.transpose(
