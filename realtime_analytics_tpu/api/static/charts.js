@@ -4,8 +4,14 @@
  * No CDN: the dashboard must render air-gapped. */
 "use strict";
 
-const PALETTE = ["#5dd4a3", "#6aa7f8", "#f2b84b", "#ee6c7b", "#b48df2",
-                 "#4fc3d9", "#8bd44b", "#f49ac1"];
+/* Validated categorical palette (dark-surface steps, fixed slot order —
+ * the ordering is the CVD-safety mechanism: adjacent-pair CVD dE 8.4,
+ * normal-vision dE 19.3, every slot >= 3:1 on the #1a1a19 surface).
+ * Assigned by series identity in fixed order, never cycled by rank. */
+const PALETTE = ["#3987e5", "#d95926", "#199e70", "#c98500", "#d55181",
+                 "#008300", "#9085e9", "#e66767"];
+const INK = { grid: "rgba(255,255,255,.07)", axis: "#383835",
+              label: "#898781", value: "#c3c2b7" };
 
 function seriesColor(i) { return PALETTE[i % PALETTE.length]; }
 
@@ -17,7 +23,7 @@ function drawLineChart(canvas, seriesMap, opts = {}) {
   const names = [...seriesMap.keys()];
   const all = names.flatMap((k) => seriesMap.get(k));
   const max = Math.max(opts.yMax || 1e-9, 1e-9, ...all);
-  ctx.strokeStyle = "rgba(140,160,200,.25)";
+  ctx.strokeStyle = INK.grid;
   ctx.beginPath();
   for (let g = 1; g <= 3; g++) {
     const y = h - (h - 14) * g / 4;
@@ -37,7 +43,7 @@ function drawLineChart(canvas, seriesMap, opts = {}) {
     });
     ctx.stroke();
   });
-  ctx.fillStyle = "rgba(160,180,210,.8)";
+  ctx.fillStyle = INK.label;
   ctx.font = "11px system-ui";
   ctx.fillText(`max ${max.toFixed(opts.decimals ?? 1)}${opts.unit || ""}`, 6, 12);
   if (opts.legend && names.length > 1) {
@@ -48,7 +54,7 @@ function drawLineChart(canvas, seriesMap, opts = {}) {
       x -= tw + 16;
       ctx.fillStyle = seriesColor(si);
       ctx.fillRect(x, 5, 8, 8);
-      ctx.fillStyle = "rgba(160,180,210,.9)";
+      ctx.fillStyle = INK.value;
       ctx.fillText(label, x + 11, 13);
       if (x < w / 3) break; // don't flood the header with 32 legends
     }
@@ -61,7 +67,7 @@ function drawBarChart(canvas, entries, opts = {}) {
   const { width: w, height: h } = canvas;
   ctx.clearRect(0, 0, w, h);
   if (!entries.length) {
-    ctx.fillStyle = "rgba(160,180,210,.6)";
+    ctx.fillStyle = INK.label;
     ctx.font = "12px system-ui";
     ctx.fillText("no data yet", 8, 18);
     return;
@@ -72,12 +78,21 @@ function drawBarChart(canvas, entries, opts = {}) {
   ctx.font = "11px system-ui";
   entries.forEach(([label, value], i) => {
     const y = 4 + i * rowH;
-    ctx.fillStyle = "rgba(160,180,210,.9)";
+    ctx.fillStyle = INK.value;
     ctx.fillText(label, 4, y + rowH * 0.62, labelW - 8);
     const bw = (w - labelW - 44) * (value / max);
-    ctx.fillStyle = seriesColor(i);
-    ctx.fillRect(labelW, y + 3, Math.max(2, bw), rowH - 8);
-    ctx.fillStyle = "rgba(200,215,235,.9)";
+    // one measure -> ONE hue (color would otherwise encode rank);
+    // 4px rounded data end, squared baseline end
+    ctx.fillStyle = PALETTE[0];
+    if (ctx.roundRect) {
+      ctx.beginPath();
+      ctx.roundRect(labelW, y + 3, Math.max(2, bw), rowH - 8,
+                    [0, 4, 4, 0]);
+      ctx.fill();
+    } else {
+      ctx.fillRect(labelW, y + 3, Math.max(2, bw), rowH - 8);
+    }
+    ctx.fillStyle = INK.value;
     ctx.fillText(String(opts.format ? opts.format(value) : value),
                  labelW + Math.max(2, bw) + 6, y + rowH * 0.62);
   });

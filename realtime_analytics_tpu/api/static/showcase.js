@@ -9,7 +9,7 @@
  *   - a single blue for single-measure bars/lines (color never encodes rank)
  *   - one-hue sequential ramp for magnitude (heatmap)
  *   - status colors reserved for alert states, always icon + label
- * The palette below validates on the #161e2e panel surface: worst adjacent
+ * The palette below validates on the #1a1a19 panel surface: worst adjacent
  * CVD dE 8.4 (protan), normal-vision floor 19.8, all slots >= 3:1 contrast;
  * the sequential ramp passes the ordinal checks (monotone L, dL >= 0.06,
  * light-end 2.06:1). */
@@ -20,8 +20,8 @@ const SC = {
   seq: ["#184f95", "#256abf", "#5598e7", "#9ec5f4", "#cde2fb"], // low -> high
   status: { good: "#0ca30c", warning: "#fab219",
             serious: "#ec835a", critical: "#d03b3b" },
-  ink: "#dde5f0", ink2: "#8fa1ba", grid: "rgba(140,160,200,.18)",
-  surface: "#161e2e",
+  ink: "#ffffff", ink2: "#c3c2b7", grid: "rgba(255,255,255,.07)",
+  surface: "#1a1a19",
 };
 
 /* ---------------- tooltip layer (one shared element) ---------------- */
@@ -105,7 +105,7 @@ function scLine(canvas, data, opts = {}) {
     ctx.stroke();
     if (hoverI >= 0) {
       const [x, y] = xy(hoverI, data[hoverI]);
-      ctx.strokeStyle = "rgba(160,180,210,.45)";
+      ctx.strokeStyle = "rgba(195,194,183,.5)";
       ctx.lineWidth = 1;
       ctx.beginPath(); ctx.moveTo(x, padT); ctx.lineTo(x, h - padB); ctx.stroke();
       ctx.fillStyle = opts.color || SC.series[0];
@@ -270,10 +270,10 @@ function scScene(seed, nObjects) {
       const ctx = canvas.getContext("2d");
       const { width: w, height: h } = canvas;
       const g = ctx.createLinearGradient(0, 0, 0, h);
-      g.addColorStop(0, "#1a2438"); g.addColorStop(1, "#10192a");
+      g.addColorStop(0, "#242423"); g.addColorStop(1, "#151514");
       ctx.fillStyle = g;
       ctx.fillRect(0, 0, w, h);
-      ctx.strokeStyle = "rgba(140,160,200,.12)";
+      ctx.strokeStyle = "rgba(255,255,255,.06)";
       ctx.beginPath();
       ctx.moveTo(0, h * 0.72); ctx.lineTo(w, h * 0.64); // horizon line
       ctx.stroke();
@@ -287,13 +287,13 @@ function scScene(seed, nObjects) {
           const label = `${o.cls} ${(o.conf * 100).toFixed(0)}%`;
           ctx.fillStyle = SC.series[0];
           ctx.fillRect(x, y - 14, ctx.measureText(label).width + 8, 14);
-          ctx.fillStyle = "#0b1220";
+          ctx.fillStyle = "#0d0d0d";
           ctx.fillText(label, x + 4, y - 3);
         }
       }
       if (name) {
         ctx.font = "10px system-ui";
-        ctx.fillStyle = "rgba(221,229,240,.75)";
+        ctx.fillStyle = "rgba(255,255,255,.75)";
         ctx.fillText(name, 5, 12);
       }
     },

@@ -176,7 +176,9 @@ class TestMainDashboard:
         assert any(op[0] == "stroke" for op in ops)
         assert any(op[0] == "fillText" and "max" in str(op[1][0]) for op in ops)
         assert any(op[0] == "stroke" for op in page.canvas_ops("fps-chart"))
-        assert any(op[0] == "fillRect"
+        # bars draw via roundRect+fill (4px data-end) with a fillRect
+        # fallback when the 2D context lacks roundRect
+        assert any(op[0] in ("fillRect", "roundRect")
                    for op in page.canvas_ops("top-streams-chart"))
         assert page.text("stat-uptime") == "1s"
 
