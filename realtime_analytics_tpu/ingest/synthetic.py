@@ -88,6 +88,9 @@ class SyntheticSource:
                     _POOL_CACHE[key] = cached
             self._pool = cached
             self._i = 0
+        # pooled reads are dict lookups — safe to run inline on the event
+        # loop (ingest.video_stream skips its to_thread hop when set)
+        self.fast_read = self._pool is not None
 
     @classmethod
     def from_url(cls, url: str) -> "SyntheticSource":

@@ -136,7 +136,15 @@ class VideoStream:
                 ok, frame = False, None
             else:
                 opened_once = True
-                ok, frame = await asyncio.to_thread(self._capture.read)
+                if getattr(self._capture, "fast_read", False):
+                    # pooled synthetic source: read() is a dict lookup —
+                    # the to_thread hop would cost ~1-2 ms of executor
+                    # scheduling per frame, dominating the loop on a busy
+                    # host (cv2/ffmpeg reads DO block and keep the hop)
+                    ok, frame = self._capture.read()
+                    await asyncio.sleep(0)  # stay cooperative
+                else:
+                    ok, frame = await asyncio.to_thread(self._capture.read)
             if not ok or frame is None:
                 retries += 1
                 consecutive_failures += 1
@@ -175,4 +183,13 @@ class VideoStream:
             self._frame_id += 1
             yield packet
             if pace > 0:
+                # RELATIVE pacing (sleep 1/fps after the yield) is a
+                # deliberate choice over an absolute wire-clock schedule:
+                # the consumer's per-frame time becomes backpressure, so an
+                # overloaded host degrades rate smoothly instead of piling
+                # frames into the batcher queue. Measured at 32x25 offered
+                # on a saturated 1-core host: relative carries 724 fps at
+                # p50 31.6 ms; an absolute schedule carries 781 but at p50
+                # 105-137 ms (pure queueing) — a real camera would shed
+                # those frames anyway (docs/performance.md, round 5).
                 await asyncio.sleep(pace)
