@@ -298,6 +298,20 @@ class DetectorConfig:
             raise ConfigError("Detector model_path must not be empty")
         if self.backend not in VALID_BACKENDS:
             raise ConfigError(f"Detector backend must be one of {sorted(VALID_BACKENDS)}")
+        # reference TensorRT knobs: accepted for config compatibility,
+        # no-ops here (XLA owns device memory; precision comes from
+        # `precision`/`half`) — say so instead of silently ignoring
+        if self.tensorrt_max_workspace_size != 1 << 30:
+            logger.warning(
+                "detector.tensorrt_max_workspace_size is a no-op on the "
+                "TPU engine (XLA manages device memory)"
+            )
+        if self.tensorrt_use_fp16 and self.precision == "fp32":
+            logger.warning(
+                "detector.tensorrt_use_fp16 requested with precision: "
+                "fp32 — set precision: bf16 (the TPU half format) to get "
+                "the fp16-engine behavior"
+            )
         if self.model_type not in VALID_MODEL_TYPES:
             raise ConfigError(f"Model type must be one of {sorted(VALID_MODEL_TYPES)}")
         if not (0.0 < self.confidence_threshold <= 1.0):
