@@ -646,3 +646,35 @@ def test_graph_backed_resnet_export_meta(tmp_path):
         confidence_threshold=0.001, resnet_scores="softmax",
     ))
     assert served.compute_dtype == jnp.float32
+
+
+def test_compile_cache_auto_default_and_off(tmp_path, monkeypatch):
+    """compile_cache_dir defaults to 'auto' (persistent cache under the
+    user cache dir — restarts skip first-compile, README deploy note);
+    'off' disables."""
+    import jax
+
+    from realtime_analytics_tpu.config import DetectorConfig
+    from realtime_analytics_tpu.engine.detector import (
+        _maybe_enable_compile_cache,
+    )
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        cfg = DetectorConfig(model_path="x.pt")
+        assert cfg.compile_cache_dir == "auto"
+        _maybe_enable_compile_cache(cfg)
+        expected = str(
+            tmp_path / ".cache" / "realtime-analytics-tpu" / "xla"
+        )
+        assert jax.config.jax_compilation_cache_dir == expected
+        assert os.path.isdir(expected)
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        _maybe_enable_compile_cache(
+            DetectorConfig(model_path="x.pt", compile_cache_dir="off")
+        )
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)

@@ -106,3 +106,21 @@ def test_export_cli(tmp_path):
     g = read_onnx_model(out)
     assert g.inputs == ["images"] and g.outputs == ["output0"]
     assert any(n.op_type == "Conv" for n in g.nodes)
+
+
+@pytest.mark.parametrize("size,nc,hw", [("s", 4, (64, 96)), ("n", 80, (128, 64))])
+def test_export_sweeps_sizes_classes_aspect(tmp_path, size, nc, hw):
+    """Wider models (v8s widths), class-count extremes, and non-square
+    inputs all round-trip through the oracle."""
+    model = build_yolo("yolov8", size, nc=nc)
+    params = model.init_params(jax.random.PRNGKey(1))
+    model.fuse_neck = False
+    path = str(tmp_path / f"v8{size}.onnx")
+    yolo_to_onnx(model, params, path, hw)
+    g = read_onnx_model(path)
+    x = np.random.default_rng(1).uniform(0, 1, (1, 3, *hw)).astype(np.float32)
+    out = run_graph(g, {"images": x})[0]
+    ref = model.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    xyxy, sc = _xyxy_scores(8, out, nc)
+    assert np.max(np.abs(xyxy - np.asarray(ref["boxes_xyxy"]))) < 1e-2
+    assert np.max(np.abs(sc - np.asarray(ref["scores"]))) < 1e-4
