@@ -306,7 +306,7 @@ class DetectorConfig:
                 "detector.tensorrt_max_workspace_size is a no-op on the "
                 "TPU engine (XLA manages device memory)"
             )
-        if self.tensorrt_use_fp16 and self.precision == "fp32":
+        if self.tensorrt_use_fp16 and self.precision == "fp32" and not self.half:
             logger.warning(
                 "detector.tensorrt_use_fp16 requested with precision: "
                 "fp32 — set precision: bf16 (the TPU half format) to get "

@@ -423,7 +423,6 @@ class JaxYoloEngine(BaseDetector):
         nms_gather = self._nms_gather_impl()
         use_s2d = self._s2d_for_bucket(batch)
         use_pstem = self._pstem_for_bucket(batch)
-        use_pstem = self._pstem_for_bucket(batch)
 
         def step(params, sel_u8):
             pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
@@ -477,6 +476,14 @@ class JaxYoloEngine(BaseDetector):
         (tests), same pattern as pallas_decode."""
         mode = self.config.pallas_stem
         if mode in ("on", "interpret"):
+            if self.mesh is not None:
+                logger.warning(
+                    "pallas_stem: %s ignored under mesh serving — the "
+                    "kernel has no shard_map path (unlike "
+                    "pallas_letterbox); serving stays on the XLA stem",
+                    mode,
+                )
+                return "off"
             return mode
         return "off"
 

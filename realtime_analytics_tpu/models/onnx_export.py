@@ -93,8 +93,10 @@ def _bottleneck(b: _Builder, p: Dict, x: str, shortcut: bool,
 
 
 def _c2f(b: _Builder, p: Dict, x: str, n: int, shortcut: bool) -> str:
+    from .layers import get_weight
+
     y = _conv(b, p["cv1"], x, 1)
-    c2 = _np(p["cv1"]["w"]).shape[-1]
+    c2 = _np(get_weight(p["cv1"])).shape[-1]  # int8 params carry w_q, not w
     a, cur = b.node("Split", [y, b.init("split", np.asarray(
         [c2 // 2, c2 // 2], np.int64))], n_out=2, axis=1)
     ys = [a, cur]

@@ -61,7 +61,10 @@ def stem_geometry_ok(h: int, w: int, c0: int, c1: int) -> bool:
     """Static-shape gate: channel counts must tile the 128-lane dim, the
     column groups must tile the width, and 4 row strips must tile the
     P2 height."""
-    if c0 < 12 or 128 % c0 or 128 % c1 or c1 > 128:
+    # c1 == 2*c0 is a kernel invariant (every published v5/v8 stem):
+    # the P1 scratch lanes are sized from c1 (w2*c1 == w1*c0 only then)
+    # and the 2-part piece decomposition covers conv1's taps only then
+    if c0 < 12 or 128 % c0 or 128 % c1 or c1 > 128 or c1 != 2 * c0:
         return False
     gc0, gc1 = 128 // c0, 128 // c1
     h1, w1 = h // 2, w // 2
