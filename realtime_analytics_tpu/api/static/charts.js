@@ -4,16 +4,35 @@
  * No CDN: the dashboard must render air-gapped. */
 "use strict";
 
-/* Validated categorical palette (dark-surface steps, fixed slot order —
- * the ordering is the CVD-safety mechanism: adjacent-pair CVD dE 8.4,
- * normal-vision dE 19.3, every slot >= 3:1 on the #1a1a19 surface).
- * Assigned by series identity in fixed order, never cycled by rank. */
-const PALETTE = ["#3987e5", "#d95926", "#199e70", "#c98500", "#d55181",
-                 "#008300", "#9085e9", "#e66767"];
-const INK = { grid: "rgba(255,255,255,.07)", axis: "#383835",
-              label: "#898781", value: "#c3c2b7" };
+/* Validated categorical palettes, fixed slot order per mode — the
+ * ordering is the CVD-safety mechanism (dark: adjacent-pair CVD dE 8.4 /
+ * normal 19.3 on #1a1a19; light: 9.1 / 19.6 on #fcfcfb). The light set
+ * is the SAME eight hues stepped for the light surface, selected, not
+ * flipped. Assigned by series identity in fixed order, never cycled. */
+const PALETTES = {
+  dark: ["#3987e5", "#d95926", "#199e70", "#c98500", "#d55181",
+         "#008300", "#9085e9", "#e66767"],
+  light: ["#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4",
+          "#008300", "#4a3aa7", "#e34948"],
+};
+const INKS = {
+  dark: { grid: "rgba(255,255,255,.07)", axis: "#383835",
+          label: "#898781", value: "#c3c2b7" },
+  light: { grid: "rgba(11,11,11,.08)", axis: "#c3c2b7",
+           label: "#898781", value: "#52514e" },
+};
 
-function seriesColor(i) { return PALETTE[i % PALETTE.length]; }
+function chartTheme() {
+  const t = document.body && document.body.dataset
+    ? document.body.dataset.theme : null;
+  return t === "light" ? "light" : "dark";
+}
+function themePalette() { return PALETTES[chartTheme()]; }
+
+function seriesColor(i) {
+  const pal = themePalette();
+  return pal[i % pal.length];
+}
 
 /* Multi-series line chart with grid, y-max label and legend. */
 function drawLineChart(canvas, seriesMap, opts = {}) {
@@ -23,6 +42,7 @@ function drawLineChart(canvas, seriesMap, opts = {}) {
   const names = [...seriesMap.keys()];
   const all = names.flatMap((k) => seriesMap.get(k));
   const max = Math.max(opts.yMax || 1e-9, 1e-9, ...all);
+  const INK = INKS[chartTheme()];
   ctx.strokeStyle = INK.grid;
   ctx.beginPath();
   for (let g = 1; g <= 3; g++) {
@@ -66,6 +86,7 @@ function drawBarChart(canvas, entries, opts = {}) {
   const ctx = canvas.getContext("2d");
   const { width: w, height: h } = canvas;
   ctx.clearRect(0, 0, w, h);
+  const INK = INKS[chartTheme()];
   if (!entries.length) {
     ctx.fillStyle = INK.label;
     ctx.font = "12px system-ui";
@@ -83,7 +104,7 @@ function drawBarChart(canvas, entries, opts = {}) {
     const bw = (w - labelW - 44) * (value / max);
     // one measure -> ONE hue (color would otherwise encode rank);
     // 4px rounded data end, squared baseline end
-    ctx.fillStyle = PALETTE[0];
+    ctx.fillStyle = themePalette()[0];
     if (ctx.roundRect) {
       ctx.beginPath();
       ctx.roundRect(labelW, y + 3, Math.max(2, bw), rowH - 8,

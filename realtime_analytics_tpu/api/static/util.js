@@ -17,3 +17,41 @@ function safeFrameSrc(v) {
 
 window.escHtml = escHtml;
 window.safeFrameSrc = safeFrameSrc;
+
+/* ---- theme toggle (index + wall) -------------------------------------
+ * Dark is the default; "light" is a SELECTED theme (its own validated
+ * palette steps, not an automatic flip — see styles.css and the chart
+ * palettes in charts.js). Preference persists in localStorage when the
+ * environment has one (the CI JS engine does not — guarded). */
+function themeStore() {
+  try { return window.localStorage || null; } catch (e) { return null; }
+}
+
+function applyTheme(theme) {
+  if (theme === "light") document.body.dataset.theme = "light";
+  else document.body.dataset.theme = "dark";
+  const btn = document.getElementById("theme-toggle");
+  if (btn) btn.textContent = theme === "light" ? "◑ dark" : "◑ light";
+}
+
+function initTheme() {
+  const store = themeStore();
+  let theme = "dark";
+  if (store) {
+    const saved = store.getItem && store.getItem("rva-theme");
+    if (saved === "light" || saved === "dark") theme = saved;
+  }
+  applyTheme(theme);
+  const btn = document.getElementById("theme-toggle");
+  if (btn) {
+    btn.addEventListener("click", () => {
+      const next =
+        document.body.dataset.theme === "light" ? "dark" : "light";
+      applyTheme(next);
+      if (store && store.setItem) store.setItem("rva-theme", next);
+    });
+  }
+}
+
+window.initTheme = initTheme;
+initTheme();

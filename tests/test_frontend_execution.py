@@ -353,3 +353,16 @@ class TestMutationsAreCaught:
         page.deliver_event(det_event('<img src=x onerror=alert(1)>', 1, 1))
         tbody = page.by_id("stream-table").query_all("tbody")[0]
         assert tbody.query_all("img") != []  # injection now lands
+
+
+class TestThemeToggle:
+    def test_dark_default_and_toggle_flips(self, page):
+        body = page.document.body
+        assert body.attrs.get("data-theme") == "dark"
+        btn = page.by_id("theme-toggle")
+        assert "light" in btn.text_content()
+        page.click(btn)
+        assert body.attrs.get("data-theme") == "light"
+        assert "dark" in page.by_id("theme-toggle").text_content()
+        page.click(btn)
+        assert body.attrs.get("data-theme") == "dark"
