@@ -118,3 +118,49 @@ def test_tiling_lifts_small_object_map(trained_ckpt):
     assert whole["map50"] <= 0.02, whole
     assert tiled["map50"] >= 0.05, tiled
     assert tiled["map50"] > whole["map50"] + 0.04
+
+
+def test_export_quantize_serve_eval_full_toolchain(trained_ckpt, tmp_path):
+    """The complete toolchain on ONE model: the trained checkpoint is
+    exported to standard ONNX (models/onnx_export.py), quantized
+    weights-only (models/quantize.py), served back through the generic
+    ONNX->JAX graph path, and evaluated — its mAP must match the native
+    engine serving the same weights. Gates training output format,
+    exporter decode math, quantizer round-trip, graph serving, and the
+    evaluator in one pass."""
+    import jax
+
+    from realtime_analytics_tpu.models.onnx_export import yolo_to_onnx
+    from realtime_analytics_tpu.models.onnx_lite import (
+        read_onnx_model,
+        write_onnx_model,
+    )
+    from realtime_analytics_tpu.models.quantize import quantize_graph
+
+    native = _engine(trained_ckpt)
+    onnx_path = str(tmp_path / "trained.onnx")
+    yolo_to_onnx(native.model, jax.device_get(native.params), onnx_path,
+                 (64, 64))
+    qg, _rep = quantize_graph(
+        read_onnx_model(onnx_path), [], fmt="qdq", weights_only=True
+    )
+    qpath = str(tmp_path / "trained-qdqw.onnx")
+    write_onnx_model(
+        qpath, qg,
+        value_infos={qg.inputs[0]: (np.float32, ("n", 3, 64, 64))},
+    )
+
+    native_map = _eval_map(native)
+    graph = JaxYoloEngine(DetectorConfig(
+        model_path=qpath, model_type="yolov8", backend="onnx",
+        num_classes=4, input_size=[64, 64], warmup=False,
+        max_batch_size=1, batch_buckets=[1], pre_nms_topk=64,
+        max_detections=8, confidence_threshold=0.05,
+    ))
+    assert getattr(graph.model, "graph_backed", False)
+    graph_map = _eval_map(graph)
+    assert native_map["map50"] >= 0.05, native_map
+    # weights-only int8 costs at most a little localization quality
+    assert graph_map["map50"] >= native_map["map50"] - 0.05, (
+        native_map, graph_map,
+    )
