@@ -125,6 +125,7 @@ class VideoStream:
         consecutive_failures = 0
         pace = (1.0 / cfg.target_fps) if cfg.target_fps else 0.0
         opened_once = False
+        cycle_start = time.perf_counter()
         while True:
             if self._capture is None:
                 if not opened_once:
@@ -183,13 +184,19 @@ class VideoStream:
             self._frame_id += 1
             yield packet
             if pace > 0:
-                # RELATIVE pacing (sleep 1/fps after the yield) is a
-                # deliberate choice over an absolute wire-clock schedule:
-                # the consumer's per-frame time becomes backpressure, so an
-                # overloaded host degrades rate smoothly instead of piling
-                # frames into the batcher queue. Measured at 32x25 offered
-                # on a saturated 1-core host: relative carries 724 fps at
-                # p50 31.6 ms; an absolute schedule carries 781 but at p50
-                # 105-137 ms (pure queueing) — a real camera would shed
-                # those frames anyway (docs/performance.md, round 5).
-                await asyncio.sleep(pace)
+                # COMPENSATED relative pacing: sleep the interval MINUS the
+                # time this iteration already spent reading/submitting, so
+                # the stream self-clocks at target_fps without the work
+                # time silently stretching every interval. Per-stream
+                # self-clocking is a deliberate choice over an absolute
+                # wire-clock schedule: when work time exceeds the interval
+                # the sleep clamps at ~0 and the rate degrades smoothly
+                # (consumer-time backpressure) instead of piling frames
+                # into the batcher queue — measured at 32x25 offered on a
+                # saturated 1-core host, a wire-clock schedule carried 781
+                # fps but at p50 105-137 ms of pure queueing; a real
+                # camera would shed those frames anyway
+                # (docs/performance.md, round 5).
+                now = time.perf_counter()
+                await asyncio.sleep(max(0.001, pace - (now - cycle_start)))
+            cycle_start = time.perf_counter()
